@@ -1,0 +1,179 @@
+"""Deduplication operators for web-scale corpora.
+
+All engine-portable by construction: hashes are md5 (identical in every
+engine), shingles are word n-grams, and every step is a pure Column
+expression — no Python in the row path, so the operators run inside
+whole-stage codegen and scale linearly with executors.
+
+Scale notes (100 TB):
+- exact dedup = one shuffle on the 128-bit fingerprint; skew-free since
+  fingerprints are uniform.
+- MinHash+LSH = per-row signature (map-only) + one shuffle per band on the
+  band key; candidate verification touches only bucket collisions, never
+  the O(n²) pair space.
+- SimHash = map-only fingerprint; near-dup lookup via Hamming bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of ``text`` (lowercased).
+
+    Built with n-1 ``zip_with`` passes over shifted copies of the word
+    array — O(words) per row, unlike the naive per-index ``slice`` which
+    is O(words²) and dominated a 50k-doc corpus scan. The zip pads the
+    shorter (shifted) side with null; ``concat`` propagates the null so a
+    final not-null filter leaves exactly size-n+1 shingles (empty when the
+    text has fewer than n words).
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    combined = words
+    for i in range(1, n):
+        shifted = F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(0)))
+        combined = F.zip_with(combined, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(combined, lambda x: x.isNotNull()))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 4,
+    shingle_size: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Add an ``array<string>`` MinHash signature column.
+
+    Hash family: one md5 per shingle per group of 4 (md5(f"mh{g}|" + s)),
+    split into four independent 8-hex-char slices — the standard
+    split-one-strong-hash trick, 4× fewer digests than hashing per
+    function. The signature element is the lexicographic min over
+    shingles. Engine-portable: the same mins come out of any engine with
+    md5.
+
+    Reference J8 context (get_similarity.py:148-152) does O(n^2) fuzzy
+    scoring; MinHash+LSH is the scale path (SURVEY §4.2).
+    """
+    shingles = _word_shingles(F.col(text_col), shingle_size)
+
+    # NB: factory, not `lambda s, i=i:` — Spark infers lambda arity from the
+    # signature, and a 2-param lambda would receive the array index Column
+    # as its second argument.
+    def _hasher(group: int, slot: int):
+        return lambda s: F.substring(
+            F.md5(F.concat(F.lit(f"mh{group}|"), s)), 1 + 8 * slot, 8
+        )
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, _hasher(i // 4, i % 4)))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_band_keys(
+    sig_col: Column, n_bands: int, rows_per_band: int
+) -> list[Column]:
+    """Band keys for LSH bucketing: band b's key is the md5 of its slice of
+    the signature. Docs sharing any band key are near-dup candidates;
+    verify candidates with exact Jaccard afterwards."""
+    return [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.array_join(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), "|"),
+            )
+        )
+        for b in range(n_bands)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Explodes each doc into ``n_bands`` (band, key) rows, self-joins on the
+    band key (shuffle on uniform md5 keys — skew-free), and returns
+    distinct candidate id pairs with ``id_a < id_b``. At 100 TB this is
+    the only join that happens, and it only sees colliding buckets.
+    """
+    rows = n_hashes // n_bands
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_size)
+    keys = lsh_band_keys(F.col("minhash"), n_bands, rows)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over distinct lowercase tokens.
+
+    Each token hashes to ``bits`` bits via its md5 prefix; the fingerprint
+    sets bit b when the sum over tokens of (+1/-1 for bit b) is positive.
+    Near-duplicate docs differ in few bits (Hamming distance).
+
+    Kept to <=24 bits so the per-token hash fits the md5 hex prefix cast;
+    engine-portable (md5 + integer ops only).
+    """
+    nibbles = (bits + 3) // 4
+    toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    # hash each token once (md5 prefix -> int), then reuse for every bit
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, nibbles), 16, 10).cast("long")
+    )
+    def _bit_merge(mask: int):
+        # factory keeps the merge lambda strictly 2-arg (see minhash note)
+        return lambda acc, h: acc + (h.bitwiseAND(F.lit(mask)) != 0).cast("long") * 2 - 1
+
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_sum = F.aggregate(hashed, F.lit(0).cast("long"), _bit_merge(1 << b))
+        fp = fp + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return fp
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 2) -> Column:
+    """Word n-gram Jaccard similarity between two text columns, rounded to
+    6 decimals. |A ∩ B| / |A ∪ B| over distinct shingle sets."""
+    sa = _word_shingles(a, n)
+    sb = _word_shingles(b, n)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.round(
+        F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str, keep: str = "min") -> DataFrame:
+    """Exact deduplication: keep one row per ``key`` (the min/max id).
+
+    One hash-partition shuffle on the dedup key; at 100 TB prefer a
+    fingerprint key (md5 of normalized content) so the shuffle is uniform.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keep_ids = df.withColumn("__key", key).groupBy("__key").agg(agg.alias(id_col)).drop("__key")
+    return df.join(keep_ids, id_col, "left_semi")

@@ -1,0 +1,98 @@
+"""Similarity operators: fuzzy string top-1 join and ANN vector search.
+
+Fuzzy join is the reference's signature operator (J8,
+get_similarity.py:148-152: every search term scored against every slug,
+keep the best). The exact path is cross join + levenshtein + window top-1
+— correct at any scale where one side is small (the reference's case:
+~100 rows/day). The scalable path for big×big is MinHash-LSH candidate
+generation (operators.dedup) followed by exact re-ranking of candidates.
+
+Vector search: brute-force cosine top-k is the exact baseline (one pass,
+map-side score + global top-k — no shuffle of the corpus); the scale path
+buckets vectors by an LSH/IVF key so each query probes a few buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def levenshtein_similarity(a: Column, b: Column) -> Column:
+    """Normalized edit similarity in [0,100], fuzzywuzzy-style scale
+    (SURVEY §2.12 #4: the reference's 'levenshtein_similarity' column;
+    we pin the definition to true Levenshtein over the longer length)."""
+    dist = F.levenshtein(a, b)
+    longer = F.greatest(F.length(a), F.length(b))
+    return F.round(
+        F.when(longer > 0, (1 - dist.cast("double") / longer.cast("double")) * 100).otherwise(
+            F.lit(100.0)
+        ),
+        4,
+    )
+
+
+def fuzzy_top1_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    score_col: str = "similarity",
+) -> DataFrame:
+    """For each left row, the single best-scoring right row (J8 semantics).
+
+    Exact strategy: broadcast the smaller right side, score every pair,
+    keep rank 1 per left key with deterministic tie-break on the right
+    value. Right side must be broadcast-able (dedup it first); for big
+    right sides, pre-filter candidates with MinHash-LSH then reuse this.
+    """
+    scored = left.crossJoin(F.broadcast(right)).withColumn(
+        score_col, levenshtein_similarity(F.col(left_col), F.col(right_col))
+    )
+    w = Window.partitionBy(left_col).orderBy(F.desc(score_col), F.asc(right_col))
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in double."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Brute-force cosine top-k of each query vector against the corpus.
+
+    The corpus is scanned once with a map-side score (no corpus shuffle);
+    the window top-k shuffles only (n_queries × corpus_partitions × k)
+    rows after partial sort. Scores are rounded to 6 decimals so ranking
+    is reproducible across engines; ties break on corpus id.
+    """
+    q = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(score_col),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "rank")
+    )

@@ -1,0 +1,12 @@
+"""Query registry package — importing this populates QUERIES/ORACLES."""
+
+from wopen_spark.queries.registry import ORACLES, QUERIES, query
+
+# Each module registers its queries at import time.
+from wopen_spark.queries import core  # noqa: E402,F401
+from wopen_spark.queries import windows  # noqa: E402,F401
+from wopen_spark.queries import strings_dates  # noqa: E402,F401
+from wopen_spark.queries import dedup  # noqa: E402,F401
+from wopen_spark.queries import similarity  # noqa: E402,F401
+
+__all__ = ["ORACLES", "QUERIES", "query"]

@@ -1,69 +1,19 @@
-"""Query registry — every operator from SURVEY.md §2 as a named query.
+"""Core relational queries — SURVEY.md §2 operators over the test tables.
 
 Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
-with an equivalent ANSI-SQL oracle string for DuckDB. The driver runs both
-at sf=0.01 and compares row-count + schema + order-insensitive value hash
-(CORRECTNESS_r{N}.json). Column names are aliased identically on both
-sides; float aggregates go through decimal casts so both engines produce
-bit-identical doubles regardless of summation order.
-
-Registry convention: ``@query("name", oracle="...")`` adds to QUERIES /
-ORACLES, consumed by ``__spark_entry__``.
+with an equivalent ANSI-SQL oracle string for DuckDB (see registry.py).
+Column names are aliased identically on both sides; float aggregates go
+through decimal casts so both engines produce bit-identical doubles
+regardless of summation order.
 """
 
 from __future__ import annotations
 
-import os
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wopen_spark.functions.text import (
-    LANG_MARKERS,
-    STOPWORDS,
-    TOKEN_REGEX,
-    doc_fingerprint,
-    language_id,
-    quality_score,
-    token_count,
-)
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark cannot map to
-        # its microsecond TimestampType; must be set before the scan even on
-        # a caller-provided session (the driver builds its own).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); truncate to
-        # microseconds exactly like DuckDB does for its TIMESTAMP type.
-        # integer div (not /): ns-epoch ~1.7e18 exceeds double's 53-bit mantissa
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
-
-
-def _dsum(col, scale: int = 2):
-    """Deterministic double sum: sum over decimal (exact, order-independent)
-    then cast to double. Matches DuckDB ``CAST(SUM(CAST(x AS DECIMAL)) AS
-    DOUBLE)`` bit-for-bit."""
-    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
-
+from wopen_spark.functions.text import TOKEN_REGEX, doc_fingerprint, token_count
+from wopen_spark.queries.registry import _dsum, _t, query
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (SURVEY §2.6 aggregations;

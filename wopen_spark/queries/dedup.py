@@ -1,0 +1,106 @@
+"""Dedup-operator queries over the documents table (training-data ops).
+
+Exact dedup is in core.py (doc_fingerprint_dedup); here: MinHash
+signatures, SimHash fingerprints, and n-gram Jaccard similarity — each
+verified value-for-value against a DuckDB re-implementation built from the
+same md5 primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.operators.dedup import minhash_signatures, ngram_jaccard, simhash
+from wopen_spark.queries.registry import _t, query
+
+# DuckDB fragments mirroring operators.dedup._word_shingles / minhash
+_DUCK_WORDS = "regexp_extract_all(lower(trim(text)), '\\S+')"
+
+
+def _duck_shingles(n: int) -> str:
+    # range(1, len(w)-(n-2)) is end-exclusive -> indices 1..len(w)-(n-1)
+    return (
+        f"list_distinct(list_transform(range(1, len(w) - {n - 2}), "
+        f"i -> array_to_string(w[i:i+{n - 1}], ' ')))"
+    )
+
+
+_N_MINHASH = 4
+
+
+@query(
+    "minhash_signatures_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks)
+    SELECT doc_id,
+           {", ".join(f"list_min(list_transform(shingles, s -> substr(md5('mh{i // 4}|' || s), {1 + 8 * (i % 4)}, 8))) AS mh{i}" for i in range(_N_MINHASH))}
+    FROM sh ORDER BY doc_id
+    """,
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "text", n_hashes=_N_MINHASH, shingle_size=3)
+    return sigs.select(
+        "doc_id",
+        *[F.col("minhash").getItem(i).alias(f"mh{i}") for i in range(_N_MINHASH)],
+    ).orderBy("doc_id")
+
+
+def _duck_simhash(bits: int = 16) -> str:
+    nibbles = (bits + 3) // 4
+    hashed = (
+        "list_transform(list_distinct(" + _DUCK_WORDS + "), "
+        f"t -> ('0x' || substr(md5(t), 1, {nibbles}))::BIGINT)"
+    )
+    bit_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x & {1 << b}) != 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"SELECT doc_id, CAST({bit_terms} AS BIGINT) AS fp FROM (SELECT doc_id, {hashed} AS h FROM documents)"
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+    {_duck_simhash(16)}
+    ORDER BY doc_id
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(F.col("text"), bits=16).alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "ngram_jaccard_adjacent_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_duck_shingles(2)} AS shingles
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+                 THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                      / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
+    """,
+)
+def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Jaccard between consecutive doc ids — a bounded pair set that
+    exercises the similarity kernel without the O(n²) pair space."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.alias("a")
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")).alias("b")
+    return (
+        a.join(b, "doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+            ngram_jaccard(F.col("text"), F.col("text_b"), n=2).alias("jaccard"),
+        )
+        .orderBy("id_a")
+    )

@@ -1,0 +1,53 @@
+"""Shared query registry + helpers for oracle-matched queries.
+
+Each query module registers ``(spark, sf_dir) -> DataFrame`` builders with
+``@query(name, oracle=...)``; ``__spark_entry__`` exposes the aggregate
+QUERIES/ORACLES dicts to the grading driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark cannot map to
+        # its microsecond TimestampType; must be set before the scan even on
+        # a caller-provided session (the driver builds its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div (not /): ns-epoch ~1.7e18 exceeds double's 53-bit mantissa
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dsum(col, scale: int = 2):
+    """Deterministic double sum: sum over decimal (exact, order-independent)
+    then cast to double. Matches DuckDB ``CAST(SUM(CAST(x AS DECIMAL)) AS
+    DOUBLE)`` bit-for-bit."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def _davg(col, scale: int = 4):
+    """Deterministic double average: decimal sum / count, cast double —
+    identical in Spark and DuckDB regardless of row order."""
+    return (F.sum(col.cast(f"decimal(28,{scale})")) / F.count(F.lit(1))).cast("double")

@@ -1,0 +1,83 @@
+"""Similarity queries: fuzzy top-1 join (reference J8) and ANN cosine
+search over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.operators.similarity import cosine_topk, fuzzy_top1_join
+from wopen_spark.queries.registry import _t, query
+
+
+# J8 (get_similarity.py:148-152): every left value scored against every
+# right value, keep the best. Exact path: broadcast cross join + window.
+@query(
+    "fuzzy_top1_type_brand",
+    oracle="""
+    WITH lt AS (SELECT DISTINCT p_type FROM part),
+         rt AS (SELECT DISTINCT p_brand FROM part),
+    scored AS (
+      SELECT p_type, p_brand,
+             round(CASE WHEN greatest(len(p_type), len(p_brand)) > 0
+               THEN (1 - levenshtein(p_type, p_brand)::DOUBLE / greatest(len(p_type), len(p_brand))::DOUBLE) * 100
+               ELSE 100.0 END, 4) AS similarity
+      FROM lt CROSS JOIN rt
+    )
+    SELECT p_type, p_brand, similarity FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY similarity DESC, p_brand) AS rn
+      FROM scored
+    ) WHERE rn = 1 ORDER BY p_type
+    """,
+)
+def fuzzy_top1_type_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    left = p.select("p_type").distinct()
+    right = p.select("p_brand").distinct()
+    return (
+        fuzzy_top1_join(left, right, "p_type", "p_brand")
+        .select("p_type", "p_brand", "similarity")
+        .orderBy("p_type")
+    )
+
+
+# ANN baseline: brute-force cosine top-10 for three query vectors. The
+# corpus is scanned once (map-side score); only top-k rows shuffle.
+_DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), 'sum')"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+@query(
+    "embedding_cosine_top10",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_duck_cos("e.embedding::DOUBLE[]", "q.qvec")} AS cosine
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def embedding_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(0, 1, 2))
+    return (
+        cosine_topk(e, q, vec_col="embedding", id_col="vec_id", k=10)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,183 @@
+"""Window-function queries (SURVEY §2.7 + streaming-ish event analytics).
+
+The reference has no real window functions (top-1 via pre-filter, dedup
+keep-last); a complete engine needs the full surface: running totals,
+lag/lead gaps, sessionization, ranking. All express as Spark window specs
+— one shuffle on the partition key, then sorted within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wopen_spark.queries.registry import _dsum, _t, query
+
+
+# Running total per user ordered by time: the cumulative sum runs in sort
+# order on both engines; decimal accumulation keeps doubles bit-identical.
+@query(
+    "cumulative_value_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def cumulative_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# lag(): inter-event gap per user, averaged by event type.
+@query(
+    "avg_gap_by_event_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(CAST(gap_sec AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) AS avg_gap_sec
+    FROM (
+      SELECT event_type,
+             floor(epoch(ts))::BIGINT - floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap_sec
+      FROM events
+    ) WHERE gap_sec IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def avg_gap_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_sec", gap)
+        .filter(F.col("gap_sec").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum(F.col("gap_sec").cast("decimal(28,0)")) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_gap_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Sessionization: gap > 30 min starts a new session — the batch analogue of
+# the streaming session-window operator (see wopen_spark.streaming).
+@query(
+    "user_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# rank() with deterministic tiebreak: top-3 orders per priority class.
+@query(
+    "top3_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+# Sliding frame: 7-row moving revenue over daily order totals.
+@query(
+    "moving_avg_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS daily_revenue,
+           CAST(SUM(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rev_7d,
+           CAST(SUM(n) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_7d
+    FROM daily ORDER BY d
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return (
+        daily.select(
+            "d",
+            F.col("rev").cast("double").alias("daily_revenue"),
+            F.sum("rev").over(w).cast("double").alias("rev_7d"),
+            F.sum("n").over(w).cast("long").alias("n_7d"),
+        )
+        .orderBy("d")
+    )
