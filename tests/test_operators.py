@@ -1,0 +1,170 @@
+"""Unit tests: table layer, http_enrich (mock transport), incremental
+ledger, sources/sinks, LSH candidates, streaming AvailableNow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_table_partitioned_idempotent_write(spark, tmp_path):
+    from wopen_spark.tables import Table
+
+    t = Table(spark, "crm", "events_by_day", warehouse=str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t.write_partition("2026-01-01", "date_extract", df1)
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    t.write_partition("2026-01-02", "date_extract", df2)
+    assert t.partitions("date_extract") == ["2026-01-01", "2026-01-02"]
+    # idempotent re-run replaces only its own partition
+    df1b = spark.createDataFrame([(9, "z")], "id long, v string")
+    t.write_partition("2026-01-01", "date_extract", df1b)
+    got = t.read()
+    assert got.count() == 2
+    assert {r.id for r in got.collect()} == {9, 3}
+
+
+def test_incremental_ledger(spark, tmp_path):
+    from wopen_spark.operators.incremental import missing_partitions, process_partitions
+    from wopen_spark.tables import Table
+
+    src = Table(spark, "crm", "src", warehouse=str(tmp_path))
+    dst = Table(spark, "crm", "dst", warehouse=str(tmp_path))
+    for d, n in [("2026-01-01", 5), ("2026-01-02", 3)]:
+        src.write_partition(d, "date_extract", spark.range(n).select(F.col("id")))
+    assert missing_partitions(src, dst, "date_extract") == ["2026-01-01", "2026-01-02"]
+
+    done = process_partitions(
+        src, dst, "date_extract", lambda df, d: df.withColumn("doubled", F.col("id") * 2)
+    )
+    assert done == ["2026-01-01", "2026-01-02"]
+    assert dst.read().count() == 8
+    # second run: nothing to do (the reference's skip-if-processed gate)
+    assert process_partitions(src, dst, "date_extract", lambda df, d: df) == []
+
+
+def test_http_enrich_mock_transport(spark):
+    from wopen_spark.operators.http_enrich import EnrichConfig, http_enrich
+
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(20)], "id long, url string")
+
+    calls = {"n": 0}
+
+    def factory():
+        def transport(u: str) -> str:
+            if u == "u7":
+                raise RuntimeError("boom")  # -> sentinel after retries
+            return u.upper()
+
+        return transport
+
+    out = http_enrich(
+        df, "url", factory, out_col="resp",
+        config=EnrichConfig(concurrency=4, retries=1, backoff_s=0.0, sentinel="0"),
+    ).collect()
+    by_id = {r.id: r.resp for r in out}
+    assert by_id[3] == "U3"
+    assert by_id[7] == "0"  # sentinel, job did not fail
+    assert len(by_id) == 20
+
+
+def test_http_enrich_quota(spark):
+    from wopen_spark.operators.http_enrich import EnrichConfig, http_enrich
+
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(10)], "id long, url string")
+    out = http_enrich(
+        df, "url", lambda: (lambda u: u.upper()), out_col="resp",
+        config=EnrichConfig(quota=4),
+    ).collect()
+    done = [r for r in out if r.resp is not None]
+    assert len(done) == 4  # reference's daily cap: the rest wait for next run
+    assert len(out) == 10
+
+
+def test_http_csv_source_file_url(spark, tmp_path):
+    from wopen_spark.sources.http import http_csv_source
+
+    p = tmp_path / "feed.csv"
+    p.write_text("a;b\n1;x\n2;y\nbad_line_only_one_field\n3;z\n")
+    df = http_csv_source(spark, p.as_uri())
+    rows = df.collect()
+    assert df.columns == ["a", "b"]
+    assert len(rows) == 3  # malformed line dropped
+
+
+def test_http_zip_csv_source(spark, tmp_path):
+    import zipfile
+
+    from wopen_spark.sources.http import http_zip_csv_source
+
+    z = tmp_path / "rna.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("m1.csv", "id;titre;extra\n1;Asso A;e1\n2;Asso B;e2\n")
+        zf.writestr("m2.csv", "id;titre;extra\n3;Asso C;e3\n")
+    df = http_zip_csv_source(spark, z.as_uri(), columns=["id", "titre"])
+    assert df.columns == ["id", "titre"]
+    assert df.count() == 3
+
+
+def test_csv_sink_stable_filename(spark, tmp_path):
+    from wopen_spark.sources.files import csv_sink, csv_source
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    out = str(tmp_path / "export" / "wp_import.csv")
+    csv_sink(df, out)
+    assert os.path.isfile(out)
+    back = csv_source(spark, out)
+    assert back.count() == 2
+    assert back.columns == ["k", "v"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from wopen_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    docs = [
+        (0, base),
+        (1, base + " tonight"),          # near-dup of 0
+        (2, "completely different words about spark query plans and shuffles"),
+        (3, base.replace("quick", "fast")),  # near-dup of 0/1
+        (4, "another unrelated document mentioning embeddings and vectors"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, n_hashes=8, n_bands=4, shingle_size=3).collect()
+    }
+    assert (0, 1) in pairs
+    assert (2, 4) not in pairs
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from wopen_spark.functions.text import doc_fingerprint
+    from wopen_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df, doc_fingerprint(F.col("text")), "doc_id")
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
+def test_streaming_available_now_matches_batch(spark, tmp_path):
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.streaming import available_now_aggregate
+
+    result = available_now_aggregate(
+        spark, SF_SMOKE, checkpoint_dir=str(tmp_path / "ckpt"), window="1 hour"
+    )
+    batch = (
+        _t(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert result.count() == batch.count()
+    assert result.agg(F.sum("n")).first()[0] == _t(spark, SF_SMOKE, "events").count()

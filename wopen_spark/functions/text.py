@@ -76,7 +76,9 @@ def quality_score(col: Column) -> Column:
     length_ok = F.when((n >= 50) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
     alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
-    words = F.size(F.split(F.trim(col), r"\s+"))
+    # regexp_count, not size(split(...)): split('') yields [''] (count 1)
+    # while a match count gives 0 — the latter is engine-portable
+    words = F.regexp_count(col, F.lit(r"\S+"))
     stop_hits = sum(
         [_word_count(col, w) for w in STOPWORDS[1:]], _word_count(col, STOPWORDS[0])
     )

@@ -1,0 +1,174 @@
+"""Per-row HTTP enrichment operator (SURVEY §2.11 — the reference's
+signature pattern, E1-E3/E5).
+
+The reference enriches with ``Series.apply`` — one synchronous HTTP call
+per row, single thread (get_similarity.py:121-123 findmyfbid POST +
+facebook redirect GET; assos_validation_retreatment.py:94 Nominatim
+geocode; custom_search_extraction.py:189 serp batch). This operator is the
+distributed rewrite:
+
+- ``mapInPandas`` keeps Arrow batching (no per-row Python overhead);
+- each task runs a bounded ``ThreadPoolExecutor`` — concurrency is
+  per-executor-task, so cluster-wide concurrency = tasks × pool size and
+  is controlled by repartitioning the input;
+- retry with exponential backoff; record-level failures produce the
+  reference's sentinel values (``'0'`` / ``''``) instead of failing the
+  job;
+- an optional per-run quota replicates the reference's 100-queries/day cap
+  (custom_search_extraction.py:32,189): rows beyond the quota pass
+  through with NULL so the next incremental run picks them up;
+- the transport is injectable, so tests run with a fake and production
+  wires a requests.Session per task (connection pooling).
+
+Enrichment is a pushdown barrier by construction: it is applied after the
+declarative plan (filters/pruning happen first), and downstream plans see
+an opaque new column.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Transport = Callable[[str], str]
+
+
+@dataclass(frozen=True)
+class EnrichConfig:
+    concurrency: int = 8  # threads per Spark task
+    retries: int = 2
+    backoff_s: float = 0.5
+    sentinel: str = ""  # reference failure values: '' (E2/E3) or '0' (E1)
+    quota: int | None = None  # max rows enriched this run (None = all)
+
+
+def http_enrich(
+    df: DataFrame,
+    input_col: str,
+    transport_factory: Callable[[], Transport],
+    out_col: str = "enriched",
+    config: EnrichConfig = EnrichConfig(),
+) -> DataFrame:
+    """Add ``out_col`` = transport(input_col) for each row.
+
+    ``transport_factory`` is called once per task (build your pooled HTTP
+    session there); the returned callable maps one input string to one
+    output string and may raise (retried, then sentinel).
+
+    With ``config.quota`` set, only the first ``quota`` rows (in the
+    DataFrame's current order, made explicit with a row index) are
+    enriched; the rest get NULL — mirroring the reference's daily cap
+    where unsearched keywords wait for the next run.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import types as T
+
+    quota = config.quota
+    if quota is not None:
+        # explicit order: distributed rows have no positional order (SURVEY
+        # §2.12 #8) — rank by a stable index so "first N" is deterministic
+        df = df.withColumn(
+            "__enrich_rank",
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+        )
+    # copy, never df.schema.add(...): StructType.add mutates the DataFrame's
+    # cached schema in place and breaks downstream resolution
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
+
+    # The closure below ships to Python workers via cloudpickle. It must be
+    # fully self-contained — capture plain values, no references to
+    # wopen_spark module globals or instances — so it runs on workers that
+    # cannot import this package (driver launched from any cwd).
+    concurrency = config.concurrency
+    retries = config.retries
+    backoff_s = config.backoff_s
+    sentinel = config.sentinel
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        transport = transport_factory()
+
+        def call_with_retry(arg: str) -> str:
+            for attempt in range(retries + 1):
+                try:
+                    return transport(arg)
+                except Exception:  # noqa: BLE001 — record-level -> sentinel
+                    if attempt < retries:
+                        _time.sleep(backoff_s * (2**attempt))
+            return sentinel
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in batches:
+                if quota is not None:
+                    mask = pdf["__enrich_rank"] <= quota
+                else:
+                    mask = pd.Series(True, index=pdf.index)
+                inputs = pdf.loc[mask, input_col].astype(str).tolist()
+                results = list(pool.map(call_with_retry, inputs))
+                pdf[out_col] = None
+                pdf.loc[mask, out_col] = results
+                yield pdf
+
+    enriched = df.mapInPandas(run, schema=out_schema)
+    if quota is not None:
+        enriched = enriched.drop("__enrich_rank")
+    return enriched
+
+
+# --- Reference enrichment services (E1-E3), transport stubs -----------------
+# The real services need network access; production wires these factories
+# with requests. Tests inject fakes. Each mirrors the reference's failure
+# sentinel exactly.
+
+
+def fbid_transport_factory() -> Transport:
+    """E1 get_fbid (get_similarity.py:44-51): POST url -> numeric FB id,
+    '0' on any error."""
+    import urllib.parse
+    import urllib.request
+
+    def call(fb_url: str) -> str:
+        data = urllib.parse.urlencode({"url": fb_url}).encode()
+        with urllib.request.urlopen(
+            "https://findmyfbid.example/", data=data, timeout=5
+        ) as resp:
+            return resp.read().decode().strip()
+
+    return call
+
+
+def redirect_transport_factory() -> Transport:
+    """E2 get_URL (get_similarity.py:53-60): GET facebook.com/<id> following
+    redirects, return the final URL, '' on error."""
+    import urllib.request
+
+    def call(fb_id: str) -> str:
+        with urllib.request.urlopen(f"https://facebook.com/{fb_id}", timeout=5) as resp:
+            return resp.geturl()
+
+    return call
+
+
+def geocode_transport_factory() -> Transport:
+    """E3 get_coordinates (assos_validation_retreatment.py:32-39): Nominatim
+    geocode -> 'lat,lon', '' on error/timeout (3 s in the reference)."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    def call(address: str) -> str:
+        q = urllib.parse.urlencode({"q": address, "format": "json", "limit": 1})
+        with urllib.request.urlopen(
+            f"https://nominatim.openstreetmap.org/search?{q}", timeout=3
+        ) as resp:
+            hits = json.loads(resp.read().decode())
+            return f"{hits[0]['lat']},{hits[0]['lon']}" if hits else ""
+
+    return call

@@ -1,0 +1,84 @@
+"""Text-analysis queries: language ID and quality scoring over documents.
+
+Both are pure Column expressions from wopen_spark.functions.text; the
+oracles re-derive the same arithmetic in DuckDB SQL so every regexp count
+and ratio is checked value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.functions.text import LANG_MARKERS, STOPWORDS, language_id, quality_score
+from wopen_spark.queries.registry import _t, query
+
+
+def _duck_word_count(word: str) -> str:
+    return f"len(regexp_extract_all(text, '\\b{word}\\b'))"
+
+
+_LANGS = sorted(LANG_MARKERS)
+_SCORE_EXPRS = ",\n           ".join(
+    f"({' + '.join(_duck_word_count(w) for w in LANG_MARKERS[lang])}) AS s_{lang}"
+    for lang in _LANGS
+)
+# first-match CASE == alphabetical tie-break, same as the Spark fold
+_LANG_CASE = (
+    "CASE WHEN best = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+
+@query(
+    "doc_language_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+           {_SCORE_EXPRS}
+      FROM documents
+    ),
+    best AS (
+      SELECT *, greatest({", ".join("s_" + lang for lang in _LANGS)}) AS best FROM scores
+    )
+    SELECT doc_id, labeled_lang, {_LANG_CASE} AS detected_lang
+    FROM best ORDER BY doc_id
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id(F.col("text")).alias("detected_lang"),
+    ).orderBy("doc_id")
+
+
+_STOP_SUM = " + ".join(_duck_word_count(w) for w in STOPWORDS)
+
+
+@query(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(regexp_extract_all(text, '\\S+')) AS words,
+             {_STOP_SUM} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           round(
+             0.4 * (CASE WHEN n >= 50 AND n <= 5000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (CASE WHEN n > 0 THEN alpha::DOUBLE / n::DOUBLE ELSE 0.0 END)
+             + 0.3 * least(CAST(1.0 AS DOUBLE),
+                 (CASE WHEN words > 0 THEN stop_hits::DOUBLE / words::DOUBLE ELSE 0.0 END) * 8),
+             6) AS quality
+    FROM m ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")

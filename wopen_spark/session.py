@@ -27,6 +27,12 @@ def get_spark(app_name: str = "wopen_spark", shuffle_partitions: int | None = No
     scale set it to ~2-3x total executor cores (AQE coalesces the rest).
     """
     cpus = int(_DEFAULT_CPUS)
+    # make this package importable by Python workers regardless of the
+    # driver's cwd (local-mode workers inherit the process environment)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{current}" if current else pkg_root
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,40 @@
+"""Local file sources/sinks (SURVEY §2.1 S7, §2.2 K4)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def csv_source(
+    spark: SparkSession, path: str, sep: str = ";", header: bool = True
+) -> DataFrame:
+    """S7: read a hand-off CSV (update_open_data.py:68)."""
+    return spark.read.option("header", header).option("sep", sep).csv(path)
+
+
+def csv_sink(df: DataFrame, path: str, sep: str = ";", header: bool = True) -> str:
+    """K4: write a single ``;``-separated UTF-8 CSV with a stable filename
+    (process_open_data.py:273 hand-off to WP All Import).
+
+    ``coalesce(1)`` is deliberate: the hand-off contract is ONE file a
+    downstream system polls by name. Only use for export-sized results —
+    big outputs should stay partitioned (``df.write.csv(dir)``).
+    """
+    tmp = tempfile.mkdtemp(prefix="wopen_csv_")
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", header)
+        .option("sep", sep)
+        .csv(tmp)
+    )
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return path
