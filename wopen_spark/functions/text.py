@@ -33,27 +33,52 @@ def _word_count(col: Column, word: str) -> Column:
     return F.regexp_count(col, F.lit(rf"\b{word}\b"))
 
 
+def _marker_hits(col: Column, words: list[str]) -> Column:
+    """All whole-word occurrences of any marker, in ONE regex pass.
+
+    Equivalent to summing per-word ``\\bw\\b`` counts: whole-word matches
+    of distinct words are disjoint (both ends sit on word boundaries), so
+    one alternation scan extracts exactly the union of matches. 20x fewer
+    text scans than per-word regexp_count at 100 TB.
+    """
+    pattern = r"\b(?:" + "|".join(sorted(words)) + r")\b"
+    return F.regexp_extract_all(col, F.lit(pattern), F.lit(0))
+
+
 def language_id(col: Column) -> Column:
     """Heuristic language ID: the language whose marker stopwords occur
     most often; ties break alphabetically; no markers at all → 'und'.
+
+    One regex pass over the text extracts every marker hit; per-language
+    scores are array filters over that (short) hit list.
     """
-    scores = [
-        (lang, sum_markers)
-        for lang, words in sorted(LANG_MARKERS.items())
-        for sum_markers in [
-            sum([_word_count(col, w) for w in words[1:]], _word_count(col, words[0]))
-        ]
-    ]
-    best_score = None
-    best_lang = None
-    for lang, score in scores:
-        if best_score is None:
-            best_score, best_lang = score, F.lit(lang)
-        else:
-            take = score > best_score
-            best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(take, score).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    all_markers = {w for ws in LANG_MARKERS.values() for w in ws}
+    hits = _marker_hits(col, sorted(all_markers))
+
+    def _in_set(ws: list[str]):
+        # factory keeps the lambda strictly 1-arg (Spark infers HOF arity
+        # from the signature; a default param would receive the index)
+        return lambda x: x.isin(*ws)
+
+    # argmax via array_max over (score, reverse-rank, lang) structs — struct
+    # ordering gives highest score, ties to the alphabetically-first lang.
+    # Deliberately NOT a when()-fold: conditional branches defeat Spark's
+    # common-subexpression elimination, so a fold re-runs the regex scan
+    # once per branch per row (~10x slower, measured).
+    langs = sorted(LANG_MARKERS)
+    packed = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.size(F.filter(hits, _in_set(LANG_MARKERS[lang]))).alias("s"),
+                    F.lit(len(langs) - 1 - i).alias("r"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    return F.when(packed["s"] > 0, packed["lang"]).otherwise(F.lit("und"))
 
 
 def token_count(col: Column) -> Column:
@@ -79,9 +104,8 @@ def quality_score(col: Column) -> Column:
     # regexp_count, not size(split(...)): split('') yields [''] (count 1)
     # while a match count gives 0 — the latter is engine-portable
     words = F.regexp_count(col, F.lit(r"\S+"))
-    stop_hits = sum(
-        [_word_count(col, w) for w in STOPWORDS[1:]], _word_count(col, STOPWORDS[0])
-    )
+    # one alternation pass == sum of per-word whole-word counts (disjoint)
+    stop_hits = F.size(_marker_hits(col, STOPWORDS))
     stop_ratio = F.when(words > 0, stop_hits / words).otherwise(F.lit(0.0))
     stop_term = F.least(F.lit(1.0), stop_ratio * 8)
     return F.round(0.4 * length_ok + 0.3 * alpha_ratio + 0.3 * stop_term, 6)

@@ -58,20 +58,25 @@ def minhash_signatures(
     scoring; MinHash+LSH is the scale path (SURVEY §4.2).
     """
     shingles = _word_shingles(F.col(text_col), shingle_size)
+    n_groups = (n_hashes + 3) // 4
 
-    # NB: factory, not `lambda s, i=i:` — Spark infers lambda arity from the
-    # signature, and a 2-param lambda would receive the array index Column
-    # as its second argument.
-    def _hasher(group: int, slot: int):
-        return lambda s: F.substring(
-            F.md5(F.concat(F.lit(f"mh{group}|"), s)), 1 + 8 * slot, 8
+    # ONE aggregate pass: per shingle compute its md5 digests (one per group
+    # of 4 slots) and fold an element-wise min into the signature array —
+    # the shingle subtree and each digest are evaluated once, vs. once per
+    # slot with a naive array_min-per-slot. Sentinel "g" sorts after every
+    # hex string, and becomes NULL (matching array_min([])) when the text
+    # has no shingles.
+    def _slices(s):
+        digests = [F.md5(F.concat(F.lit(f"mh{g}|"), s)) for g in range(n_groups)]
+        return F.array(
+            *[F.substring(digests[i // 4], 1 + 8 * (i % 4), 8) for i in range(n_hashes)]
         )
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, _hasher(i // 4, i % 4)))
-            for i in range(n_hashes)
-        ]
+    sig = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit("g"), n_hashes),
+        lambda acc, s: F.zip_with(acc, _slices(s), lambda a, b: F.least(a, b)),
+        lambda acc: F.transform(acc, lambda x: F.when(x != "g", x)),
     )
     return df.withColumn(out_col, sig)
 
@@ -145,15 +150,26 @@ def simhash(text: Column, bits: int = 16) -> Column:
     hashed = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, nibbles), 16, 10).cast("long")
     )
-    def _bit_merge(mask: int):
-        # factory keeps the merge lambda strictly 2-arg (see minhash note)
-        return lambda acc, h: acc + (h.bitwiseAND(F.lit(mask)) != 0).cast("long") * 2 - 1
-
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        bit_sum = F.aggregate(hashed, F.lit(0).cast("long"), _bit_merge(1 << b))
-        fp = fp + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-    return fp
+    # ONE pass over the token hashes: accumulate the per-bit ±1 sums into a
+    # bits-wide array (+1 when the bit is set, -1 when clear) — 16x fewer
+    # array traversals than an aggregate per bit, and no second reference
+    # to `hashed` (a separate size(hashed) term would re-evaluate the whole
+    # tokenize+md5 subtree per element: branches defeat subexpr elimination).
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    sums = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + (h.bitwiseAND(m) != 0).cast("long") * 2 - 1
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def ngram_jaccard(a: Column, b: Column, n: int = 2) -> Column:
@@ -163,9 +179,10 @@ def ngram_jaccard(a: Column, b: Column, n: int = 2) -> Column:
     sb = _word_shingles(b, n)
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
-    return F.round(
-        F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0)), 6
-    )
+    # greatest(union,1) instead of a when()-guard: union==0 forces inter==0
+    # so the result is identically 0.0, and the unconditional shape lets
+    # subexpression elimination share the sa/sb shingle subtrees.
+    return F.round(inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6)
 
 
 def exact_dedup(df: DataFrame, key: Column, id_col: str, keep: str = "min") -> DataFrame:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wopen_spark.functions.text import TOKEN_REGEX, doc_fingerprint, token_count
-from wopen_spark.queries.registry import _dsum, _t, query
+from wopen_spark.queries.registry import _spread, _dsum, _t, query
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (SURVEY §2.6 aggregations;
@@ -418,7 +418,7 @@ def _sql_marker_sum(lang: str) -> str:
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -442,7 +442,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint groupBy, keep min doc_id per group.
     Map-side partial agg -> one shuffle on the fingerprint."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return (
         d.withColumn("fingerprint", doc_fingerprint(F.col("text")))
         .groupBy("fingerprint")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.operators.dedup import minhash_signatures, ngram_jaccard, simhash
-from wopen_spark.queries.registry import _t, query
+from wopen_spark.queries.registry import _spread, _t, query
 
 # DuckDB fragments mirroring operators.dedup._word_shingles / minhash
 _DUCK_WORDS = "regexp_extract_all(lower(trim(text)), '\\S+')"
@@ -40,7 +40,7 @@ _N_MINHASH = 4
     """,
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(d, "text", n_hashes=_N_MINHASH, shingle_size=3)
     return sigs.select(
         "doc_id",
@@ -69,7 +69,7 @@ def _duck_simhash(bits: int = 16) -> str:
     """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select("doc_id", simhash(F.col("text"), bits=16).alias("fp")).orderBy("doc_id")
 
 
@@ -92,7 +92,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram Jaccard between consecutive doc ids — a bounded pair set that
     exercises the similarity kernel without the O(n²) pair space."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     a = d.alias("a")
     b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")).alias("b")
     return (

@@ -40,6 +40,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure a scan has >= defaultParallelism partitions before per-row
+    heavy compute (hashing/regex/shingling).
+
+    Small files arrive as one parquet row-group = one task, serializing the
+    expensive map stage onto a single core; a round-robin repartition of a
+    tiny input is ~free. At 100 TB the scan already has thousands of
+    splits, so this is a no-op — the check keeps the shuffle out of the
+    plan exactly when it would be expensive.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dsum(col, scale: int = 2):
     """Deterministic double sum: sum over decimal (exact, order-independent)
     then cast to double. Matches DuckDB ``CAST(SUM(CAST(x AS DECIMAL)) AS

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.functions.text import LANG_MARKERS, STOPWORDS, language_id, quality_score
-from wopen_spark.queries.registry import _t, query
+from wopen_spark.queries.registry import _spread, _t, query
 
 
 def _duck_word_count(word: str) -> str:
@@ -47,7 +47,7 @@ _LANG_CASE = (
     """,
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -80,5 +80,5 @@ _STOP_SUM = " + ".join(_duck_word_count(w) for w in STOPWORDS)
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
