@@ -1,0 +1,88 @@
+"""Multimodal-pipeline queries: binary media columns through Arrow-batched
+mapInPandas decode stages (wopen_spark.multimodal).
+
+Media is synthesized deterministically from the documents table (content =
+the text's UTF-8 bytes, duration from doc_id) so the fake-decode outputs —
+md5-derived dimensions/luma/phash and per-frame digests — are re-derivable
+in DuckDB SQL and the whole mapInPandas plumbing is oracle-checked
+value-for-value, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.multimodal import image_features, sample_frames
+from wopen_spark.queries.registry import _spread, _t, query
+
+# DuckDB: hex-nibble slice of md5(text) -> int  (Spark: conv(substr,16,10))
+def _duck_hex_int(start: int, n: int) -> str:
+    return f"CAST(('0x' || substr(md5(text), {start}, {n})) AS BIGINT)"
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> MEDIA_SCHEMA-shaped table: content is the text's UTF-8
+    bytes, duration_ms derives from doc_id (0.5-9.5s)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("fake").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("doc_id") % 10 * 1000 + 500).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        meta.alias("meta"),
+    )
+
+
+@query(
+    "media_image_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           64 + ({_duck_hex_int(1, 4)} % 1984) AS width,
+           64 + ({_duck_hex_int(5, 4)} % 1984) AS height,
+           {_duck_hex_int(9, 4)} / 65535.0 AS mean_luma,
+           substr(md5(text), 1, 16) AS phash
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_from_documents(spark, sf_dir)
+    feats = image_features(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "phash",
+    ).orderBy("media_id")
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ms,
+           md5(text || CAST(i AS VARCHAR)) AS frame_md5
+    FROM documents, unnest(range(0, doc_id % 10)) AS t(i)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding frame sampler: duration (doc_id%10)*1000+500 at one
+    frame per second yields doc_id%10 frames; frame bytes are
+    md5(content + frame_idx) so DuckDB re-derives their hex."""
+    media = _media_from_documents(spark, sf_dir)
+    frames = sample_frames(media, every_ms=1000, decoder="fake")
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.lower(F.hex(F.col("frame"))).alias("frame_md5"),
+    ).orderBy("media_id", "frame_idx")
