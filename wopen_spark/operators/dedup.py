@@ -115,7 +115,12 @@ def minhash_lsh_candidates(
     the only join that happens, and it only sees colliding buckets.
     """
     rows = n_hashes // n_bands
-    sigs = minhash_signatures(df, text_col, n_hashes, shingle_size)
+    sigs = minhash_signatures(df, text_col, n_hashes, shingle_size).filter(
+        # docs too short to have any shingle (null signature) can't be
+        # near-dups — and all of them would otherwise share the same empty
+        # band keys, forming one giant false-candidate clique
+        F.col("minhash").getItem(0).isNotNull()
+    )
     keys = lsh_band_keys(F.col("minhash"), n_bands, rows)
     banded = sigs.select(
         F.col(id_col),

@@ -96,3 +96,73 @@ def cosine_topk(
         .filter(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "rank")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroids by cosine.
+
+    Centroids are broadcast (they number ~sqrt(corpus), always small), so
+    assignment is a map-side pass over the corpus — the only shuffle is
+    the per-vector top-n window, partitioned on the (unique) vector id and
+    thus skew-free. Scores round to 6 decimals with centroid-id tie-break
+    for engine-reproducible assignments.
+    """
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("__cvec")
+    )
+    scored = df.crossJoin(F.broadcast(c)).withColumn(
+        "__cs", F.round(cosine_similarity(F.col(vec_col), F.col("__cvec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_assign)
+        .drop("__cvec", "__cs", "__rn")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+    score_col: str = "cosine",
+) -> DataFrame:
+    """IVF-flat approximate nearest neighbours: the scale path for ANN.
+
+    Index once: every corpus vector lands in exactly one inverted list
+    (nearest centroid). Search: each query probes its ``nprobe`` nearest
+    lists and scores only those candidates — at 1B vectors with 30k
+    centroids and nprobe=32 this touches ~0.1% of the corpus per query,
+    vs. 100% for brute force (``cosine_topk``). The candidate join keys on
+    centroid_id, and the query side (queries × nprobe) is broadcast.
+    Recall is approximate: a true neighbour assigned to an unprobed list
+    is missed — the standard IVF trade-off.
+    """
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col, n_assign=1)
+    probes = ivf_assign(query, centroids, vec_col, id_col, n_assign=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        "centroid_id",
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(score_col),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "rank")
+    )

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wopen_spark.operators.dedup import minhash_signatures, ngram_jaccard, simhash
+from wopen_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
 from wopen_spark.queries.registry import _spread, _t, query
 
 # DuckDB fragments mirroring operators.dedup._word_shingles / minhash
@@ -103,4 +108,78 @@ def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ngram_jaccard(F.col("text"), F.col("text_b"), n=2).alias("jaccard"),
         )
         .orderBy("id_a")
+    )
+
+
+# --- scale-path near-dup queries -------------------------------------------
+
+# 8-hash signature slots in DuckDB: two md5 digests per shingle (groups
+# mh0/mh1), four 8-hex-char slices each — mirrors operators.dedup exactly.
+_DUCK_SLOTS_8 = ", ".join(
+    f"list_min(list_transform(shingles, s -> substr(md5('mh{i // 4}|' || s), {1 + 8 * (i % 4)}, 8)))"
+    for i in range(8)
+)
+
+
+@query(
+    "minhash_lsh_candidate_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+      WHERE len(regexp_extract_all(text, '\\S+')) >= 3
+    ),
+    sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
+    sig AS (SELECT doc_id, [{_DUCK_SLOTS_8}] AS slots FROM sh),
+    banded AS (
+      SELECT doc_id,
+             md5(CAST(b AS VARCHAR) || '|' || array_to_string(slots[b*2+1:b*2+2], '|')) AS band_key
+      FROM sig, unnest([0,1,2,3]) AS t(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding: the scale path for near-dup detection. Each doc
+    explodes into 4 band keys; only bucket collisions join — the O(n²)
+    pair space is never materialized."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).filter(
+        F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 3
+    )
+    return (
+        minhash_lsh_candidates(d, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "simhash_dedup_clusters",
+    oracle=f"""
+    WITH fps AS (
+      {_duck_simhash(24)}
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM fps GROUP BY fp HAVING COUNT(*) >= 2
+    ORDER BY fp
+    """,
+)
+def simhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup by 24-bit SimHash: docs sharing a fingerprint form a
+    cluster; keep the min doc_id per cluster.
+
+    Deliberately cluster-shaped, not pair-shaped: on a corpus with large
+    near-identical groups, pair listing is quadratic in cluster size
+    (sf0.1 already yields >100k pairs), while the groupBy is one uniform
+    shuffle with output bounded by the number of clusters. For
+    band-collision candidate *pairs* see minhash_lsh_candidate_pairs.
+    """
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    fps = d.select("doc_id", simhash(F.col("text"), bits=24).alias("fp"))
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp")
     )

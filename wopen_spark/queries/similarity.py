@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wopen_spark.operators.similarity import cosine_topk, fuzzy_top1_join
+from wopen_spark.operators.similarity import cosine_topk, fuzzy_top1_join, ivf_cosine_topk
 from wopen_spark.queries.registry import _t, query
 
 
@@ -78,6 +78,59 @@ def embedding_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id").isin(0, 1, 2))
     return (
         cosine_topk(e, q, vec_col="embedding", id_col="vec_id", k=10)
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _duck_argtop(src: str, n: int) -> str:
+    """DuckDB fragment: top-n centroids per vector from ``src`` (vec_id,
+    vec), mirroring operators.similarity.ivf_assign."""
+    return f"""
+      SELECT vec_id, centroid_id, vec FROM (
+        SELECT s.vec_id, c.centroid_id, s.vec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_duck_cos("s.vec", "c.cvec")} DESC, c.centroid_id
+               ) AS rn
+        FROM ({src}) s CROSS JOIN cents c
+      ) WHERE rn <= {n}
+    """
+
+
+@query(
+    "ivf_cosine_top5",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+      {_duck_argtop("SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings", 1)}
+    ),
+    probes AS (
+      {_duck_argtop("SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id IN (0, 1, 2)", 4)}
+    ),
+    scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id,
+             {_duck_cos("a.vec", "p.vec")} AS cosine
+      FROM assigned a JOIN probes p USING (centroid_id)
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus bucketed by nearest of 16 seed centroids, each
+    query probes its 4 nearest lists — the scale path that touches a
+    fraction of the corpus per query (vs. brute-force cosine_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 16)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2))
+    return (
+        ivf_cosine_topk(e, q, centroids, vec_col="embedding", id_col="vec_id", k=5, nprobe=4)
         .select("query_id", "vec_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
