@@ -49,15 +49,21 @@ def normalize_slug(col: Column) -> Column:
 
 
 def clean_image(col: Column) -> Column:
-    """Image-path cleaner (update_open_data.py:32-47): take the first of a
-    comma-separated list, drop the file extension, keep the basename.
+    """Image-path cleaner (update_open_data.py:32-47), exact semantics:
+    first of a comma-separated list, extension dropped (splitext: last dot
+    of the final path component, leading-dot names keep their dot), then —
+    only when the string does NOT start with ``storage`` (the reference
+    tests ``image.find("storage")``, falsy solely at index 0) — basename
+    and everything up to the first ``-`` removed.
 
     The reference does this row-by-row in Python; here it is one
     expression chain (E4 in SURVEY §2.11 — "pure Column expr, no UDF").
     """
     first = F.split(col, ",").getItem(0)
-    base = F.element_at(F.split(first, "/"), -1)
-    return F.regexp_replace(base, "\\.[A-Za-z0-9]+$", "")
+    noext = F.regexp_replace(first, r"(?<=[^/.])\.[^./]*$", "")
+    base = F.element_at(F.split(noext, "/"), -1)
+    dashless = F.element_at(F.split(base, "-", 2), -1)
+    return F.when(col.startswith("storage"), noext).otherwise(dashless)
 
 
 def capitalize_first(col: Column) -> Column:

@@ -87,36 +87,57 @@ def extract_customer_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
-# E4 clean_image (update_open_data.py:32-47): first of comma list ->
-# basename -> strip extension. Paths synthesized from part columns so both
-# engines see identical input.
+# E4 clean_image (update_open_data.py:32-47), full reference semantics:
+# first of comma list -> drop extension -> (unless the string starts with
+# 'storage') basename + strip through the first dash. Paths synthesized
+# from part columns so both engines see identical input; every third row
+# takes the storage-prefix branch.
 @query(
     "clean_image_paths",
     oracle="""
     WITH paths AS (
       SELECT p_partkey,
-             'https://cdn.example.com/' || p_brand || '/' || replace(p_name, ' ', '-')
-               || '.jpg,' || p_brand || '-alt.png' AS image
+             CASE WHEN p_partkey % 3 = 0
+                  THEN 'storage.example.com/bkt/' || p_brand || '-' || replace(p_name, ' ', '-') || '.jpg'
+                  ELSE 'https://cdn.example.com/' || p_brand || '/' || replace(p_name, ' ', '-')
+                       || '.jpg,' || p_brand || '-alt.png' END AS image
       FROM part
+    ),
+    noextd AS (
+      SELECT p_partkey, image,
+             regexp_replace(split_part(image, ',', 1), '\\.[^./]*$', '') AS noext
+      FROM paths
     )
     SELECT p_partkey,
-           regexp_replace(
-             list_extract(l, len(l)),
-             '\\.[A-Za-z0-9]+$', '') AS cleaned
-    FROM (SELECT p_partkey, string_split(split_part(image, ',', 1), '/') AS l FROM paths)
+           CASE WHEN starts_with(image, 'storage') THEN noext
+                ELSE regexp_replace(
+                       list_extract(string_split(noext, '/'), len(string_split(noext, '/'))),
+                       '^[^-]*-', '') END AS cleaned
+    FROM noextd
     ORDER BY p_partkey
     """,
 )
 def clean_image_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
-    image = F.concat(
-        F.lit("https://cdn.example.com/"),
-        F.col("p_brand"),
-        F.lit("/"),
-        F.regexp_replace(F.col("p_name"), " ", "-"),
-        F.lit(".jpg,"),
-        F.col("p_brand"),
-        F.lit("-alt.png"),
+    image = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.concat(
+            F.lit("storage.example.com/bkt/"),
+            F.col("p_brand"),
+            F.lit("-"),
+            F.regexp_replace(F.col("p_name"), " ", "-"),
+            F.lit(".jpg"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://cdn.example.com/"),
+            F.col("p_brand"),
+            F.lit("/"),
+            F.regexp_replace(F.col("p_name"), " ", "-"),
+            F.lit(".jpg,"),
+            F.col("p_brand"),
+            F.lit("-alt.png"),
+        )
     )
     return (
         p.withColumn("image", image)

@@ -14,7 +14,12 @@ def csv_source(
     spark: SparkSession, path: str, sep: str = ";", header: bool = True
 ) -> DataFrame:
     """S7: read a hand-off CSV (update_open_data.py:68)."""
-    return spark.read.option("header", header).option("sep", sep).csv(path)
+    return (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("escape", '"')  # RFC-4180 doubled quotes, like pandas
+        .csv(path)
+    )
 
 
 def csv_sink(df: DataFrame, path: str, sep: str = ";", header: bool = True) -> str:

@@ -52,6 +52,7 @@ def http_csv_source(
         spark.read.option("header", True)
         .option("sep", sep)
         .option("encoding", encoding)
+        .option("escape", '"')  # RFC-4180 doubled quotes, like pandas
         .option("mode", "DROPMALFORMED")
         .csv(path)
     )
@@ -81,6 +82,7 @@ def http_zip_csv_source(
         spark.read.option("header", True)
         .option("sep", sep)
         .option("encoding", encoding)
+        .option("escape", '"')  # RFC-4180 doubled quotes, like pandas
         .option("mode", "DROPMALFORMED")
         .csv(os.path.join(out_dir, "*"))
     )

@@ -70,11 +70,27 @@ class Table:
     def path(self) -> str:
         return os.path.join(self.warehouse, self.dataset, self.table)
 
+    _SCHEMA_SIDECAR = "_wopen_schema.json"
+
     def exists(self) -> bool:
         """K3 conditional-create check (custom_search_extraction.py:151-155)."""
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
+    def _has_data_files(self) -> bool:
+        for _, _, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def read(self) -> DataFrame:
+        """Read the table; a freshly-created partitioned table with no data
+        yet reads as an empty DataFrame with the declared schema (an empty
+        partitioned parquet write produces no files to infer from)."""
+        sidecar = os.path.join(self.path, self._SCHEMA_SIDECAR)
+        if not self._has_data_files() and os.path.exists(sidecar):
+            with open(sidecar) as f:
+                schema = T.StructType.fromJson(json.load(f))
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path)
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
@@ -90,8 +106,11 @@ class Table:
         schema = schema_from_json(schema_json)
         if partition_field not in schema.fieldNames():
             schema = schema.add(partition_field, T.DateType())
-        empty = self.spark.createDataFrame([], schema)
-        empty.write.partitionBy(partition_field).mode("overwrite").parquet(self.path)
+        # an empty partitioned write emits no parquet files, so persist the
+        # declared schema in a sidecar that read() falls back to
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, self._SCHEMA_SIDECAR), "w") as f:
+            json.dump(schema.jsonValue(), f)
 
     def write_partition(
         self,
