@@ -66,6 +66,31 @@ def clean_image(col: Column) -> Column:
     return F.when(col.startswith("storage"), noext).otherwise(dashless)
 
 
+def title_case(col: Column) -> Column:
+    """Python ``str.title()`` parity (assos_with_similarity...py:78,
+    assos_validation_retreatment.py:77): uppercase every letter that
+    follows a non-letter — unlike ``initcap``, which only capitalizes
+    after whitespace (``l'eglise`` -> ``L'Eglise`` under title()).
+
+    Split at every letter/non-letter boundary, capitalize each token's
+    first char, lower the rest, re-join. Pure expression, codegen-friendly.
+    """
+    boundary = (
+        r"(?<=[^A-Za-zÀ-ÖØ-öø-ÿ])(?=[A-Za-zÀ-ÖØ-öø-ÿ])"
+        r"|(?<=[A-Za-zÀ-ÖØ-öø-ÿ])(?=[^A-Za-zÀ-ÖØ-öø-ÿ])"
+    )
+    toks = F.split(col, boundary)
+    return F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.concat(
+                F.upper(F.substring(t, 1, 1)), F.lower(t.substr(F.lit(2), F.length(t)))
+            ),
+        ),
+        "",
+    )
+
+
 def capitalize_first(col: Column) -> Column:
     """Python ``str.capitalize()`` parity (assos_validation_retreatment.py:77):
     first char upper, rest lower — unlike ``initcap`` which title-cases

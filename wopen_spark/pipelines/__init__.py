@@ -9,14 +9,26 @@ from wopen_spark.pipelines.associations import (
     similarity_stage,
 )
 from wopen_spark.pipelines.events import EventsConfig, process_events, update_events
+from wopen_spark.pipelines.validation import (
+    CsvSheetStore,
+    ValidationConfig,
+    assos_to_sheet,
+    update_assos,
+    validation_retreatment,
+)
 from wopen_spark.pipelines.wp_export import wp_export
 
 __all__ = [
     "AssociationsConfig",
+    "CsvSheetStore",
     "EventsConfig",
+    "ValidationConfig",
+    "assos_to_sheet",
     "custom_search_stage",
     "similarity_stage",
     "process_events",
+    "update_assos",
     "update_events",
+    "validation_retreatment",
     "wp_export",
 ]
