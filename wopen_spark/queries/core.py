@@ -449,3 +449,28 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .orderBy("fingerprint")
     )
+
+
+# E1-E3/E5 http_enrich (SURVEY §2.11, the reference's signature per-row
+# enrichment pattern) pushed through the correctness gate: a deterministic
+# transport (md5 of the input) exercises the full mapInPandas + thread-pool
+# + retry path with values DuckDB can re-derive.
+@query(
+    "http_enrich_fingerprint",
+    oracle="""
+    SELECT c_custkey, md5(c_name) AS geo_fingerprint
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def http_enrich_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.operators.http_enrich import http_enrich
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def factory():  # local def: cloudpickle ships it by value to workers
+        import hashlib
+
+        return lambda s: hashlib.md5(s.encode()).hexdigest()
+
+    out = http_enrich(c, "c_name", factory, out_col="geo_fingerprint")
+    return out.select("c_custkey", "geo_fingerprint").orderBy("c_custkey")
