@@ -98,6 +98,38 @@ def cosine_topk(
     )
 
 
+def hyperplane_signs(n_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix derived from md5 — the
+    same literals can be embedded in any engine's SQL, so LSH bucketing is
+    engine-portable without a shared RNG."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}{p}_{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SimHash-for-vectors: bit p of the bucket key is sign(v · r_p).
+    Cosine-similar vectors agree on most signs and land in the same
+    bucket; the near-dup join then keys on the bucket (one uniform
+    shuffle) instead of the O(n²) pair space."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(x) for x in plane])) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        for p, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

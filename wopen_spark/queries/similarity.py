@@ -134,3 +134,67 @@ def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# Embedding-cosine near-dup via random-hyperplane LSH. The test corpus has
+# no natural near-dups (max pairwise cosine ~0.52), so each vector gets a
+# planted twin: component 0 scaled by 1+2^-9 (exact in IEEE double, so
+# both engines derive the identical twin). The LSH must recover exactly
+# the planted pairs — candidate generation never touches the O(n²) space.
+_PLANES = __import__("wopen_spark.operators.similarity", fromlist=["hyperplane_signs"]).hyperplane_signs(8, 64)
+_PERTURB = 1.001953125  # 1 + 2^-9
+
+
+def _duck_planes_sql() -> list[str]:
+    return [f"[{', '.join(str(x) for x in pl)}]::DOUBLE[]" for pl in _PLANES]
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 100000, [v[1] * {_PERTURB}] || v[2:] FROM base
+    ),
+    b AS (
+      SELECT vec_id, v,
+             {" + ".join(f"(CASE WHEN {_DUCK_DOT.format(a='v', b=p)} > 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(_duck_planes_sql()))} AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           {_duck_cos("a.v", "b2.v")} AS cosine
+    FROM b a JOIN b b2 USING (bucket)
+    WHERE a.vec_id < b2.vec_id
+      AND {_duck_cos("a.v", "b2.v")} >= 0.99
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.operators.similarity import cosine_similarity, hyperplane_bucket
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    twin = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) * _PERTURB), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twin).withColumn(
+        "bucket", hyperplane_bucket(F.col("v"), _PLANES)
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter((F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.99))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
