@@ -168,3 +168,20 @@ def test_streaming_available_now_matches_batch(spark, tmp_path):
     )
     assert result.count() == batch.count()
     assert result.agg(F.sum("n")).first()[0] == _t(spark, SF_SMOKE, "events").count()
+
+
+def test_http_excel_source_gated(spark, tmp_path):
+    """S3: without an Excel engine in the environment the source raises a
+    clear NotImplementedError instead of a deep pandas ImportError."""
+    import pytest as _pytest
+
+    from wopen_spark.sources.http import http_excel_source
+
+    try:
+        import openpyxl  # noqa: F401
+
+        _pytest.skip("Excel engine present; gate not exercised")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="Excel engine"):
+        http_excel_source(spark, "fixture://x", opener=lambda url: b"PK\x03\x04junk")

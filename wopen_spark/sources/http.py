@@ -104,6 +104,12 @@ def http_excel_source(
     """
     import pandas as pd
 
+    try:
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+    except ImportError as e:
+        raise NotImplementedError(
+            "no Excel engine (openpyxl) is available here; load the lookup "
+            "table as CSV/DataFrame instead (pipelines accept a DataFrame)"
+        ) from e
     path = _spool(opener(url), ".xlsx")
-    pdf = pd.read_excel(path)
-    return spark.createDataFrame(pdf)
+    return spark.createDataFrame(pd.read_excel(path))
