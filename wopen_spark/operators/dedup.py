@@ -115,12 +115,14 @@ def minhash_lsh_candidates(
     the only join that happens, and it only sees colliding buckets.
     """
     rows = n_hashes // n_bands
-    sigs = minhash_signatures(df, text_col, n_hashes, shingle_size).filter(
-        # docs too short to have any shingle (null signature) can't be
-        # near-dups — and all of them would otherwise share the same empty
-        # band keys, forming one giant false-candidate clique
-        F.col("minhash").getItem(0).isNotNull()
-    )
+    # docs too short to have any shingle (null signature) can't be
+    # near-dups — and all of them would otherwise share the same empty
+    # band keys, forming one giant false-candidate clique. Guard with a
+    # cheap word-count predicate, NOT minhash[0].isNotNull(): the latter
+    # pushes the whole md5-signature tree into the scan filter and doubles
+    # the expensive computation per join side (observed in the plan).
+    enough_words = F.regexp_count(F.col(text_col), F.lit(r"\S+")) >= F.lit(shingle_size)
+    sigs = minhash_signatures(df.filter(enough_words), text_col, n_hashes, shingle_size)
     keys = lsh_band_keys(F.col("minhash"), n_bands, rows)
     banded = sigs.select(
         F.col(id_col),
