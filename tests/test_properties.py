@@ -1,0 +1,124 @@
+"""Property tests (SURVEY §5.4) for the tricky pure functions, each
+checked against a direct Python reimplementation of the reference
+semantics. One Spark job per hypothesis example would be glacial, so each
+example is a LIST of inputs evaluated in a single DataFrame pass."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wopen_spark.functions.dates import availability_calendar, consecutive_run
+from wopen_spark.functions.strings import clean_image, normalize_slug, title_case
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# path-ish text: letters, digits, and the separators the cleaner reacts to
+_pathish = st.text(
+    alphabet="abXY01./-,_% éè",
+    min_size=0,
+    max_size=40,
+)
+
+
+def _ref_clean_image(image: str | None) -> str | None:
+    """The reference's clean_image (update_open_data.py:32-47) verbatim
+    semantics in plain Python."""
+    if not isinstance(image, str):
+        return None
+    if image.find("storage"):
+        image = image.split(",", 1)[0]
+        image = os.path.splitext(image)[0]
+        image = image.rsplit("/", 1)[-1]
+        image = image.split("-", 1)[-1]
+    else:
+        image = image.split(",", 1)[0]
+        image = os.path.splitext(image)[0]
+    return image
+
+
+@SET
+@given(st.lists(_pathish | st.just("storage.x/a-b.jpg"), min_size=1, max_size=50))
+def test_clean_image_matches_reference(spark, samples):
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [r.c for r in df.select(clean_image(F.col("s")).alias("c")).collect()]
+    want = [_ref_clean_image(s) for s in samples]
+    # Spark's split("", ",") yields [""]; expression output for "" is ""
+    assert got == want
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.dates(datetime.date(2023, 12, 1), datetime.date(2024, 2, 15)),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_consecutive_run_matches_brute(spark, date_lists):
+    df = spark.createDataFrame([(ds,) for ds in date_lists], "ds: array<date>")
+    got = [r.c for r in df.select(consecutive_run(F.col("ds")).alias("c")).collect()]
+
+    def brute(ds):
+        o = sorted({d.toordinal() for d in ds})
+        return all(b - a == 1 for a, b in zip(o, o[1:]))
+
+    assert got == [brute(ds) for ds in date_lists]
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(
+            st.dates(datetime.date(2024, 1, 1), datetime.date(2024, 1, 10)),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_availability_is_range_minus_dates(spark, date_lists):
+    start, end = "2024-01-01", "2024-01-10"
+    df = spark.createDataFrame([(ds,) for ds in date_lists], "ds: array<date>")
+    got = [
+        r.c
+        for r in df.select(
+            availability_calendar(F.col("ds"), start, end).alias("c")
+        ).collect()
+    ]
+    full = [datetime.date(2024, 1, 1) + datetime.timedelta(days=i) for i in range(10)]
+    for out, ds in zip(got, date_lists):
+        want = "|".join(
+            f"{d.day}-{d.month:02d}-{d.year}" for d in full if d not in set(ds)
+        )
+        assert out == want
+
+
+@SET
+@given(st.lists(st.text(alphabet="aB cD-12éÈ%'l", max_size=30), min_size=1, max_size=50))
+def test_title_case_matches_python(spark, samples):
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = [r.c for r in df.select(title_case(F.col("s")).alias("c")).collect()]
+    assert got == [s.title() for s in samples]
+
+
+@SET
+@given(st.lists(st.text(alphabet="ab C-12éè%c3a9.", max_size=30), min_size=1, max_size=50))
+def test_normalize_slug_idempotent(spark, samples):
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    once = df.select(normalize_slug(F.col("s")).alias("c"))
+    twice = once.select(normalize_slug(F.col("c")).alias("c"))
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]

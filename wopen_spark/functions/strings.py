@@ -60,7 +60,11 @@ def clean_image(col: Column) -> Column:
     expression chain (E4 in SURVEY §2.11 — "pure Column expr, no UDF").
     """
     first = F.split(col, ",").getItem(0)
-    noext = F.regexp_replace(first, r"(?<=[^/.])\.[^./]*$", "")
+    # splitext parity: strip the last dot-suffix of the final path
+    # component unless that component is all dots before it (".bashrc",
+    # "..") — the bounded lookbehind requires a non-dot char anywhere
+    # earlier in the component ("a..b" -> "a.", like os.path.splitext)
+    noext = F.regexp_replace(first, r"(?<=[^/.][^/]{0,512})\.[^./]*$|(?<=[^/.])\.[^./]*$", "")
     base = F.element_at(F.split(noext, "/"), -1)
     dashless = F.element_at(F.split(base, "-", 2), -1)
     return F.when(col.startswith("storage"), noext).otherwise(dashless)
