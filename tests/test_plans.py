@@ -1,0 +1,76 @@
+"""Plan-quality regression tests: pin the physical-plan properties that
+matter at 100 TB (pushdown, pruning, broadcast choice, shuffle count) so
+a code change that silently degrades the plan fails CI, not production.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from wopen_spark.plans import exchanges, join_strategies, pushed_filters, scan_schemas
+
+
+def _q(spark, name):
+    from wopen_spark.queries import QUERIES
+
+    return QUERIES[name](spark, SF_SMOKE)
+
+
+def test_pricing_summary_pushes_date_filter_and_prunes(spark):
+    df = _q(spark, "pricing_summary")
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters  # predicate reached the parquet scan
+    (schema,) = scan_schemas(df)
+    # 7 needed columns, not the full lineitem width
+    assert "l_orderkey" not in schema and "l_returnflag" in schema
+
+
+def test_dim_joins_broadcast(spark):
+    df = _q(spark, "customers_per_region")
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}
+    # fact scan prunes to the two columns used
+    assert any("c_nationkey" in s and "c_name" not in s for s in scan_schemas(df))
+
+
+def test_anti_join_pushes_filter(spark):
+    df = _q(spark, "customers_without_orders")
+    assert any("o_totalprice" in f for f in pushed_filters(df))
+
+
+def test_fingerprint_dedup_single_shuffle_agg(spark):
+    df = _q(spark, "doc_fingerprint_dedup")
+    # groupBy fingerprint + final sort; the _spread repartition is the
+    # small-file parallelism spreader (a no-op on real multi-split scans)
+    assert len(exchanges(df)) <= 3
+
+
+def test_ivf_query_broadcasts_probe_side(spark):
+    df = _q(spark, "ivf_cosine_top5")
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_streaming_free_queries_have_no_cartesian(spark):
+    from wopen_spark.queries import QUERIES
+
+    for name in [
+        "top_revenue_orders",
+        "top_supplier_per_nation",
+        "minhash_lsh_candidate_pairs",
+        "simhash_dedup_clusters",
+    ]:
+        strategies = join_strategies(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in strategies, name
+
+
+@pytest.mark.parametrize(
+    "name", ["fuzzy_top1_type_brand", "embedding_cosine_top10"]
+)
+def test_intentional_cross_joins_are_broadcast(spark, name):
+    """The exact fuzzy/brute-force paths cross join by design — but the
+    small side must be broadcast, never a shuffled cartesian."""
+    plan_joins = join_strategies(_q(spark, name))
+    assert all(
+        j in ("BroadcastNestedLoopJoin", "BroadcastHashJoin") for j in plan_joins
+    ), plan_joins
