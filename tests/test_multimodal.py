@@ -64,3 +64,16 @@ def test_real_decoder_raises_not_implemented(spark):
         image_features(media, decoder="real").collect()
     with pytest.raises(ValueError):
         image_features(media, decoder="nope")
+
+
+def test_resize_images_plumbing(spark):
+    from wopen_spark.multimodal import resize_images
+
+    media = synthetic_media(spark, 10)
+    out = resize_images(media, 64, 32, decoder="fake").collect()
+    assert len(out) == 10
+    r = {x.media_id: x for x in out}[3]
+    assert (r.width, r.height) == (64, 32)
+    assert bytes(r.content) == hashlib.md5(hashlib.md5(b"3").digest() + b"64x32").digest()
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        resize_images(media, 64, 32, decoder="real").collect()

@@ -133,6 +133,58 @@ def image_features(
     return df.repartition(id_col).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize stage: emit new media rows with target dimensions.
+
+    Arrow-batched mapInPandas, same scale shape as image_features. The
+    fake decoder emits a deterministic 16-byte surrogate for the resized
+    pixels — md5(original_bytes + 'WxH') — so the full pipeline stays
+    re-derivable in SQL; ``decoder='real'`` is the seam where
+    PIL's Image.resize belongs.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    tag = f"{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            if decoder == "real":
+                # wire PIL here: Image.open(...).resize((width, height))
+                raise NotImplementedError(
+                    "real image codecs are not available in this environment; "
+                    "use decoder='fake' for plumbing tests"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "content": [
+                        _hashlib.md5((b or b"") + tag).digest() for b in pdf[content_col]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.repartition(id_col).mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,

@@ -86,3 +86,28 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ms",
         F.lower(F.hex(F.col("frame"))).alias("frame_md5"),
     ).orderBy("media_id", "frame_idx")
+
+
+@query(
+    "media_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           md5(text || '128x128') AS resized_md5,
+           CAST(128 AS INT) AS width,
+           CAST(128 AS INT) AS height
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over documents-derived media; the fake resized bytes
+    are md5(content + 'WxH') so DuckDB re-derives their hex."""
+    from wopen_spark.multimodal import resize_images
+
+    media = _media_from_documents(spark, sf_dir)
+    out = resize_images(media, 128, 128, decoder="fake")
+    return out.select(
+        "media_id",
+        F.lower(F.hex(F.col("content"))).alias("resized_md5"),
+        "width",
+        "height",
+    ).orderBy("media_id")

@@ -82,3 +82,30 @@ _STOP_SUM = " + ".join(_duck_word_count(w) for w in STOPWORDS)
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+# Rolling (polynomial / Rabin-Karp) document fingerprint: the order-aware
+# complement of the md5 content fingerprint (doc_fingerprint_dedup).
+# h = fold(chars, h*31 + codepoint mod 1e9+7) — one array pass per row,
+# engine-portable integer arithmetic, no Python in the row path.
+@query(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text)+1),
+                              i -> CAST(unicode(text[i]) AS BIGINT))),
+             (a, c) -> (a * 31 + c) % 1000000007) AS rolling_hash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.ascii(c)) % F.lit(1000000007).cast("long"),
+    )
+    return d.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
