@@ -185,3 +185,31 @@ def test_http_excel_source_gated(spark, tmp_path):
         pass
     with _pytest.raises(NotImplementedError, match="Excel engine"):
         http_excel_source(spark, "fixture://x", opener=lambda url: b"PK\x03\x04junk")
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: equal timestamps match, earlier-only matches, keys
+    with no prior right row get null."""
+    import datetime as dt
+
+    from wopen_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 20, t(1))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(2)), (101, 10, t(4)), (102, 20, t(9))],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r.lid: r
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts", right_cols=["rid"]
+        ).collect()
+    }
+    assert out[1].rid == 101  # latest at-or-before 0:05 is 0:04
+    assert out[2].rid == 100  # equal timestamp (0:02) matches
+    assert out[3].rid is None  # right row is after the left row
+    assert out[3].ts_asof is None

@@ -1,0 +1,109 @@
+"""Join operators Spark lacks natively: as-of join and skew-salted
+aggregation.
+
+As-of join (backward): for each left row, the latest right row with
+``right_ts <= left_ts`` per key. Implemented as the union-merge pattern —
+tag sides, union, one window over (key, ts) carrying the last-seen right
+payload — so it costs ONE shuffle on the key and a per-partition sort,
+never the range-join pair explosion (a naive inequality join is O(L×R)
+per key). This is the scalable shape for 100 TB time-series alignment.
+
+Salted aggregation: two-phase aggregate for skewed grouping keys. Phase 1
+groups on (key, salt) — the hot key's rows spread over ``buckets``
+reducers — phase 2 recombines per key. AQE splits skewed JOIN partitions
+but does nothing for a skewed aggregate whose hot key exceeds one
+reducer; explicit salting is the standard fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of left join: attach the latest right row at or before
+    each left row's timestamp, per ``by`` key.
+
+    ``right_cols`` are the right payload columns to carry (renamed with
+    ``suffix`` on collision). Ties on the right timestamp are broken by
+    the last row in (ts, payload-struct) order, deterministically.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(by).alias("__key"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l_cols = left.columns
+    lf = left.select(
+        F.col(by).alias("__key"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in l_cols],
+    )
+    merged = r.unionByName(lf, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts (__side 0 < 1), so an
+    # equal-timestamp right row IS visible to the left row (ts_r <= ts_l)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__side", "__payload")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("__last", F.last("__payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).select(
+        *l_cols,
+        *[
+            F.col("__last").getField(c).alias(c + (suffix if c in l_cols else ""))
+            for c in right_cols
+        ],
+        F.col("__last").getField("__ts").alias(right_ts + "_asof"),
+    )
+    return out
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, str]],
+    buckets: int = 16,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output name -> (input Column, fn) with fn in
+    {'sum','count','min','max'}. ``salt_col`` defaults to a uniform hash
+    of the whole row's first key-independent expression — pass an explicit
+    column (e.g. a row id) for reproducibility.
+    """
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn in {fn for _, fn in aggs.values()}:
+        if fn not in merge:
+            raise ValueError(f"unsupported agg {fn!r}")
+
+    salt = (
+        F.pmod(F.hash(F.col(salt_col)), F.lit(buckets))
+        if salt_col
+        else F.pmod(F.hash(F.rand(42)), F.lit(buckets))
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[first[fn](col).alias(name) for name, (col, fn) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge[fn](F.col(name)).alias(name) for name, (_, fn) in aggs.items()]
+    )

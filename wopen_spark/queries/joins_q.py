@@ -1,0 +1,100 @@
+"""As-of join and skew-salted aggregation in the correctness gate.
+
+DuckDB has a native ASOF JOIN, which makes it the perfect oracle for the
+union-merge implementation; the salted aggregate must be bit-identical to
+a plain GROUP BY (salting is a physical rewrite, not a semantic one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wopen_spark.operators.joins import asof_join, salted_aggregate
+from wopen_spark.queries.registry import _t, query
+
+# events.ts is TIMESTAMP(NANOS); both engines compare at µs precision
+_DUCK_EV = (
+    "SELECT event_id, user_id, event_type, value, "
+    "make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events"
+)
+
+
+@query(
+    "asof_click_before_purchase",
+    oracle=f"""
+    WITH ev AS ({_DUCK_EV}),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts, event_id AS click_id FROM ev
+      WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT p.event_id, p.user_id, c.click_id, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at or before it —
+    the canonical time-series alignment. One shuffle on user_id (the
+    union-merge window), no range-join pair explosion; DuckDB's native
+    ASOF JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedup right side per (user, ts) to the max event_id so the as-of
+    # tie-break is identical in both engines
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "click_id", F.col("ts_asof").alias("click_ts")
+    ).orderBy("event_id")
+
+
+@query(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregate over a 5-hot-key distribution: the
+    salted plan must equal the plain GROUP BY bit-for-bit (decimal sums
+    are order-independent, so re-association across salts is exact)."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.lit(1), "count"),
+            "total_value": (dec, "sum"),
+            "min_value": (dec, "min"),
+            "max_value": (dec, "max"),
+        },
+        buckets=16,
+        salt_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("event_type")
