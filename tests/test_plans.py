@@ -74,3 +74,35 @@ def test_intentional_cross_joins_are_broadcast(spark, name):
     assert all(
         j in ("BroadcastNestedLoopJoin", "BroadcastHashJoin") for j in plan_joins
     ), plan_joins
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed on the join key
+    join WITHOUT a shuffle exchange — the pre-partitioning pattern for
+    repeatedly-joined 100 TB facts."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from wopen_spark.plans import exchanges, plan_string
+
+    a_name = f"bk_a_{uuid.uuid4().hex[:8]}"
+    b_name = f"bk_b_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") % 7)
+    for name in (a_name, b_name):
+        (
+            df.write.bucketBy(8, "id").sortBy("id")
+            .mode("overwrite").format("parquet").saveAsTable(name)
+        )
+    try:
+        # merge hint: at this size AQE would broadcast, which bypasses the
+        # bucketing path this test pins
+        joined = spark.table(a_name).hint("merge").join(spark.table(b_name), "id")
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan
+        # no shuffle exchange on either side: bucketing pre-partitioned both
+        assert exchanges(joined) == []
+        assert joined.count() == 10_000
+    finally:
+        for name in (a_name, b_name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
