@@ -213,3 +213,18 @@ def test_asof_join_semantics(spark):
     assert out[2].rid == 100  # equal timestamp (0:02) matches
     assert out[3].rid is None  # right row is after the left row
     assert out[3].ts_asof is None
+
+
+def test_connected_components_semantics(spark):
+    """Chains collapse to the min id; disjoint components stay apart."""
+    from wopen_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (20, 21), (40, 40)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20, 40: 40}

@@ -107,3 +107,48 @@ def salted_aggregate(
     return partial.groupBy(*keys).agg(
         *[merge[fn](F.col(name)).alias(name) for name, (_, fn) in aggs.items()]
     )
+
+
+def range_join_within(
+    df: DataFrame,
+    by: str,
+    ts_col: str,
+    window_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """All pairs of rows with the same ``by`` key whose timestamps are
+    within ``window_seconds`` (id_a < id_b), via bucket-join.
+
+    The scale path for bounded-range self-joins: a naive inequality join
+    degenerates to a per-key cross product. Bucketing ts into window-sized
+    buckets and exploding one side to its 3 neighbouring buckets turns it
+    into an EQUI-join on (key, bucket) — one hash shuffle, candidates
+    bounded by bucket occupancy, and each qualifying pair matches exactly
+    one exploded bucket (the right side's bucket is unique).
+    """
+    w_us = window_seconds * 1_000_000
+    ev = df.select(
+        F.col(id_col), F.col(by), F.unix_micros(F.col(ts_col)).alias("__us")
+    ).withColumn("__bkt", F.floor(F.col("__us") / w_us))
+    a = ev.select(
+        F.col(id_col).alias("id_a"),
+        F.col(by),
+        F.col("__us").alias("us_a"),
+        F.explode(
+            F.array(F.col("__bkt") - 1, F.col("__bkt"), F.col("__bkt") + 1)
+        ).alias("__jb"),
+    )
+    b = ev.select(
+        F.col(id_col).alias("id_b"),
+        F.col(by),
+        F.col("__us").alias("us_b"),
+        F.col("__bkt").alias("__jb"),
+    )
+    return (
+        a.join(b, [by, "__jb"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_b") - F.col("us_a")) <= w_us)
+        )
+        .select(by, "id_a", "id_b", (F.col("us_b") - F.col("us_a")).alias("delta_us"))
+    )

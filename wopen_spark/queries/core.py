@@ -474,3 +474,32 @@ def http_enrich_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = http_enrich(c, "c_name", factory, out_col="geo_fingerprint")
     return out.select("c_custkey", "geo_fingerprint").orderBy("c_custkey")
+
+
+# Hierarchical aggregate (ROLLUP): subtotals per (priority, status), per
+# priority, and grand total in ONE pass — Catalyst expands the grouping
+# sets map-side, so it costs a single shuffle, not three queries.
+@query(
+    "orders_rollup_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def orders_rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )

@@ -121,9 +121,9 @@ _DUCK_SLOTS_8 = ", ".join(
 )
 
 
-@query(
-    "minhash_lsh_candidate_pairs",
-    oracle=f"""
+# the candidate-pair SELECT without ordering, reusable as a CTE body
+# (also feeds the connected-components oracle in graph_q.py)
+DUCK_LSH_PAIRS = f"""
     WITH toks AS (
       SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
       WHERE len(regexp_extract_all(text, '\\S+')) >= 3
@@ -138,6 +138,13 @@ _DUCK_SLOTS_8 = ", ".join(
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b USING (band_key)
     WHERE a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "minhash_lsh_candidate_pairs",
+    oracle=f"""
+    {DUCK_LSH_PAIRS}
     ORDER BY id_a, id_b
     """,
 )

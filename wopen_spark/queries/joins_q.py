@@ -98,3 +98,32 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "range_join_events_60s",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
+    )
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           b.us - a.us AS delta_us
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(b.us - a.us) <= 60000000
+    ORDER BY id_a, id_b
+    """,
+)
+def range_join_events_60s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 60 seconds — the bounded-range
+    self-join, executed as a bucketed equi-join (operators.joins) instead
+    of a per-key cross product; DuckDB runs the naive inequality join as
+    the oracle."""
+    from wopen_spark.operators.joins import range_join_within
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        range_join_within(ev, by="user_id", ts_col="ts", window_seconds=60,
+                          id_col="event_id")
+        .orderBy("id_a", "id_b")
+    )
