@@ -228,3 +228,34 @@ def test_connected_components_semantics(spark):
         for r in connected_components(edges, "id_a", "id_b").collect()
     }
     assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20, 40: 40}
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """The sketch aggregates have no SQL oracle (engine-specific outputs);
+    pin their accuracy contract against exact answers instead."""
+    from wopen_spark.queries import QUERIES
+
+    from tests.conftest import SF_CORRECT
+
+    approx = {
+        r.event_type: r
+        for r in QUERIES["approx_event_stats"](spark, SF_CORRECT).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from wopen_spark.queries.registry import _t
+
+    ev = _t(spark, SF_CORRECT, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a.approx_users - e.users) <= max(3, 0.05 * e.users), et
+        assert abs(a.approx_median_value - e.median) <= 0.05 * max(e.median, 1), et

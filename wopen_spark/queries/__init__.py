@@ -13,5 +13,6 @@ from wopen_spark.queries import multimodal  # noqa: E402,F401
 from wopen_spark.queries import streaming_q  # noqa: E402,F401
 from wopen_spark.queries import joins_q  # noqa: E402,F401
 from wopen_spark.queries import graph_q  # noqa: E402,F401
+from wopen_spark.queries import analytics_q  # noqa: E402,F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]
