@@ -31,9 +31,14 @@ def connected_components(
     nodes don't appear — callers union them in if needed.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # materialize the edge list once: it is re-joined EVERY round, and an
+    # expensive upstream (e.g. the LSH candidate pipeline) would otherwise
+    # be recomputed per iteration
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -41,13 +46,17 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # labels are monotonically non-increasing (label' = min(label, ...)),
+    # so the label SUM is a convergence witness — one cheap aggregate per
+    # round instead of an old-vs-new join
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 F.col("node"),
@@ -57,13 +66,8 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage: O(1) plan per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
