@@ -67,6 +67,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def vec_norm(v: Column) -> Column:
+    """L2 norm, precomputed once per vector so pairwise scoring needs ONE
+    dot product per pair instead of three — at 1B×k candidate pairs the
+    norms are a per-row map, the pair stage is the hot loop."""
+    return F.sqrt(_dot(v, v))
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine given precomputed norms; bit-identical to
+    ``cosine_similarity`` (same dot and same multiply order)."""
+    return _dot(a, b) / (norm_a * norm_b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -83,12 +96,23 @@ def cosine_topk(
     is reproducible across engines; ties break on corpus id.
     """
     q = query.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        vec_norm(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(score_col),
+    scored = (
+        corpus.withColumn("__cnorm", vec_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                cosine_from_norms(
+                    F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
+                ),
+                6,
+            ).alias(score_col),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc(id_col))
     return (
@@ -147,16 +171,28 @@ def ivf_assign(
     for engine-reproducible assignments.
     """
     c = centroids.select(
-        F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias(centroid_id_col),
+        F.col(vec_col).alias("__cvec"),
+        vec_norm(F.col(vec_col)).alias("__cvnorm"),
     )
-    scored = df.crossJoin(F.broadcast(c)).withColumn(
-        "__cs", F.round(cosine_similarity(F.col(vec_col), F.col("__cvec")), 6)
+    scored = (
+        df.withColumn("__vnorm", vec_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "__cs",
+            F.round(
+                cosine_from_norms(
+                    F.col(vec_col), F.col("__cvec"), F.col("__vnorm"), F.col("__cvnorm")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc(centroid_id_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_assign)
-        .drop("__cvec", "__cs", "__rn")
+        .drop("__cvec", "__cvnorm", "__vnorm", "__cs", "__rn")
     )
 
 
@@ -181,16 +217,24 @@ def ivf_cosine_topk(
     Recall is approximate: a true neighbour assigned to an unprobed list
     is missed — the standard IVF trade-off.
     """
-    assigned = ivf_assign(corpus, centroids, vec_col, id_col, n_assign=1)
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col, n_assign=1).withColumn(
+        "__vnorm", vec_norm(F.col(vec_col))
+    )
     probes = ivf_assign(query, centroids, vec_col, id_col, n_assign=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        vec_norm(F.col(vec_col)).alias("__qnorm"),
         "centroid_id",
     )
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         "query_id",
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("__qvec")), 6).alias(score_col),
+        F.round(
+            cosine_from_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vnorm"), F.col("__qnorm")
+            ),
+            6,
+        ).alias(score_col),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc(id_col))
     return (

@@ -172,7 +172,11 @@ def _duck_planes_sql() -> list[str]:
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from wopen_spark.operators.similarity import cosine_similarity, hyperplane_bucket
+    from wopen_spark.operators.similarity import (
+        cosine_from_norms,
+        hyperplane_bucket,
+        vec_norm,
+    )
 
     base = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -183,11 +187,18 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("v", 1) * _PERTURB), F.slice("v", 2, 63)
         ).alias("v"),
     )
-    corpus = base.unionByName(twin).withColumn(
-        "bucket", hyperplane_bucket(F.col("v"), _PLANES)
+    # norms precomputed per vector: the pair stage then does ONE dot per
+    # candidate instead of three (the norms' arithmetic is identical to
+    # the oracle's sqrt(dot(v,v)), so values stay bit-equal)
+    corpus = (
+        base.unionByName(twin)
+        .withColumn("bucket", hyperplane_bucket(F.col("v"), _PLANES))
+        .withColumn("nrm", vec_norm(F.col("v")))
     )
     a, b = corpus.alias("a"), corpus.alias("b")
-    cos = F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(
+        cosine_from_norms(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 6
+    )
     return (
         a.join(b, "bucket")
         .filter((F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.99))
