@@ -77,3 +77,21 @@ def test_resize_images_plumbing(spark):
     assert bytes(r.content) == hashlib.md5(hashlib.md5(b"3").digest() + b"64x32").digest()
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         resize_images(media, 64, 32, decoder="real").collect()
+
+
+def test_audio_features_plumbing(spark):
+    import math
+
+    from wopen_spark.multimodal import audio_features, synthetic_media
+
+    media = synthetic_media(spark, 10, media_type="audio")
+    out = {r.media_id: r for r in audio_features(media, window_ms=250).collect()}
+    r = out[3]  # duration 3500ms -> 14 windows
+    assert r.n_windows == 14
+    base = hashlib.md5(b"3").digest()
+    amps = [
+        int(hashlib.md5(base + b"w" + str(i).encode()).hexdigest()[:4], 16) / 65535.0
+        for i in range(14)
+    ]
+    assert abs(r.rms - math.sqrt(sum(a * a for a in amps) / 14)) < 1e-12
+    assert r.peak_window == max(range(14), key=lambda i: (amps[i], -i))

@@ -133,6 +133,82 @@ def image_features(
     return df.repartition(id_col).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak_window", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    window_ms: int = 250,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    duration_col: str = "meta.duration_ms",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Audio feature extraction: windowed loudness stats per clip.
+
+    Same Arrow-batched shape as the image stages. The fake decoder derives
+    a per-window amplitude from md5(bytes + window index) and reports
+    overall RMS plus the loudest window — ``decoder='real'`` is where
+    soundfile/librosa frame-level energy belongs. Window amplitudes are
+    k/65535 with k a 16-bit int, so RMS is exactly reproducible in SQL.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(content_col).alias("content"),
+        F.col(duration_col).alias("duration_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import math as _math
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real audio codecs are not available in this environment; "
+                    "use decoder='fake' for plumbing tests"
+                )
+            rows = []
+            for mid, content, duration in zip(
+                pdf[id_col], pdf["content"], pdf["duration_ms"]
+            ):
+                dur = int(duration or 0)
+                n = max(dur // window_ms, 0)
+                base = content or b""
+                amps = [
+                    int(
+                        _hashlib.md5(base + b"w" + str(i).encode()).hexdigest()[:4], 16
+                    )
+                    / 65535.0
+                    for i in range(n)
+                ]
+                rms = _math.sqrt(sum(a * a for a in amps) / n) if n else 0.0
+                peak = max(range(n), key=lambda i: (amps[i], -i)) if n else -1
+                rows.append((mid, dur, n, rms, peak))
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "duration_ms": [r[1] for r in rows],
+                    "n_windows": [r[2] for r in rows],
+                    "rms": [r[3] for r in rows],
+                    "peak_window": [r[4] for r in rows],
+                }
+            )
+
+    return flat.repartition(id_col).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(
     df: DataFrame,
     width: int,

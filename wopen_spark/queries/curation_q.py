@@ -1,0 +1,81 @@
+"""Composite training-data curation pipeline as ONE declarative plan:
+quality-filter -> language-consistency filter -> exact dedup -> per-lang
+stats. This is the shape a 100 TB corpus pass actually takes, and because
+it is a single Catalyst plan the filters fuse into the scan and the only
+shuffles are the dedup groupBy and the final per-language aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.functions.text import doc_fingerprint, language_id, quality_score
+from wopen_spark.operators.dedup import exact_dedup
+from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.text_analysis import _LANG_CASE, _LANGS, _SCORE_EXPRS, _STOP_SUM
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang, text,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(regexp_extract_all(text, '\\S+')) AS words,
+             {_STOP_SUM} AS stop_hits,
+             {_SCORE_EXPRS}
+      FROM documents
+    ),
+    scored AS (
+      SELECT *,
+             round(
+               0.4 * (CASE WHEN n >= 50 AND n <= 5000 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * (CASE WHEN n > 0 THEN alpha::DOUBLE / n::DOUBLE ELSE 0.0 END)
+               + 0.3 * least(CAST(1.0 AS DOUBLE),
+                   (CASE WHEN words > 0 THEN stop_hits::DOUBLE / words::DOUBLE ELSE 0.0 END) * 8),
+               6) AS q,
+             greatest({", ".join("s_" + lang for lang in _LANGS)}) AS best
+      FROM m
+    ),
+    kept AS (
+      SELECT * FROM (SELECT *, {_LANG_CASE} AS det FROM scored)
+      WHERE q >= 0.5 AND det = lang
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM dedup GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep docs with quality >= 0.5 whose detected language agrees with
+    the label, drop exact duplicates (min doc_id per content
+    fingerprint), report per-language counts and mean quality."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    kept = (
+        d.withColumn("q", quality_score(F.col("text")))
+        .withColumn("det", language_id(F.col("text")))
+        .filter((F.col("q") >= 0.5) & (F.col("det") == F.col("lang")))
+    )
+    unique = exact_dedup(kept, doc_fingerprint(F.col("text")), "doc_id", keep="min")
+    return (
+        unique.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )

@@ -111,3 +111,33 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     ).orderBy("media_id")
+
+
+@query(
+    "media_audio_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text, CAST((doc_id % 10) * 1000 + 500 AS BIGINT) AS duration_ms
+      FROM documents
+    ),
+    amps AS (
+      SELECT doc_id, duration_ms,
+             CAST(duration_ms // 250 AS INT) AS n_windows,
+             list_transform(range(0, duration_ms // 250),
+               i -> CAST(('0x' || substr(md5(text || 'w' || CAST(i AS VARCHAR)), 1, 4)) AS BIGINT) / 65535.0) AS a
+      FROM m
+    )
+    SELECT doc_id AS media_id, duration_ms, n_windows,
+           sqrt(list_aggregate(list_transform(a, x -> x * x), 'sum') / n_windows) AS rms,
+           CAST(list_indexof(a, list_max(a)) - 1 AS INT) AS peak_window
+    FROM amps ORDER BY media_id
+    """,
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio loudness over documents-derived clips: per-window
+    amplitudes are md5-derived 16-bit fractions, so RMS and the argmax
+    window are bit-reproducible in SQL."""
+    from wopen_spark.multimodal import audio_features
+
+    media = _media_from_documents(spark, sf_dir)
+    return audio_features(media, window_ms=250, decoder="fake").orderBy("media_id")
