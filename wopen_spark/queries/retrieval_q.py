@@ -1,0 +1,171 @@
+"""Text retrieval + sampling operators for training-data pipelines:
+BM25 scoring, winnowing fingerprints, and reproducible hash sampling —
+each hash-matched against a DuckDB re-derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.queries.registry import _spread, _t, query
+
+_QUERY_TERMS = ["spark", "sort", "stream"]
+_K1, _B = 1.2, 0.75
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t.token, COUNT(*) AS tf
+      FROM documents, unnest(regexp_extract_all(lower(text), '\\S+')) AS t(token)
+      WHERE t.token IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+      GROUP BY doc_id, t.token
+    ),
+    dl AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '\\S+')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ),
+    idf AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (stats.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+               * tf.tf * ({_K1} + 1)
+               / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN idf USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed term set. Scale shape: the token explode is
+    filtered to query terms BEFORE the tf groupBy (tiny shuffle), doc
+    lengths are a map-side pass, corpus stats and idf broadcast."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+        ).alias("token"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"\S+")).alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    term = (
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf") * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round(F.col("score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents
+      WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 6
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 1),
+               i -> substr(md5(array_to_string(w[i:i+2], ' ')), 1, 8)) AS hashes
+      FROM toks
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(range(1, len(hashes) - 1),
+               i -> list_min(hashes[i:i+2])))) AS fp
+      FROM grams
+    )
+    SELECT doc_id, array_to_string(fp, '|') AS fingerprint
+    FROM wins ORDER BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketch: hash every word 3-gram, keep the min
+    hash of each sliding window of 3 grams, dedupe — a position-robust
+    fingerprint set whose overlap survives local edits (the standard
+    plagiarism/near-dup sketch). All array expressions, one map pass."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    d = d.filter(F.size(w) >= 6).withColumn("__w", w)
+    # hash of each word 3-gram (positions 1..len-2, 1-based inclusive)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__w")) - 2),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("__w"), i, 3))), 1, 8
+        ),
+    )
+    d = d.withColumn("__g", grams)
+    # fingerprint is a SET — emitted sorted so the serialization is
+    # engine-order-independent
+    wins = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("__g")) - 2),
+                lambda i: F.array_min(F.slice(F.col("__g"), i, 3)),
+            )
+        )
+    )
+    return d.select(
+        "doc_id", F.array_join(wins, "|").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 20
+    ORDER BY doc_id
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% sample by key hash: md5 of a salted key, NOT
+    rand() — the same rows come out of any engine, any partitioning, any
+    rerun. The only sane sampling primitive for auditable training-data
+    pipelines (rand(seed) is partitioning-dependent in a distributed
+    engine)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("smp|"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long") % 100
+    return d.filter(bucket < 20).select("doc_id", "lang").orderBy("doc_id")
