@@ -181,3 +181,62 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# RANGE frame (value-based, unlike the ROWS frame above): a 30-DAY
+# trailing window keeps its meaning when dates are sparse — ROWS 29
+# PRECEDING would silently span months on a gappy series.
+@query(
+    "range_frame_trailing_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT d,
+           CAST(SUM(rev) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_30d
+    FROM daily ORDER BY d
+    """,
+)
+def range_frame_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("rev")
+    )
+    # numeric ordering key for rangeBetween: days since epoch
+    days = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(days).rangeBetween(-29, 0)
+    return daily.select(
+        "d", F.sum("rev").over(w).cast("double").alias("rev_30d")
+    ).orderBy("d")
+
+
+# Null-safe equality join (<=>): null keys MATCH each other, unlike '='
+# which drops them silently — the semantics SQL spells IS NOT DISTINCT
+# FROM. Keys synthesized with nulls so the difference is exercised.
+@query(
+    "null_safe_join_counts",
+    oracle="""
+    WITH a AS (SELECT NULLIF(c_custkey % 7, 3) AS k FROM customer),
+         b AS (SELECT NULLIF(s_suppkey % 7, 3) AS k FROM supplier)
+    SELECT a.k, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k ORDER BY a.k NULLS FIRST
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("k")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_suppkey") % 7, F.lit(3)).alias("kb")
+    )
+    return (
+        c.join(s, F.col("k").eqNullSafe(F.col("kb")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
