@@ -1,0 +1,196 @@
+"""Classic multi-way analytical join shapes + SCD2 history.
+
+The reference's joins are all two-table left joins (SURVEY.md §2.5,
+get_similarity.py:179-180, update_open_data.py:71-72); a general engine
+must also plan the multi-way star shapes those generalize to at 100 TB.
+These queries pin the plans Catalyst should pick: dimensions broadcast,
+facts shuffle once on the join key, filters land on the parquet scans,
+and decorrelated "min per group" subqueries become a single window pass
+instead of a self-join re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wopen_spark.queries.registry import _dsum, _t, query
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: segment-filtered customer x orders x lineitem, revenue
+# per open order. Both date filters push to the scans; the two fact
+# shuffles key on the same orderkey so AQE can chain them.
+# ---------------------------------------------------------------------------
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(_dsum(rev, 4).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way join — two big facts, four dimensions, plus the
+# "local supplier" constraint c_nationkey = s_nationkey. supplier /
+# nation / region are broadcast; customer and orders co-shuffle on
+# custkey, then lineitem on orderkey — two shuffles total for six tables.
+# ---------------------------------------------------------------------------
+@query(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, nation
+    """,
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dsum(rev, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (decorrelated): cheapest shipped price per part, all
+# suppliers achieving it. The correlated "= (SELECT MIN ...)" subquery is
+# one window MIN over the partkey partition — a single shuffle, no
+# second scan of lineitem.
+# ---------------------------------------------------------------------------
+@query(
+    "min_price_supplier_per_part",
+    oracle="""
+    SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+           CAST(l.l_extendedprice AS DOUBLE) AS min_price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 40
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY partkey, suppkey
+    """,
+)
+def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+        .withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+        .orderBy("partkey", "suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build: CDC events -> slowly-changing-dimension rows with
+# [valid_from, valid_to) intervals and a current flag. At scale this is
+# the standard "upsert stream into a dimension" pattern: one shuffle on
+# the business key, lead() closes each version, the open version is
+# current. (events.ts nanos handled by _t / epoch_ns in the oracle.)
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM ev
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "event_id", "value", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )

@@ -82,3 +82,21 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="wopen_sess_ckpt_")
     out = sessionize_available_now(spark, sf_dir, ckpt, gap_seconds=1800)
     return out.orderBy("user_id", "session_start")
+
+
+@query(
+    "streaming_distinct_user_types",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: dropDuplicatesWithinWatermark
+    over (user_id, event_type). One static file = one micro-batch, so the
+    append-mode output must equal batch DISTINCT."""
+    from wopen_spark.streaming.pipeline import available_now_distinct
+
+    ckpt = tempfile.mkdtemp(prefix="wopen_dedup_ckpt_")
+    out = available_now_distinct(spark, sf_dir, ckpt)
+    return out.orderBy("user_id", "event_type")

@@ -85,3 +85,35 @@ def available_now_aggregate(
     )
     q.awaitTermination(120)
     return spark.table("wopen_windowed_counts")
+
+
+def available_now_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on a key set — dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes the key's event
+    time, so state is bounded at any input size (the unbounded-state
+    dropDuplicates is the trap at 100 TB). AvailableNow over the static
+    test file is one micro-batch, so the output must equal batch
+    SELECT DISTINCT — which is what the oracle asserts."""
+    keys = keys or ["user_id", "event_type"]
+    stream = event_stream(spark, sf_dir)
+    dedup = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("wopen_stream_distinct")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("wopen_stream_distinct")
