@@ -106,3 +106,34 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         for name in (a_name, b_name):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_shipping_priority_pushes_both_date_filters(spark):
+    """Q3 shape: each fact's date predicate must reach its own parquet
+    scan, and the segment filter the customer scan."""
+    df = _q(spark, "shipping_priority")
+    filters = " ".join(pushed_filters(df))
+    assert "o_orderdate" in filters
+    assert "l_shipdate" in filters
+    assert "c_mktsegment" in filters
+
+
+def test_regional_volume_broadcasts_all_dims(spark):
+    """Q5 shape: supplier/nation/region broadcast; only the two fact-fact
+    joins (customer-orders, orders-lineitem) may shuffle."""
+    df = _q(spark, "regional_supplier_volume")
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    assert "CartesianProduct" not in strategies
+    # region filter lands on its scan
+    assert any("r_name" in f for f in pushed_filters(df))
+
+
+def test_min_price_decorrelation_single_lineitem_scan(spark):
+    """The correlated MIN subquery must run as one window over one
+    lineitem scan — not a self-join with a second scan."""
+    from wopen_spark.plans import plan_string
+
+    df = _q(spark, "min_price_supplier_per_part")
+    plan = plan_string(df)
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
