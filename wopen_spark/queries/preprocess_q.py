@@ -1,0 +1,154 @@
+"""Training-corpus preprocessing operators: chunking, sequence packing,
+stratified sampling.
+
+These are the steps between raw curated documents and model-ready
+batches. All three stay entirely in whole-stage codegen (sequence /
+explode / window / hash — zero Python), and each partitions by a key
+(doc, lang) that keeps the work embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wopen_spark.functions.text import TOKEN_REGEX
+from wopen_spark.queries.registry import _spread, _t, query
+
+_CHUNK = 200  # chars per chunk
+_STRIDE = 150  # chunk start stride => 50-char overlap
+
+# ---------------------------------------------------------------------------
+# Fixed-size overlapping chunks per document — the standard long-document
+# split before tokenization. sequence() + explode is a generator, not a
+# join: each doc expands independently in its own task, so the op scales
+# linearly with corpus size and never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (greatest(length(text), 1) - 1) // {_STRIDE})) AS chunk_id
+      FROM documents
+    )
+    SELECT doc_id, chunk_id,
+           md5(substring(text, 1 + chunk_id * {_STRIDE}, {_CHUNK})) AS chunk_hash,
+           length(substring(text, 1 + chunk_id * {_STRIDE}, {_CHUNK})) AS chunk_len
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    n_chunks = (F.greatest(F.length("text"), F.lit(1)) - 1) / F.lit(_STRIDE)
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_id") * _STRIDE + 1, _CHUNK
+    )
+    return (
+        d.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("long"))),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5(chunk).alias("chunk_hash"),
+            F.length(chunk).alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents (in stable doc_id order) to
+# fixed-token-budget bins, per language. The running token total is a
+# window cumsum PARTITIONED BY lang — every language packs in parallel;
+# at 100 TB the partition key widens to (lang, shard) and bins stay
+# local. Contiguous-order packing (bin = tokens-before // budget) is the
+# deterministic variant of greedy packing: reproducible on any engine.
+# ---------------------------------------------------------------------------
+_BIN_TOKENS = 512
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens) // {_BIN_TOKENS} AS bin_id
+      FROM toks
+    )
+    SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY lang, bin_id
+    ORDER BY lang, bin_id
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).alias("n_tokens"),
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _BIN_TOKENS).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling: a different keep-rate per language
+# (rebalancing a skewed corpus), decided by a salted key hash — same
+# rows on any engine / partitioning / rerun, no rand(). The rate lookup
+# is a broadcast map; the filter fuses into the scan's codegen stage.
+# ---------------------------------------------------------------------------
+_LANG_RATES = {"en": 10, "fr": 50, "de": 50, "es": 80}  # percent kept
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN 10 WHEN 'fr' THEN 50
+                      WHEN 'de' THEN 50 WHEN 'es' THEN 80 ELSE 100 END
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.lit(100)
+    for lang, pct in _LANG_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
