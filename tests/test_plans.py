@@ -137,3 +137,11 @@ def test_min_price_decorrelation_single_lineitem_scan(spark):
     df = _q(spark, "min_price_supplier_per_part")
     plan = plan_string(df)
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+
+
+def test_contamination_join_broadcasts_benchmark_grams(spark):
+    """Decontamination must broadcast the (tiny) benchmark gram set; the
+    100 TB corpus side must never shuffle its grams for the join."""
+    strategies = join_strategies(_q(spark, "benchmark_contamination"))
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies and "CartesianProduct" not in strategies

@@ -79,3 +79,66 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing any normalized
+# character-8-gram with a held-out benchmark set (source 'src0' stands in
+# for the eval suite). Shape at 100 TB: the benchmark gram set is tiny and
+# broadcast, so the corpus side streams through a broadcast hash join with
+# no shuffle of raw text; the per-doc distinct + count aggregates on
+# doc_id, where the data is already clustered.
+# ---------------------------------------------------------------------------
+_G = 8
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               substring(t, unnest(generate_series(1, greatest(length(t) - {_G - 1}, 0))), {_G}) AS gram
+        FROM norm
+      ) GROUP BY ALL
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+    SELECT g.doc_id, COUNT(*) AS n_shared_grams
+    FROM grams g JOIN bench b ON g.gram = b.gram
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+    )
+    grams = (
+        norm.withColumn(
+            "pos",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("t") - (_G - 1), F.lit(0))
+                )
+            ),
+        )
+        .select("doc_id", "source", F.expr(f"substring(t, pos, {_G})").alias("gram"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
+    corpus = grams.filter(F.col("source") != "src0")
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
