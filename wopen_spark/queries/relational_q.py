@@ -194,3 +194,28 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 SQL-interface parity (SURVEY §2.1: the reference ships .sql files run
+# by BigQuery; the engine's equivalent is spark.sql over registered
+# views). ONE dialect-neutral SQL string is both the Spark query and the
+# DuckDB oracle — byte-identical text, two engines, one hash.
+# ---------------------------------------------------------------------------
+_SQL_URGENT_BY_NATION = """
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY n.n_name
+    ORDER BY nation
+"""
+
+
+@query("sql_urgent_orders_by_nation", oracle=_SQL_URGENT_BY_NATION)
+def sql_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_URGENT_BY_NATION)
