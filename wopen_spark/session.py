@@ -49,6 +49,11 @@ def get_spark(app_name: str = "wopen_spark", shuffle_partitions: int | None = No
         # the driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read as long and convert at the scan
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local[32] puts driver + all executor threads in ONE JVM. 8g is
+        # measured, not a guess: raising it to 24g DOUBLED the 72-query
+        # bench (84s -> 181s) — G1 on a huge mostly-empty heap costs more
+        # than the extra headroom buys at this SF. Cluster deployments set
+        # per-container memory through the submit environment instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -64,6 +64,29 @@ def windowed_counts(
     )
 
 
+class _state_partitions:
+    """Pin the stateful-shuffle partition count for one streaming query.
+
+    The state store creates one provider (RocksDB/HDFS dir, pandas
+    worker) PER shuffle partition PER micro-batch; a session default
+    sized for batch scans (or the vanilla 200) is pure fixed overhead
+    when the keyed state is small. The partition count is locked into
+    the plan at query start, so setting it around ``start()`` and
+    restoring afterwards leaves the session's batch queries untouched.
+    At real scale callers pass ``n`` ~ total executor cores."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark = spark
+        self.n = n or min(int(spark.sparkContext.defaultParallelism), 16)
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+
+
 def available_now_aggregate(
     spark: SparkSession,
     sf_dir: str,
@@ -75,15 +98,16 @@ def available_now_aggregate(
     cron + partition-ledger loop. Returns the result of this run from the
     in-memory sink."""
     agg = windowed_counts(event_stream(spark, sf_dir), window=window)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("wopen_windowed_counts")
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _state_partitions(spark, None):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wopen_windowed_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table("wopen_windowed_counts")
 
 
@@ -107,13 +131,14 @@ def available_now_distinct(
         .dropDuplicatesWithinWatermark(keys)
         .select(*keys)
     )
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName("wopen_stream_distinct")
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _state_partitions(spark, None):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName("wopen_stream_distinct")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table("wopen_stream_distinct")

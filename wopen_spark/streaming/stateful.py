@@ -143,17 +143,18 @@ def sessionize_available_now(
 ) -> DataFrame:
     """Run the stateful sessionizer over the events file stream with
     Trigger.AvailableNow and return the emitted sessions."""
-    from wopen_spark.streaming.pipeline import event_stream
+    from wopen_spark.streaming.pipeline import _state_partitions, event_stream
 
     ev = event_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = sessionize(ev, gap_seconds=gap_seconds)
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName("wopen_sessions")
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _state_partitions(spark, None):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("wopen_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table("wopen_sessions")
