@@ -240,3 +240,36 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+# NTILE bucketing: equal-frequency deciles of document quality — the
+# curriculum-binning / difficulty-stratification primitive. NTILE needs a
+# total order; partitioning by language keeps each sort local and
+# parallel (the global-NTILE variant would funnel into one task — the
+# per-group form is the one that scales).
+@query(
+    "doc_length_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id, n_chars,
+             NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM t GROUP BY lang, decile ORDER BY lang, decile
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "decile")
+    )
