@@ -209,3 +209,30 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# Higher-order array functions over the embedding column (SURVEY §1.2:
+# arrays are a first-class engine type even though the reference never
+# persists them). filter/size/array_position run inside codegen on the
+# JVM — integer outputs, so the oracle hash is exact despite float32
+# payloads. The shape to avoid at 100 TB is a Python UDF per vector;
+# this is the zero-Python equivalent.
+@query(
+    "embedding_element_stats",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x < 0)) AS n_neg,
+           len(embedding) AS dim,
+           list_position(embedding, list_aggregate(embedding, 'max')) AS argmax
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x < 0)).alias("n_neg"),
+        F.size("embedding").alias("dim"),
+        F.array_position("embedding", F.array_max("embedding")).cast("long").alias("argmax"),
+    ).orderBy("vec_id")
