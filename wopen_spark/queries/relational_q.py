@@ -219,3 +219,49 @@ def sql_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_URGENT_BY_NATION)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share via conditional aggregation — the share of
+# yearly revenue from one brand's parts, computed in ONE pass with a
+# CASE-gated numerator (no second scan, no self-join). Both sums
+# accumulate as decimals, divide as doubles.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_market_share_by_year",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(CAST(SUM(CASE WHEN p.p_brand = 'Brand#1'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))
+                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+               AS DOUBLE) AS brand_share,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    ORDER BY order_year
+    """,
+)
+def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    brand_rev = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(
+        F.lit(0).cast("decimal(28,4)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            (
+                F.sum(brand_rev).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("brand_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("order_year")
+    )
