@@ -78,11 +78,16 @@ def test_http_enrich_quota(spark):
     df = spark.createDataFrame([(i, f"u{i}") for i in range(10)], "id long, url string")
     out = http_enrich(
         df, "url", lambda: (lambda u: u.upper()), out_col="resp",
-        config=EnrichConfig(quota=4),
+        config=EnrichConfig(quota=4), order_col="id",
     ).collect()
-    done = [r for r in out if r.resp is not None]
-    assert len(done) == 4  # reference's daily cap: the rest wait for next run
+    done = {r.id for r in out if r.resp is not None}
+    assert done == {0, 1, 2, 3}  # deterministic: first N by the business key
     assert len(out) == 10
+    # quota without an ordering key is an error, not a silent global sort
+    with pytest.raises(ValueError, match="order_col"):
+        http_enrich(
+            df, "url", lambda: (lambda u: u.upper()), config=EnrichConfig(quota=4)
+        )
 
 
 def test_http_csv_source_file_url(spark, tmp_path):

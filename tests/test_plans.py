@@ -139,6 +139,24 @@ def test_min_price_decorrelation_single_lineitem_scan(spark):
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
 
 
+def test_enrich_quota_has_no_single_partition_exchange(spark):
+    """The quota path must not funnel the input through one task: the head
+    is a distributed top-N (TakeOrderedAndProject) and the passthrough
+    remainder a broadcast anti-join — never a global-window sort."""
+    from wopen_spark.operators.http_enrich import EnrichConfig, http_enrich
+    from wopen_spark.plans import plan_string
+
+    df = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    out = http_enrich(
+        df, "c_name", lambda: (lambda s: s), out_col="resp",
+        config=EnrichConfig(quota=100), order_col="c_custkey",
+    )
+    plan = plan_string(out)
+    assert "Exchange SinglePartition" not in plan, "quota path serialized the input"
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in join_strategies(out)  # remainder anti-join
+
+
 def test_contamination_join_broadcasts_benchmark_grams(spark):
     """Decontamination must broadcast the (tiny) benchmark gram set; the
     100 TB corpus side must never shuffle its grams for the join."""

@@ -164,6 +164,9 @@ def test_update_assos_golden(spark, tmp_path):
              None, "f.png", "u.png", "pic.png", "C", "F", 0, "service"),
             ("Asso Event", 23, None, "x", "no", "addr", None, "f", "u", "g", "C", "F", 1,
              "event"),  # wrong listing type
+            ("Asso Null", 24, None, "about null", "maybe no",
+             "Unparseable Address Without Commas",
+             None, "f.png", "u.png", "g.png", "C", "F", None, "service"),
         ],
         "Title string, product_id long, _dates_event_user string, Content string, "
         "_wp_import string, _address string, _friendly_address string, "
@@ -187,7 +190,7 @@ def test_update_assos_golden(spark, tmp_path):
         upd = f.read()
     assert "Asso Rock" in upd and "Asso New" not in upd
 
-    assert set(rows) == {"Asso User"}
+    assert set(rows) == {"Asso User", "Asso Null"}
     u = rows["Asso User"]
     # street = first two comma groups; postcode = last group after removals
     # (reference quirk: '.*,(.*)$' keeps the leading space -> double space)
@@ -196,6 +199,12 @@ def test_update_assos_golden(spark, tmp_path):
     assert u._verified is None
     assert u.seo_metadescription == "about user"
     assert u._gallery_unserialized == "pic"
+    n = rows["Asso Null"]
+    # pandas parity: str.extract NaN on no match -> _friendly_address stays
+    # null (no fabricated ', , Paris'); null author_id: isin([0])==False is
+    # True in pandas -> 'on'
+    assert n._friendly_address is None
+    assert n._verified == "on"
 
 
 def test_title_case_matches_python(spark):

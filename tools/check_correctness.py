@@ -59,11 +59,18 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"WARN: unknown query names ignored: {sorted(unknown)}")
+
     spark = get_spark("correctness-check")
     failures = []
+    executed = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        executed += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -98,7 +105,11 @@ def main() -> int:
                 print(f"   duckdb: {ov[i]}")
             continue
         print(f"ok   {name}: rows={len(sdf)} hash-match")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed" + (f"; FAILED: {failures}" if failures else ""))
+    print(
+        f"\n{executed - len(failures)}/{executed} passed"
+        + (f" (of {len(qs)} registered)" if executed != len(qs) else "")
+        + (f"; FAILED: {failures}" if failures else "")
+    )
     return 1 if failures else 0
 
 

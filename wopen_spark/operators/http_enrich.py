@@ -15,8 +15,12 @@ distributed rewrite:
   reference's sentinel values (``'0'`` / ``''``) instead of failing the
   job;
 - an optional per-run quota replicates the reference's 100-queries/day cap
-  (custom_search_extraction.py:32,189): rows beyond the quota pass
-  through with NULL so the next incremental run picks them up;
+  (custom_search_extraction.py:32,189): the first ``quota`` rows by a
+  caller-supplied unique ordering column are enriched, the rest pass
+  through with NULL so the next incremental run picks them up. The head
+  selection is a distributed top-N (``orderBy().limit()`` →
+  TakeOrderedAndProject) and the remainder a broadcast anti-join on the
+  ≤quota head keys — no global window, no single-partition exchange;
 - the transport is injectable, so tests run with a fake and production
   wires a requests.Session per task (connection pooling).
 
@@ -27,12 +31,11 @@ an opaque new column.
 
 from __future__ import annotations
 
-import time
 from collections.abc import Callable, Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Transport = Callable[[str], str]
@@ -53,6 +56,7 @@ def http_enrich(
     transport_factory: Callable[[], Transport],
     out_col: str = "enriched",
     config: EnrichConfig = EnrichConfig(),
+    order_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = transport(input_col) for each row.
 
@@ -60,10 +64,12 @@ def http_enrich(
     session there); the returned callable maps one input string to one
     output string and may raise (retried, then sentinel).
 
-    With ``config.quota`` set, only the first ``quota`` rows (in the
-    DataFrame's current order, made explicit with a row index) are
-    enriched; the rest get NULL — mirroring the reference's daily cap
-    where unsearched keywords wait for the next run.
+    With ``config.quota`` set, ``order_col`` is required: a unique, stable
+    business key (distributed rows have no positional order, SURVEY §2.12
+    #8). The first ``quota`` rows by that key are enriched; the rest get
+    NULL — mirroring the reference's daily cap where unsearched keywords
+    wait for the next run. Selection is deterministic across reruns and
+    repartitionings because it depends only on the key values.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -71,11 +77,23 @@ def http_enrich(
 
     quota = config.quota
     if quota is not None:
-        # explicit order: distributed rows have no positional order (SURVEY
-        # §2.12 #8) — rank by a stable index so "first N" is deterministic
-        df = df.withColumn(
-            "__enrich_rank",
-            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())),
+        if order_col is None:
+            raise ValueError(
+                "config.quota requires order_col: a unique, stable column that "
+                "defines which rows are 'first'"
+            )
+        # Distributed top-N: orderBy().limit() compiles to
+        # TakeOrderedAndProject (per-partition heads merged on the driver),
+        # not a single-partition global sort. The ≤quota head keys are then
+        # broadcast for the remainder anti-join, so the big side never
+        # shuffles and no task sees more than its own partition.
+        head = df.orderBy(order_col).limit(quota)
+        enriched_head = http_enrich(
+            head, input_col, transport_factory, out_col, replace(config, quota=None)
+        )
+        rest = df.join(F.broadcast(head.select(order_col)), on=order_col, how="left_anti")
+        return enriched_head.unionByName(
+            rest.withColumn(out_col, F.lit(None).cast("string"))
         )
     # copy, never df.schema.add(...): StructType.add mutates the DataFrame's
     # cached schema in place and breaks downstream resolution
@@ -106,20 +124,11 @@ def http_enrich(
 
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             for pdf in batches:
-                if quota is not None:
-                    mask = pdf["__enrich_rank"] <= quota
-                else:
-                    mask = pd.Series(True, index=pdf.index)
-                inputs = pdf.loc[mask, input_col].astype(str).tolist()
-                results = list(pool.map(call_with_retry, inputs))
-                pdf[out_col] = None
-                pdf.loc[mask, out_col] = results
+                inputs = pdf[input_col].astype(str).tolist()
+                pdf[out_col] = list(pool.map(call_with_retry, inputs))
                 yield pdf
 
-    enriched = df.mapInPandas(run, schema=out_schema)
-    if quota is not None:
-        enriched = enriched.drop("__enrich_rank")
-    return enriched
+    return df.mapInPandas(run, schema=out_schema)
 
 
 # --- Reference enrichment services (E1-E3), transport stubs -----------------

@@ -264,7 +264,10 @@ def update_assos(
     users = products.withColumn("flag_already_exist", flag).filter(
         F.col("flag_already_exist") == "yes"
     )
-    street = F.regexp_extract(F.col("_address"), r"^(.+?,.+?),", 1)
+    # pandas str.extract yields NaN on no match (update_assos_validation_
+    # retreatment.py:99,103) where regexp_extract yields '' — nullif keeps
+    # the concat null so unparseable addresses don't fabricate ', , Paris'
+    street = F.nullif(F.regexp_extract(F.col("_address"), r"^(.+?,.+?),", 1), F.lit(""))
     new_address = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("_address"), " Île-de-France, France métropolitaine,", ""),
@@ -276,11 +279,17 @@ def update_assos(
     )
     users = (
         users.withColumn(
-            "_verified", F.when(~F.col("author_id").isin(0), "on")
+            # reference: isin([0]) == False is True for null author_id
+            # (update_assos_validation_retreatment.py:96) — coalesce the
+            # null-valued isin to False so missing authors also get 'on'
+            "_verified",
+            F.when(~F.coalesce(F.col("author_id").isin(0), F.lit(False)), "on"),
         )
         .withColumn("seo_metadescription", F.col("content"))
         .withColumn("street", street)
-        .withColumn("postcode", F.regexp_extract(new_address, r".*,(.*)$", 1))
+        .withColumn(
+            "postcode", F.nullif(F.regexp_extract(new_address, r".*,(.*)$", 1), F.lit(""))
+        )
         .withColumn(
             "new_address",
             F.concat(F.col("street"), F.lit(", "), F.col("postcode"), F.lit(", Paris")),

@@ -77,6 +77,11 @@ def http_zip_csv_source(
     zpath = _spool(opener(url), ".zip")
     out_dir = tempfile.mkdtemp(prefix="wopen_zip_")
     with zipfile.ZipFile(zpath) as zf:
+        for member in zf.namelist():
+            # zip-slip guard: reject absolute or dir-escaping member paths
+            norm = os.path.normpath(member)
+            if os.path.isabs(norm) or norm.startswith("..") or ":" in norm.split(os.sep)[0]:
+                raise ValueError(f"unsafe zip member path: {member!r}")
         zf.extractall(out_dir)
     df = (
         spark.read.option("header", True)
