@@ -175,21 +175,70 @@ def test_streaming_available_now_matches_batch(spark, tmp_path):
     assert result.agg(F.sum("n")).first()[0] == _t(spark, SF_SMOKE, "events").count()
 
 
-def test_http_excel_source_gated(spark, tmp_path):
-    """S3: without an Excel engine in the environment the source raises a
-    clear NotImplementedError instead of a deep pandas ImportError."""
-    import pytest as _pytest
-
+def test_http_excel_source_fixture_roundtrip(spark):
+    """S3: the pure-stdlib xlsx reader loads the checked-in nomenclature
+    fixture (the reference's pd.read_excel lookup,
+    custom_search_extraction.py:92-94) with typed columns."""
     from wopen_spark.sources.http import http_excel_source
 
-    try:
-        import openpyxl  # noqa: F401
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "nomenclature.xlsx")
+    df = http_excel_source(spark, "fixture://nomenclature", opener=lambda url: open(path, "rb").read())
+    assert df.columns == [
+        "Code Objet Social", "Libelle Objet Social", "famille", "active", "poids"
+    ]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "string", "boolean", "double"
+    ]
+    rows = {r["Code Objet Social"]: r for r in df.collect()}
+    assert len(rows) == 4
+    # accents, & and <> escaping survive the XML round trip
+    assert rows[1001]["Libelle Objet Social"] == "Activités religieuses & spirituelles"
+    assert rows[6035]["Libelle Objet Social"] == "Clubs de loisirs <détente>"
+    assert rows[50440]["famille"] is None and rows[6035]["poids"] is None
+    assert rows[11030]["active"] is True and rows[50440]["poids"] == 7.0
 
-        _pytest.skip("Excel engine present; gate not exercised")
-    except ImportError:
-        pass
-    with _pytest.raises(NotImplementedError, match="Excel engine"):
-        http_excel_source(spark, "fixture://x", opener=lambda url: b"PK\x03\x04junk")
+
+def test_xlsx_reader_shared_strings_and_sparse_cells():
+    """Producer-side variation: shared-string cells (t='s'), skipped cells
+    (sparse r refs), numeric text, and sheet resolution via workbook rels
+    — the shapes real Excel/openpyxl files use, which the fixture's
+    inline-string writer does not."""
+    import io
+    import zipfile
+
+    from wopen_spark.sources.xlsx import read_xlsx
+
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>name</t></si><si><t>city</t></si>"
+        "<si><r><t>Par</t></r><r><t>is</t></r></si></sst>"  # rich-text runs
+    )
+    sheet = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>3.5</v></c></row>'
+        '<row r="3"><c r="C3" t="s"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Données" sheetId="1" r:id="rId9"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId9" Type="x" Target="worksheets/renamed77.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/renamed77.xml", sheet)  # rels, not numbering
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+    names, rows = read_xlsx(buf.getvalue(), sheet="Données")
+    assert names == ["name", "col1", "city"]  # gap B1 -> placeholder name
+    assert rows == [["Paris", 3.5, None], [None, None, "Paris"]]
 
 
 def test_asof_join_semantics(spark):

@@ -99,22 +99,50 @@ def http_zip_csv_source(
 def http_excel_source(
     spark: SparkSession,
     url: str,
+    sheet: int | str = 0,
     opener: Opener = _default_opener,
 ) -> DataFrame:
     """S3: remote .xlsx lookup table (custom_search_extraction.py:92-94).
 
     Tiny dimension tables only (the reference's social-object
-    nomenclature): parsed driver-side with pandas, then parallelized —
-    the broadcast-join side of J1.
+    nomenclature): parsed driver-side with the pure-stdlib xlsx reader
+    (sources/xlsx.py — no Excel engine in this container), then
+    parallelized as the broadcast-join side of J1.
     """
-    import pandas as pd
+    from pyspark.sql import types as T
 
-    try:
-        import openpyxl  # noqa: F401 — pandas' xlsx engine
-    except ImportError as e:
-        raise NotImplementedError(
-            "no Excel engine (openpyxl) is available here; load the lookup "
-            "table as CSV/DataFrame instead (pipelines accept a DataFrame)"
-        ) from e
-    path = _spool(opener(url), ".xlsx")
-    return spark.createDataFrame(pd.read_excel(path))
+    from wopen_spark.sources.xlsx import read_xlsx
+
+    names, rows = read_xlsx(opener(url), sheet=sheet)
+    if not names:
+        raise ValueError(f"empty xlsx sheet at {url}")
+
+    # explicit schema: per-column from the values (all-null -> string;
+    # int+float mix -> double), so Spark never hits "type cannot be
+    # determined" on sparse lookup tables
+    def col_type(i: int) -> T.DataType:
+        vals = [r[i] for r in rows if r[i] is not None]
+        if any(isinstance(v, str) for v in vals) or not vals:
+            return T.StringType()
+        if any(isinstance(v, bool) for v in vals):
+            return T.BooleanType()
+        if any(isinstance(v, float) for v in vals):
+            return T.DoubleType()
+        return T.LongType()
+
+    types = [col_type(i) for i in range(len(names))]
+    schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in zip(names, types)]
+    )
+
+    def coerce(v, t):
+        if v is None:
+            return None
+        if isinstance(t, T.StringType):
+            return str(v)
+        if isinstance(t, T.DoubleType):
+            return float(v)
+        return v
+
+    data = [tuple(coerce(v, t) for v, t in zip(r, types)) for r in rows]
+    return spark.createDataFrame(data, schema=schema)
