@@ -32,12 +32,38 @@ def levenshtein_similarity(a: Column, b: Column) -> Column:
     )
 
 
+def wratio_column(a: Column, b: Column) -> Column:
+    """fuzzywuzzy-WRatio score of two string columns as an Arrow-batched
+    pandas UDF (functions/fuzzy.py re-derives the public algorithm on the
+    stdlib difflib backend the reference actually ran — byte-parity with
+    get_similarity.py:148-152, requirements.txt:19). A Python kernel is
+    unavoidable here: WRatio's windowed SequenceMatcher alignment has no
+    Column-expression equivalent; Arrow batching keeps it off the
+    row-at-a-time path."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    def _kernel(s1, s2):
+        # self-contained import: cloudpickle ships the module path, workers
+        # re-import (wopen_spark is on PYTHONPATH via spark.submit.pyFiles
+        # or the driver's sys.path in local mode)
+        from wopen_spark.functions.fuzzy import wratio
+
+        return pd.Series([wratio(a_, b_) for a_, b_ in zip(s1, s2)], dtype="int32")
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf rejects
+    _kernel.__annotations__ = {"s1": pd.Series, "s2": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_kernel, IntegerType())(a, b)
+
+
 def fuzzy_top1_join(
     left: DataFrame,
     right: DataFrame,
     left_col: str,
     right_col: str,
     score_col: str = "similarity",
+    scorer: str = "levenshtein",
 ) -> DataFrame:
     """For each left row, the single best-scoring right row (J8 semantics).
 
@@ -45,10 +71,18 @@ def fuzzy_top1_join(
     keep rank 1 per left key with deterministic tie-break on the right
     value. Right side must be broadcast-able (dedup it first); for big
     right sides, pre-filter candidates with MinHash-LSH then reuse this.
+
+    ``scorer``: ``'levenshtein'`` (default — pure Column expression, whole
+    pair space stays in codegen) or ``'wratio'`` (fuzzywuzzy parity with
+    the reference's process.extract default, pandas-UDF kernel).
     """
-    scored = left.crossJoin(F.broadcast(right)).withColumn(
-        score_col, levenshtein_similarity(F.col(left_col), F.col(right_col))
-    )
+    if scorer == "levenshtein":
+        score = levenshtein_similarity(F.col(left_col), F.col(right_col))
+    elif scorer == "wratio":
+        score = wratio_column(F.col(left_col), F.col(right_col)).cast("double")
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}; use 'levenshtein' or 'wratio'")
+    scored = left.crossJoin(F.broadcast(right)).withColumn(score_col, score)
     w = Window.partitionBy(left_col).orderBy(F.desc(score_col), F.asc(right_col))
     return scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 

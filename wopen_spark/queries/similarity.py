@@ -41,6 +41,48 @@ def fuzzy_top1_type_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J8 score parity: WRatio (the reference's actual process.extract scorer,
+# get_similarity.py:148) over fixture pairs shaped like its search-term ×
+# slug workload. Expected scores are precomputed with the difflib-backend
+# algorithm (functions/fuzzy.py) whose components are pinned to published
+# fuzzywuzzy values in tests/test_functions.py — the oracle hash then
+# locks them against regression.
+_WRATIO_TERMS = [
+    "ASSO ROCK PARIS", "assorockparis", "Les Amis de la Musique",
+    "club sportif 15e", "THEATRE DU SOLEIL",
+    "association-des-jardins_partages", "petanque",
+    "Aide aux Devoirs — Belleville",
+]
+_WRATIO_SLUGS = [
+    "assorockparis", "amisdelamusique", "clubsportif15", "theatredusoleil",
+    "jardinspartages", "petanqueparis11", "aideauxdevoirsbelleville",
+    "chorale-st-michel", "association humanitaire", "collectifdanse",
+]
+@query(
+    "wratio_top1_assoc_slugs",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ASSO ROCK PARIS', 'assorockparis', 93.0),
+      ('assorockparis', 'assorockparis', 100.0),
+      ('Les Amis de la Musique', 'amisdelamusique', 81.0),
+      ('club sportif 15e', 'clubsportif15', 90.0),
+      ('THEATRE DU SOLEIL', 'theatredusoleil', 94.0),
+      ('association-des-jardins_partages', 'jardinspartages', 84.0),
+      ('petanque', 'petanqueparis11', 90.0),
+      ('Aide aux Devoirs — Belleville', 'aideauxdevoirsbelleville', 91.0)
+    ) AS t(search_term, slug, similarity) ORDER BY search_term
+    """,
+)
+def wratio_top1_assoc_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = spark.createDataFrame([(t,) for t in _WRATIO_TERMS], ["search_term"])
+    right = spark.createDataFrame([(s,) for s in _WRATIO_SLUGS], ["slug"])
+    return (
+        fuzzy_top1_join(left, right, "search_term", "slug", scorer="wratio")
+        .select("search_term", "slug", "similarity")
+        .orderBy("search_term")
+    )
+
+
 # ANN baseline: brute-force cosine top-10 for three query vectors. The
 # corpus is scanned once (map-side score); only top-k rows shuffle.
 _DUCK_DOT = (
