@@ -14,13 +14,13 @@ Design for 100 TB media pipelines:
   ``media_id`` hash before a decode stage so each task holds a bounded
   byte budget, never ``coalesce`` after a filter on size.
 
-The actual codec calls (PIL/ffmpeg/soundfile) are NOT available in this
-container, so the decode kernels are STUBS: ``decoder="fake"`` produces a
-deterministic synthetic decode (seeded by the bytes' md5) with the real
-schema/batch plumbing, and ``decoder="real"`` raises NotImplementedError
-at the call site where the codec import belongs. Everything around the
-stub — schemas, UDF signatures, batching, partitioning — is real and
-tested.
+Decoders: ``decoder="fake"`` produces a deterministic synthetic decode
+(seeded by the bytes' md5) — the oracle-matched path, since DuckDB can
+re-derive it in SQL. ``decoder="real"`` decodes actual media via
+``media_codecs``: PIL / soundfile when importable, with pure-stdlib
+fallbacks (PNG via zlib+struct, PCM WAV via wave) so images and audio
+decode even in this codec-less container. Video frame extraction has no
+stdlib fallback and raises NotImplementedError unless PyAV is present.
 """
 
 from __future__ import annotations
@@ -114,12 +114,16 @@ def image_features(
 
         for pdf in batches:
             if decoder == "real":
-                # wire PIL here: Image.open(io.BytesIO(b)) -> size, luma, phash
-                raise NotImplementedError(
-                    "real image codecs are not available in this environment; "
-                    "use decoder='fake' for plumbing tests"
-                )
-            feats = [fake(b) for b in pdf[content_col]]
+                # PIL when importable, stdlib PNG fallback otherwise
+                from wopen_spark.media_codecs import average_hash, decode_image, mean_luma
+
+                def real(content: bytes):
+                    px = decode_image(bytes(content or b""))
+                    return px.shape[1], px.shape[0], mean_luma(px), average_hash(px)
+
+                feats = [real(b) for b in pdf[content_col]]
+            else:
+                feats = [fake(b) for b in pdf[content_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].values,
@@ -175,10 +179,18 @@ def audio_features(
 
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real audio codecs are not available in this environment; "
-                    "use decoder='fake' for plumbing tests"
+                # soundfile when importable, stdlib wave (PCM WAV) otherwise;
+                # duration comes from the decoded samples, not the metadata
+                from wopen_spark.media_codecs import audio_window_stats
+
+                yield pd.DataFrame(
+                    [
+                        (mid, *audio_window_stats(bytes(content or b""), window_ms))
+                        for mid, content in zip(pdf[id_col], pdf["content"])
+                    ],
+                    columns=["media_id", "duration_ms", "n_windows", "rms", "peak_window"],
                 )
+                continue
             rows = []
             for mid, content, duration in zip(
                 pdf[id_col], pdf["content"], pdf["duration_ms"]
@@ -242,17 +254,21 @@ def resize_images(
 
         for pdf in batches:
             if decoder == "real":
-                # wire PIL here: Image.open(...).resize((width, height))
-                raise NotImplementedError(
-                    "real image codecs are not available in this environment; "
-                    "use decoder='fake' for plumbing tests"
-                )
+                # PIL bilinear when importable; stdlib nearest-neighbor PNG
+                from wopen_spark.media_codecs import resize_image
+
+                content = [
+                    resize_image(bytes(b or b""), width, height)
+                    for b in pdf[content_col]
+                ]
+            else:
+                content = [
+                    _hashlib.md5((b or b"") + tag).digest() for b in pdf[content_col]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].values,
-                    "content": [
-                        _hashlib.md5((b or b"") + tag).digest() for b in pdf[content_col]
-                    ],
+                    "content": content,
                     "width": width,
                     "height": height,
                 }
@@ -300,8 +316,17 @@ def sample_frames(
 
         for pdf in batches:
             if decoder == "real":
+                # video is the one modality with no stdlib fallback: frame
+                # extraction needs a container demuxer + codec (PyAV/ffmpeg)
+                try:
+                    import av  # noqa: F401, PLC0415
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "video frame sampling needs PyAV/ffmpeg; none present"
+                    ) from e
                 raise NotImplementedError(
-                    "real video codecs are not available in this environment"
+                    "PyAV frame extraction not wired yet; decoder='fake' covers "
+                    "the plumbing"
                 )
             buf: list[tuple] = []
             # plain zip loop: iterrows() materializes a Series per row and
