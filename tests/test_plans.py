@@ -163,3 +163,98 @@ def test_contamination_join_broadcasts_benchmark_grams(spark):
     strategies = join_strategies(_q(spark, "benchmark_contamination"))
     assert "BroadcastHashJoin" in strategies
     assert "SortMergeJoin" not in strategies and "CartesianProduct" not in strategies
+
+
+def _with_confs(spark, confs):
+    """Set runtime confs, returning the previous values for restore."""
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            old[k] = None
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_confs(spark, old):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Manual salting (salted_event_type_stats) is one skew answer; the
+    runtime answer is AQE's skew-join split. Pin that a deliberately
+    skewed SMJ actually activates it — the final plan must show
+    SortMergeJoin(skew=true) over an AQEShuffleRead marked skewed."""
+    from pyspark.sql import functions as F
+
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+            # disable both compile-time and AQE runtime broadcast: the test
+            # needs the join to stay sort-merge so the skew rule applies
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    try:
+        # ~99.5% of left rows share key 5 (least() keeps the key
+        # non-foldable — a literal key constant-folds into a cartesian);
+        # the sha2 pad keeps the hot partition above the byte threshold
+        # and must stay live through the agg or pruning drops it
+        left = spark.range(0, 300_000, 1, 8).select(
+            F.least(F.col("id") % 1000, F.lit(5)).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 1000, 1, 4).select(
+            F.col("id").alias("k"), F.lit("r").alias("v")
+        )
+        agg = left.join(right, "k").select(
+            F.count(F.lit(1)).alias("n"), F.max("pad").alias("m")
+        )
+        (row,) = agg.collect()  # AQE finalizes during execution
+        assert row.n == 300_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE skew-join did not activate"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        _restore_confs(spark, old)
+
+
+def test_partitioned_table_read_prunes_partitions(spark, tmp_path):
+    """S5/K2 date-partitioned layout: a date_extract = X read must prune
+    at the scan (PartitionFilters), never filter post-scan — the
+    reference's daily-partition reads
+    (sql/get_partitions_custom_search.sql:1-4) depend on this at scale."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.plans import plan_string, scan_schemas
+    from wopen_spark.tables import Table
+
+    t = Table(spark, "crm", "events_pruned", warehouse=str(tmp_path))
+    for day, n in [("2026-01-01", 10), ("2026-01-02", 20), ("2026-01-03", 30)]:
+        t.write_partition(day, "date_extract", spark.range(n).select("id"))
+
+    df = t.read().filter(F.col("date_extract") == "2026-01-02")
+    assert df.count() == 20
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan and "date_extract" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], "date filter did not reach the scan as a partition filter"
+    # the partition column is directory metadata: the parquet read schema
+    # must not contain it (nothing but `id` is read from data files)
+    (schema,) = scan_schemas(df)
+    assert "date_extract" not in schema
+    # and no post-scan Filter on date_extract remains
+    data_filters = pushed_filters(df)
+    assert all("date_extract" not in f for f in data_filters)
