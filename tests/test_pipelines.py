@@ -360,6 +360,111 @@ def test_associations_chain_golden(spark, tmp_path):
     assert sim.partitions("date_extract") == ["2026-01-01"]
 
 
+def test_incremental_restart_resumes_without_duplicates(spark, tmp_path, monkeypatch):
+    """VERDICT r1 item 8: three synthetic days, a crash mid-similarity on
+    day 2, then a restart. The partition ledger must resume exactly where
+    it stopped: day 1 untouched, day 2/3 processed once, no duplicated
+    partitions or rows anywhere."""
+    import os as _os
+
+    wh = str(tmp_path / "wh")
+    _fake_search, _fbid_ok, _fbid_fail, _redirect = _make_fakes()
+    nomenclature = spark.createDataFrame(
+        [("015000", "chant choral, musique ")],
+        ["Code Objet Social", "Objet Social"],
+    )
+    header = ";".join(RNA_COLUMNS)
+
+    def row(titre):
+        vals = dict.fromkeys(RNA_COLUMNS, "x")
+        vals.update(titre=titre, objet_social1="015000", adrg_codepostal="75010")
+        return ";".join(vals[c] for c in RNA_COLUMNS)
+
+    def zip_for(titles):
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("rna.csv", "\n".join([header] + [row(t) for t in titles]).encode("ISO-8859-1"))
+        return buf.getvalue()
+
+    # day d introduces one new association -> every day searches fresh
+    # terms (A5 symmetric diff skips already-searched ones) and commits
+    # one custom_search partition
+    days = {
+        "2026-02-01": zip_for(["ASSO ROCK"]),
+        "2026-02-02": zip_for(["ASSO ROCK", "ASSO DEUX"]),
+        "2026-02-03": zip_for(["ASSO ROCK", "ASSO DEUX", "ASSO TROIS"]),
+    }
+    for day, blob in days.items():
+        cfg = AssociationsConfig(today=day)
+        assert custom_search_stage(
+            spark, "fixture://rna", nomenclature, wh, _fake_search, cfg,
+            opener=lambda url, b=blob: b,
+        )
+    cs = Table(spark, "crm", "custom_search", wh)
+    assert cs.partitions("date_extract") == sorted(days)
+
+    # crash injection: the day-2 similarity partition write dies before
+    # committing (crash-before-commit, the standard failure point)
+    real_write = Table.write_partition
+    crashed = {"done": False}
+
+    def crashing_write(self, partition_date, partition_field, df, schema_json=None):
+        if (
+            self.table == "similarity"
+            and partition_date == "2026-02-02"
+            and not crashed["done"]
+        ):
+            crashed["done"] = True
+            raise RuntimeError("simulated executor loss during day-2 write")
+        return real_write(self, partition_date, partition_field, df, schema_json)
+
+    monkeypatch.setattr(Table, "write_partition", crashing_write)
+    cfg_run1 = AssociationsConfig(today="2026-02-03")
+    with pytest.raises(RuntimeError, match="simulated executor loss"):
+        similarity_stage(spark, wh, _fbid_ok, _redirect, cfg_run1)
+
+    sim = Table(spark, "crm", "similarity", wh)
+    assert sim.partitions("date_extract") == ["2026-02-01"], "day 1 must be committed, day 2+ not"
+    day1_files = {
+        f: _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(_os.path.join(sim.path, "date_extract=2026-02-01"))
+        for f in fs
+    }
+    assert day1_files, "day-1 partition should have data files"
+
+    # restart: the ledger resumes from day 2; day 1 is skipped untouched
+    monkeypatch.setattr(Table, "write_partition", real_write)
+    cfg_run2 = AssociationsConfig(today="2026-02-03")
+    final = similarity_stage(spark, wh, _fbid_ok, _redirect, cfg_run2)
+    assert sim.partitions("date_extract") == sorted(days)
+    day1_after = {
+        f: _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(_os.path.join(sim.path, "date_extract=2026-02-01"))
+        for f in fs
+    }
+    assert day1_after == day1_files, "restart must not rewrite the committed day-1 partition"
+
+    # no duplicated rows: each searched term scored exactly once per day
+    sim_rows = sim.read().groupBy("searchTerms", "date_extract").count().collect()
+    assert sim_rows and all(r["count"] == 1 for r in sim_rows)
+    # and each term appears on exactly one day (searched the day it was new)
+    per_term = sim.read().groupBy("searchTerms").count().collect()
+    assert {r.searchTerms: r["count"] for r in per_term} == {
+        "assorock": 1, "assodeux": 1, "assotrois": 1
+    }
+    # the final build joins against rna_waldec_filtered, which is a K3
+    # conditional-create snapshot (written on day 1 only, reference
+    # custom_search_extraction.py:151-155) — so only day 1's association
+    # reaches associations_raw, correctly banded
+    bands = {
+        r.titre: r.check_levenshtein_similarity_facebook for r in final.collect()
+    }
+    assert bands == {"ASSO ROCK": "fb_account"}
+
+
 def test_similarity_sentinel_path(spark, tmp_path):
     """E1 failure -> Facebook_ID '0' -> link_new falls back to the raw link
     (§2.12 #10: the sentinel compare is on the STRING '0')."""
