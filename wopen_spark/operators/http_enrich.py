@@ -139,7 +139,11 @@ def http_enrich(
 
 def fbid_transport_factory() -> Transport:
     """E1 get_fbid (get_similarity.py:44-51): POST url -> numeric FB id,
-    '0' on any error."""
+    '0' on any error.
+
+    NOTE: ``findmyfbid.example`` is a PLACEHOLDER domain — the service the
+    reference called (findmyfbid.com) is defunct. Wire a live resolver
+    here before production use; tests inject fake transports."""
     import urllib.parse
     import urllib.request
 
