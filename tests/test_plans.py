@@ -76,6 +76,17 @@ def test_intentional_cross_joins_are_broadcast(spark, name):
     ), plan_joins
 
 
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """k-means training: every per-iteration assignment must broadcast the
+    (k-row) centroid side — the corpus never shuffles for assignment; the
+    only exchanges are the k x dim partial-agg mean updates."""
+    plan_joins = join_strategies(_q(spark, "kmeans_centroids_2iter"))
+    assert plan_joins, "expected assignment joins in the plan"
+    assert all(
+        j in ("BroadcastNestedLoopJoin", "BroadcastHashJoin") for j in plan_joins
+    ), plan_joins
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Co-located join via bucketing: two tables bucketed on the join key
     join WITHOUT a shuffle exchange — the pre-partitioning pattern for

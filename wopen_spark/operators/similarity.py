@@ -230,6 +230,72 @@ def ivf_assign(
     )
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — trains the centroids
+    that ``ivf_cosine_topk`` probes (completing the IVF story: index
+    build, not just search).
+
+    Scale shape per iteration:
+
+    - **assign**: nearest centroid by cosine via ``ivf_assign`` —
+      centroids broadcast, one map-side pass over the corpus;
+    - **update**: per-dimension mean via ``posexplode`` + groupBy
+      (centroid, dim). The explode looks expensive but is the RIGHT
+      distributed shape: partial aggregation (map-side combine) reduces
+      each partition to k x dim running sums before the shuffle, so
+      shuffle volume is O(k x dim x partitions), independent of corpus
+      size — unlike collecting raw vectors per centroid.
+
+    Determinism: assignments round cosine to 6 decimals with centroid-id
+    tie-break (``ivf_assign``); means are decimal-summed then divided by
+    the count, so every engine derives bit-identical centroids and the
+    next iteration sees the same assignment. Empty clusters drop out
+    (standard Lloyd's behavior).
+
+    Returns (centroid_id, centroid array<double>, n_members) after
+    ``iterations`` update steps.
+    """
+    cents = seeds.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            corpus,
+            cents.select(
+                F.col("centroid_id").alias(id_col), F.col("__cent").alias(vec_col)
+            ),
+            vec_col=vec_col,
+            id_col=id_col,
+            n_assign=1,
+        )
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        per_dim = dims.groupBy("centroid_id", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cents = per_dim.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("__cent"),
+            F.first("n").alias("n_members"),
+        )
+    return cents.select(
+        "centroid_id", F.col("__cent").alias("centroid"), "n_members"
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     query: DataFrame,

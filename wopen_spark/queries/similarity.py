@@ -178,6 +178,71 @@ def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF index BUILD: Lloyd's k-means (k=8 seeds, 2 iterations) over the
+# embeddings — the trainer for the centroids ivf_cosine_top5 probes. The
+# oracle unrolls both iterations as CTEs; assignment and decimal-mean
+# arithmetic mirror the operator exactly, so centroids stay bit-equal
+# across engines and the second iteration sees identical assignments.
+def _duck_kmeans_iter(cents_cte: str, out_assign: str, out_dims: str, out_cents: str) -> str:
+    cos = _duck_cos("c2.vec", f"c.cvec")
+    return f"""
+    {out_assign} AS (
+      SELECT vec_id, centroid_id, vec FROM (
+        SELECT c2.vec_id, c.centroid_id, c2.vec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c2.vec_id ORDER BY {cos} DESC, c.centroid_id
+               ) AS rn
+        FROM corpus c2 CROSS JOIN {cents_cte} c
+      ) WHERE rn = 1
+    ),
+    {out_dims} AS (
+      SELECT centroid_id, pos,
+             CAST(SUM(CAST(vec[pos + 1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS val,
+             COUNT(*) AS n
+      FROM {out_assign}, range(0, 64) t(pos)
+      GROUP BY centroid_id, pos
+    ),
+    {out_cents} AS (
+      SELECT centroid_id, list(val ORDER BY pos) AS cvec, max(n) AS n_members
+      FROM {out_dims} GROUP BY centroid_id
+    )"""
+
+
+@query(
+    "kmeans_centroids_2iter",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    cents0 AS (SELECT vec_id AS centroid_id, vec AS cvec FROM corpus WHERE vec_id < 8),
+    {_duck_kmeans_iter("cents0", "assign1", "dims1", "cents1")},
+    {_duck_kmeans_iter("cents1", "assign2", "dims2", "cents2")}
+    SELECT centroid_id, CAST(t.pos AS BIGINT) AS pos, cvec[t.pos + 1] AS val,
+           n_members
+    FROM cents2, range(0, 64) t(pos)
+    ORDER BY centroid_id, pos
+    """,
+)
+def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.operators.similarity import kmeans_train
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    trained = kmeans_train(
+        e, e.filter(F.col("vec_id") < 8), vec_col="v", id_col="vec_id", iterations=2
+    )
+    return (
+        trained.select(
+            "centroid_id",
+            F.posexplode("centroid").alias("pos", "val"),
+            "n_members",
+        )
+        .select(
+            "centroid_id", F.col("pos").cast("long").alias("pos"), "val", "n_members"
+        )
+        .orderBy("centroid_id", "pos")
+    )
+
+
 # Embedding-cosine near-dup via random-hyperplane LSH. The test corpus has
 # no natural near-dups (max pairwise cosine ~0.52), so each vector gets a
 # planted twin: component 0 scaled by 1+2^-9 (exact in IEEE double, so
