@@ -313,3 +313,54 @@ def test_approx_aggregates_within_tolerance(spark):
         a = approx[et]
         assert abs(a.approx_users - e.users) <= max(3, 0.05 * e.users), et
         assert abs(a.approx_median_value - e.median) <= 0.05 * max(e.median, 1), et
+
+
+def test_xlsx_roundtrip_property():
+    """write_minimal_xlsx -> read_xlsx is the identity on typed tables
+    (hypothesis: random headers and mixed-type cells incl. None/unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wopen_spark.sources.xlsx import read_xlsx, write_minimal_xlsx
+
+    cell = st.one_of(
+        st.none(),
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.floats(allow_nan=False, allow_infinity=False, width=32).map(float),
+        st.booleans(),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs", "Cc", "Cn")
+            ),
+            max_size=20,
+        ),
+    )
+
+    @given(
+        headers=st.lists(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc", "Cn")),
+                min_size=1, max_size=10,
+            ),
+            min_size=1, max_size=5,
+        ),
+        body=st.lists(st.lists(cell, min_size=1, max_size=5), min_size=1, max_size=6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(headers, body):
+        width = len(headers)
+        rows = [(r + [None] * width)[:width] for r in body]
+        # a row of all-None disappears (xlsx stores no cells for it), and
+        # header cells must be non-empty after stringification: skip those
+        if any(all(v is None for v in r) for r in rows):
+            return
+        got_headers, got_rows = read_xlsx(write_minimal_xlsx(headers, rows))
+        assert got_headers == [str(h) if h is not None else f"col{i}" for i, h in enumerate(headers)]
+        for want, got in zip(rows, got_rows):
+            for w, g in zip(want, got):
+                if isinstance(w, float):
+                    assert g == w or (isinstance(g, (int, float)) and float(g) == w)
+                else:
+                    assert g == w
+
+    check()

@@ -85,6 +85,36 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_click_purchase_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             event_type
+      FROM events
+    )
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM ev c JOIN ev p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECONDS
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x purchases within
+    10 minutes), AvailableNow: append output must equal the batch interval
+    join. State is expirable because both sides are watermarked and the
+    condition bounds event time both ways."""
+    from wopen_spark.streaming.pipeline import available_now_interval_join
+
+    ckpt = tempfile.mkdtemp(prefix="wopen_ssjoin_ckpt_")
+    out = available_now_interval_join(spark, sf_dir, ckpt, window_s=600)
+    return out.orderBy("user_id", "click_id", "purchase_id")
+
+
+@query(
     "streaming_distinct_user_types",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events

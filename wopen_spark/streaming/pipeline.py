@@ -111,6 +111,70 @@ def available_now_aggregate(
     return spark.table("wopen_windowed_counts")
 
 
+def available_now_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    window_s: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: each click
+    joined to the same user's purchases within ``window_s`` seconds after
+    it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions — the two requirements that let Spark expire join
+    state (unbounded stream-stream state is the 100 TB trap). AvailableNow
+    over the static file is one micro-batch, so the append-mode output
+    must equal the batch interval join the oracle states.
+    """
+    clicks = (
+        event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {window_s} seconds"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    )
+    with _state_partitions(spark, None):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("wopen_stream_interval_join")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table("wopen_stream_interval_join")
+
+
 def available_now_distinct(
     spark: SparkSession,
     sf_dir: str,
