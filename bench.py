@@ -28,6 +28,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
+    # optional subset filter (comma-separated names) for manual large-SF
+    # runs; the driver never sets this, so its per-round bench is unchanged
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
+
     # warm the JVM + parquet footers, the Python worker pool (Arrow path),
     # and the streaming machinery (state store, sink registry) once so
     # per-query numbers measure the queries, not engine initialization

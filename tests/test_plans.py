@@ -168,6 +168,18 @@ def test_enrich_quota_has_no_single_partition_exchange(spark):
     assert "BroadcastHashJoin" in join_strategies(out)  # remainder anti-join
 
 
+def test_q17_decorrelation_single_lineitem_scan(spark):
+    """Q17 shape: the correlated per-part average must be a window over
+    one lineitem scan, and the brand dimension must broadcast — never a
+    lineitem self-join."""
+    from wopen_spark.plans import plan_string
+
+    df = _q(spark, "small_quantity_part_revenue")
+    plan = plan_string(df)
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned more than once"
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
 def test_contamination_join_broadcasts_benchmark_grams(spark):
     """Decontamination must broadcast the (tiny) benchmark gram set; the
     100 TB corpus side must never shuffle its grams for the join."""
