@@ -364,3 +364,28 @@ def test_xlsx_roundtrip_property():
                     assert g == w
 
     check()
+
+
+def test_streaming_foreach_batch_table_sink(spark, tmp_path):
+    """Streaming -> date-partitioned Table via foreachBatch: partitions
+    match the batch per-day split, and re-running from a fresh checkpoint
+    (a full replay) rewrites partitions instead of duplicating rows."""
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.streaming.pipeline import available_now_to_table
+    from wopen_spark.tables import Table
+
+    t = Table(spark, "crm", "events_stream_landed", warehouse=str(tmp_path))
+    days = available_now_to_table(spark, SF_SMOKE, t, str(tmp_path / "ck1"))
+    batch = _t(spark, SF_SMOKE, "events")
+    expect_days = sorted(
+        r.d for r in batch.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()
+    )
+    assert sorted(days) == expect_days
+    assert t.partitions("date_extract") == expect_days
+    n = batch.count()
+    assert t.read().count() == n
+
+    # full replay (fresh checkpoint) = same partitions overwritten, no dupes
+    days2 = available_now_to_table(spark, SF_SMOKE, t, str(tmp_path / "ck2"))
+    assert sorted(days2) == expect_days
+    assert t.read().count() == n

@@ -175,6 +175,50 @@ def available_now_interval_join(
     return spark.table("wopen_stream_interval_join")
 
 
+def available_now_to_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table,
+    checkpoint_dir: str,
+    partition_field: str = "date_extract",
+) -> list[str]:
+    """Land the event stream into a date-partitioned warehouse Table via
+    ``foreachBatch`` — the streaming twin of the K2 idempotent sink.
+
+    Each micro-batch is split by event date and written with dynamic
+    partition overwrite, so a replayed batch (checkpoint recovery)
+    rewrites the same partitions instead of appending duplicates:
+    end-to-end effectively-once without a transactional sink. Returns the
+    partition values written by this run.
+    """
+    written: list[str] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        days = [
+            r.d
+            for r in batch_df.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("d")
+            )
+            .distinct()
+            .collect()
+        ]
+        for day in sorted(days):
+            rows = batch_df.filter(F.date_format("ts", "yyyy-MM-dd") == day)
+            table.write_partition(day, partition_field, rows)
+            written.append(day)
+
+    with _state_partitions(spark, None):
+        q = (
+            event_stream(spark, sf_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return written
+
+
 def available_now_distinct(
     spark: SparkSession,
     sf_dir: str,
