@@ -465,6 +465,28 @@ def test_incremental_restart_resumes_without_duplicates(spark, tmp_path, monkeyp
     assert bands == {"ASSO ROCK": "fb_account"}
 
 
+def test_similarity_wratio_scorer_full_chain(spark, tmp_path):
+    """The reference's actual scorer (fuzzywuzzy WRatio) drives the chain
+    end-to-end when configured; identical term/slug still bands
+    fb_account and the score column stays populated."""
+    wh = str(tmp_path / "wh")
+    cfg = AssociationsConfig(today="2026-01-03", similarity_scorer="wratio")
+    _fake_search, _fbid_ok, _fbid_fail, _redirect = _make_fakes()
+    nomenclature = spark.createDataFrame(
+        [("015000", "chant choral, musique ")],
+        ["Code Objet Social", "Objet Social"],
+    )
+    custom_search_stage(
+        spark, "fixture://rna", nomenclature, wh, _fake_search, cfg,
+        opener=lambda url: _rna_zip_bytes(),
+    )
+    final = similarity_stage(spark, wh, _fbid_ok, _redirect, cfg)
+    r = {x.titre: x for x in final.collect()}["ASSO ROCK"]
+    # 'assorock' vs slug 'assorock': WRatio 100 -> fb_account
+    assert r.levenshtein_similarity == 100.0
+    assert r.check_levenshtein_similarity_facebook == "fb_account"
+
+
 def test_similarity_sentinel_path(spark, tmp_path):
     """E1 failure -> Facebook_ID '0' -> link_new falls back to the raw link
     (§2.12 #10: the sentinel compare is on the STRING '0')."""

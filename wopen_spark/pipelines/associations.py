@@ -19,10 +19,11 @@ window (a day's batch is <=quota rows — the big-x-big path is
 MinHash-LSH, operators.dedup). HTTP fan-outs are Arrow-batched
 mapInPandas with bounded thread pools (operators.http_enrich).
 
-Similarity score: pinned to normalized Levenshtein (SURVEY §2.12 #4 — the
-reference's column is named levenshtein_similarity but computed with
-fuzzywuzzy WRatio; the oracle pins one definition, this engine pins true
-Levenshtein).
+Similarity score (SURVEY §2.12 #4): the reference's column is named
+levenshtein_similarity but computed with fuzzywuzzy WRatio. Default is
+normalized Levenshtein (pure Column, stays in codegen); set
+``AssociationsConfig.similarity_scorer='wratio'`` for byte-parity with
+the reference's scores (functions/fuzzy.py, difflib backend).
 """
 
 from __future__ import annotations
@@ -84,6 +85,10 @@ class AssociationsConfig:
     keywords_nb: int = 100  # custom_search_extraction.py:32 daily quota
     shuffle_seed: int = 42  # O3 random.sample made reproducible
     today: str = ""  # 'YYYY-MM-DD'; required (tests pin it)
+    # 'levenshtein' (engine default, pure Column) or 'wratio' (byte-parity
+    # with the reference's fuzzywuzzy process.extract default — SURVEY
+    # §2.12 #4, operators.similarity.wratio_column)
+    similarity_scorer: str = "levenshtein"
     notifications: list[str] = field(default_factory=list)
 
 
@@ -259,7 +264,7 @@ def similarity_stage(
         slugs = day.select(F.col("link_new").alias("slug")).distinct()
         best = fuzzy_top1_join(
             day.select("searchTerms").distinct(), slugs, "searchTerms", "slug",
-            score_col="levenshtein_similarity",
+            score_col="levenshtein_similarity", scorer=config.similarity_scorer,
         ).select("searchTerms", "levenshtein_similarity")
         day = day.join(F.broadcast(best), "searchTerms", "left")
         sim_table.write_partition(
