@@ -122,12 +122,27 @@ _DUCK_SLOTS_8 = ", ".join(
 
 
 # the candidate-pair SELECT without ordering, reusable as a CTE body
-# (also feeds the connected-components oracle in graph_q.py)
-DUCK_LSH_PAIRS = f"""
-    WITH toks AS (
-      SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+# (also feeds the connected-components oracle in graph_q.py).
+#
+# Exact-dedup-first: the large-SF corpora are ~100x exact-replicated
+# (sf10: 500k docs, 4,992 distinct texts), so doc-level band joins
+# degenerate into within-clone cliques — every clone shares ALL band
+# keys, forcing ~25M pairs at sf10 that say nothing beyond "these bytes
+# are equal" (doc_fingerprint_dedup's job). LSH runs over one
+# min-doc_id representative per distinct text; at 100 TB you never
+# re-signature identical bytes. The rep groupBy is one shuffle whose
+# exchange Catalyst reuses for both sides of the band self-join.
+DUCK_LSH_REPS = f"""
+    reps AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents
       WHERE len(regexp_extract_all(text, '\\S+')) >= 3
-    ),
+      GROUP BY text
+    )
+"""
+
+DUCK_LSH_PAIRS = f"""
+    WITH {DUCK_LSH_REPS},
+    toks AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM reps),
     sh AS (SELECT doc_id, {_duck_shingles(3)} AS shingles FROM toks),
     sig AS (SELECT doc_id, [{_DUCK_SLOTS_8}] AS slots FROM sh),
     banded AS (
@@ -141,6 +156,14 @@ DUCK_LSH_PAIRS = f"""
 """
 
 
+def _lsh_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-doc_id representative per distinct text (>=3 words)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).filter(
+        F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 3
+    )
+    return d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+
 @query(
     "minhash_lsh_candidate_pairs",
     oracle=f"""
@@ -149,14 +172,15 @@ DUCK_LSH_PAIRS = f"""
     """,
 )
 def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banding: the scale path for near-dup detection. Each doc
-    explodes into 4 band keys; only bucket collisions join — the O(n²)
-    pair space is never materialized."""
-    d = _spread(spark, _t(spark, sf_dir, "documents")).filter(
-        F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 3
-    )
+    """MinHash+LSH banding over exact-dedup representatives: the scale
+    path for near-dup detection. Each distinct text explodes into 4 band
+    keys; only bucket collisions join — neither the O(n²) pair space nor
+    the within-clone cliques are ever materialized."""
     return (
-        minhash_lsh_candidates(d, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4)
+        minhash_lsh_candidates(
+            _lsh_reps(spark, sf_dir), id_col="doc_id", text_col="text",
+            n_hashes=8, n_bands=4,
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -181,12 +205,21 @@ def simhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf0.1 already yields >100k pairs), while the groupBy is one uniform
     shuffle with output bounded by the number of clusters. For
     band-collision candidate *pairs* see minhash_lsh_candidate_pairs.
+
+    The fingerprint is computed once per DISTINCT text (the large-SF
+    corpora are ~100x exact-replicated), then cluster counts re-weight by
+    clone count — identical output to hashing every row, at 1% of the
+    hash work. Byte-equal texts trivially share a SimHash, so collapsing
+    them first never changes the clusters.
     """
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    fps = d.select("doc_id", simhash(F.col("text"), bits=24).alias("fp"))
+    per_text = d.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
+    fps = per_text.select("n", "min_id", simhash(F.col("text"), bits=24).alias("fp"))
     return (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .agg(F.sum("n").alias("n_docs"), F.min("min_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") >= 2)
         .orderBy("fp")
     )

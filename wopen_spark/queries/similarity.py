@@ -243,39 +243,78 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Embedding-cosine near-dup via random-hyperplane LSH. The test corpus has
-# no natural near-dups (max pairwise cosine ~0.52), so each vector gets a
-# planted twin: component 0 scaled by 1+2^-9 (exact in IEEE double, so
-# both engines derive the identical twin). The LSH must recover exactly
-# the planted pairs — candidate generation never touches the O(n²) space.
-_PLANES = __import__("wopen_spark.operators.similarity", fromlist=["hyperplane_signs"]).hyperplane_signs(8, 64)
+# Embedding-cosine near-dup via exact-dedup + BANDED random-hyperplane
+# LSH. Stage 1 collapses byte-identical vectors to their min-vec_id
+# representative: the large-SF corpora are ~100x exact-replicated (sf10:
+# 200k rows, 2k distinct), so WITHOUT this stage any cosine>=0.99 pair
+# listing is forced to emit every within-clone pair (~40M rows at sf10) —
+# quadratic in clone count no matter how good the LSH is. Exact clones
+# are the fingerprint-dedup operator's job; THIS operator reports
+# near-dup structure among distinct vectors. (At the oracle gate SFs the
+# corpus is duplicate-free, so stage 1 is the identity there.)
+#
+# Stage 2: the distinct corpus has no natural near-dups (max pairwise
+# cosine ~0.52), so each rep gets a planted twin — component 0 scaled by
+# 1+2^-9 (exact in IEEE double, so both engines derive the identical
+# twin). Banding: 3 tables of 16 planes each. Within a band, candidates
+# must agree on all 16 signs (2^16 buckets — the old single 8-plane
+# table had only 256, putting ~1.5k vectors in EVERY bucket at sf10 and
+# degenerating to a 600M-pair near-cross-join). Across bands, candidates
+# OR together — a twin pair is lost only if every band has a flipped
+# sign, P ~ (16·q)³ for per-plane flip prob q~1e-4, i.e. negligible.
+# Each pair is emitted by its FIRST colliding band only (later bands
+# require an earlier-band mismatch), so the union needs no distinct and
+# no re-join.
+_N_BANDS, _BAND_BITS = 3, 16
+_PLANES = __import__("wopen_spark.operators.similarity", fromlist=["hyperplane_signs"]).hyperplane_signs(_N_BANDS * _BAND_BITS, 64)
 _PERTURB = 1.001953125  # 1 + 2^-9
+_TWIN_OFFSET = 100_000_000  # far above any real vec_id at any SF
 
 
 def _duck_planes_sql() -> list[str]:
     return [f"[{', '.join(str(x) for x in pl)}]::DOUBLE[]" for pl in _PLANES]
 
 
+def _duck_band_bucket(band: int) -> str:
+    planes = _duck_planes_sql()[band * _BAND_BITS : (band + 1) * _BAND_BITS]
+    return " + ".join(
+        f"(CASE WHEN {_DUCK_DOT.format(a='v', b=p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _duck_band_join(band: int) -> str:
+    earlier = " AND ".join(f"a.bucket{e} != b2.bucket{e}" for e in range(band))
+    return f"""
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           {_duck_cos("a.v", "b2.v")} AS cosine
+    FROM b a JOIN b b2 USING (bucket{band})
+    WHERE a.vec_id < b2.vec_id
+      AND {_duck_cos("a.v", "b2.v")} >= 0.99
+      {"AND " + earlier if earlier else ""}
+    """
+
+
 @query(
     "embedding_near_dup_pairs",
     oracle=f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH base AS (
+      SELECT min(vec_id) AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings GROUP BY embedding
+    ),
     corpus AS (
       SELECT vec_id, v FROM base
       UNION ALL
-      SELECT vec_id + 100000, [v[1] * {_PERTURB}] || v[2:] FROM base
+      SELECT vec_id + {_TWIN_OFFSET}, [v[1] * {_PERTURB}] || v[2:] FROM base
     ),
     b AS (
       SELECT vec_id, v,
-             {" + ".join(f"(CASE WHEN {_DUCK_DOT.format(a='v', b=p)} > 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(_duck_planes_sql()))} AS bucket
+             {", ".join(f"{_duck_band_bucket(k)} AS bucket{k}" for k in range(_N_BANDS))}
       FROM corpus
     )
-    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-           {_duck_cos("a.v", "b2.v")} AS cosine
-    FROM b a JOIN b b2 USING (bucket)
-    WHERE a.vec_id < b2.vec_id
-      AND {_duck_cos("a.v", "b2.v")} >= 0.99
-    ORDER BY id_a, id_b
+    SELECT id_a, id_b, cosine FROM (
+      {" UNION ALL ".join(_duck_band_join(k) for k in range(_N_BANDS))}
+    ) ORDER BY id_a, id_b
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,11 +324,16 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_norm,
     )
 
-    base = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy("embedding")  # byte-equal float32 arrays -> one rep
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
     )
     twin = base.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
         F.concat(
             F.array(F.element_at("v", 1) * _PERTURB), F.slice("v", 2, 63)
         ).alias("v"),
@@ -297,25 +341,39 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms precomputed per vector: the pair stage then does ONE dot per
     # candidate instead of three (the norms' arithmetic is identical to
     # the oracle's sqrt(dot(v,v)), so values stay bit-equal)
-    corpus = (
-        base.unionByName(twin)
-        .withColumn("bucket", hyperplane_bucket(F.col("v"), _PLANES))
-        .withColumn("nrm", vec_norm(F.col("v")))
+    corpus = base.unionByName(twin).select(
+        "vec_id",
+        "v",
+        *[
+            hyperplane_bucket(
+                F.col("v"), _PLANES[k * _BAND_BITS : (k + 1) * _BAND_BITS]
+            ).alias(f"bucket{k}")
+            for k in range(_N_BANDS)
+        ],
+        vec_norm(F.col("v")).alias("nrm"),
     )
     a, b = corpus.alias("a"), corpus.alias("b")
     cos = F.round(
         cosine_from_norms(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 6
     )
-    return (
-        a.join(b, "bucket")
-        .filter((F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.99))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine"),
+    parts = []
+    for k in range(_N_BANDS):
+        cond = (F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.99)
+        for e in range(k):  # first-colliding-band dedup
+            cond &= F.col(f"a.bucket{e}") != F.col(f"b.bucket{e}")
+        parts.append(
+            a.join(b, f"bucket{k}")
+            .filter(cond)
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cos.alias("cosine"),
+            )
         )
-        .orderBy("id_a", "id_b")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("id_a", "id_b")
 
 
 # Higher-order array functions over the embedding column (SURVEY §1.2:
