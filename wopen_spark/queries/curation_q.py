@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.functions.text import doc_fingerprint, language_id, quality_score
-from wopen_spark.operators.dedup import exact_dedup
 from wopen_spark.queries.registry import _spread, _t, query
 from wopen_spark.queries.text_analysis import _LANG_CASE, _LANGS, _SCORE_EXPRS, _STOP_SUM
 
@@ -60,14 +59,33 @@ from wopen_spark.queries.text_analysis import _LANG_CASE, _LANGS, _SCORE_EXPRS, 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep docs with quality >= 0.5 whose detected language agrees with
     the label, drop exact duplicates (min doc_id per content
-    fingerprint), report per-language counts and mean quality."""
+    fingerprint), report per-language counts and mean quality.
+
+    Clone-collapse-first: quality/language scoring is a function of the
+    raw text alone, and the dedup stage keeps one doc per fingerprint
+    anyway — so the plan groups by (text, lang) FIRST (one shuffle whose
+    map-side partial min collapses clones before they move), scores the
+    ~distinct texts instead of every row, then finishes the dedup on the
+    tiny group table. Identical output to scoring every row (clones of a
+    (text, lang) pair are interchangeable: same q, same det, min doc_id
+    survives either way); on the ~100x-replicated large-SF corpora this
+    removes 99% of the regex work, and on a duplicate-free corpus it
+    degrades to the same one shuffle the dedup groupBy already cost."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    groups = d.groupBy("text", "lang").agg(F.min("doc_id").alias("doc_id"))
     kept = (
-        d.withColumn("q", quality_score(F.col("text")))
+        groups.withColumn("q", quality_score(F.col("text")))
         .withColumn("det", language_id(F.col("text")))
         .filter((F.col("q") >= 0.5) & (F.col("det") == F.col("lang")))
     )
-    unique = exact_dedup(kept, doc_fingerprint(F.col("text")), "doc_id", keep="min")
+    # finish the exact dedup ACROSS (text, lang) groups sharing a
+    # normalized fingerprint: min doc_id wins, carrying its lang and q
+    unique = (
+        kept.withColumn("fp", doc_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang", "q")).alias("s"))
+        .select(F.col("s.lang").alias("lang"), F.col("s.q").alias("q"))
+    )
     return (
         unique.groupBy("lang")
         .agg(
@@ -116,10 +134,23 @@ _G = 8
     """,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A doc's shared-gram count is a function of its text alone, so the
+    gram explode/distinct/probe runs once per distinct (text-side, text)
+    pair and every clone inherits the count through a broadcast join on
+    the text — on the ~100x-replicated large-SF corpora that is 99% less
+    gram churn, and on a duplicate-free corpus it collapses to the same
+    work as graming every row. Docs sharing zero grams drop out in the
+    inner join, exactly as before."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    norm = d.select(
-        "doc_id",
-        "source",
+    # distinct (is_bench, text): a text appearing both in the benchmark
+    # source and the corpus grams twice — once per role, as the doc-level
+    # original did
+    roles = d.select(
+        (F.col("source") == "src0").alias("is_bench"), "text"
+    ).distinct()
+    norm = roles.select(
+        "is_bench",
+        "text",
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
     )
     grams = (
@@ -131,14 +162,20 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .select("doc_id", "source", F.expr(f"substring(t, pos, {_G})").alias("gram"))
+        .select("is_bench", "text", F.expr(f"substring(t, pos, {_G})").alias("gram"))
         .distinct()
     )
-    bench = grams.filter(F.col("source") == "src0").select("gram").distinct()
-    corpus = grams.filter(F.col("source") != "src0")
-    return (
-        corpus.join(F.broadcast(bench), "gram")
-        .groupBy("doc_id")
+    bench = grams.filter(F.col("is_bench")).select("gram").distinct()
+    per_text = (
+        grams.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("text")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id", "text")
+        .join(F.broadcast(per_text), "text")
+        .select("doc_id", "n_shared_grams")
         .orderBy("doc_id")
     )
