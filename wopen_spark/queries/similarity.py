@@ -376,6 +376,108 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+# SemDeDup-style semantic dedup: bucket vectors by nearest seed centroid
+# (IVF assignment — the same argmax ivf_cosine_top5 probes with), then
+# inside each cluster drop every vector that has a LOWER-id member at
+# cosine >= 0.99. Pairwise comparison happens only within a cluster —
+# the centroid partitioning is what keeps semantic dedup off the O(n²)
+# pair space at corpus scale. Exact clones collapse to their min-id rep
+# first (same rationale as embedding_near_dup_pairs), and each rep gets
+# the planted 1+2^-9 twin so the drop set is non-trivial: every twin
+# lands in its original's cluster (the perturbation moves cosine-to-
+# centroid by ~1e-4; both engines compute the identical argmax either
+# way) and is dropped by its lower-id original.
+@query(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ),
+    reps AS (
+      SELECT min(vec_id) AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings GROUP BY embedding
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM reps
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET}, [v[1] * {_PERTURB}] || v[2:] FROM reps
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id, vec AS v FROM (
+        SELECT s.vec_id, c.centroid_id, s.v AS vec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {_duck_cos("s.v", "c.cvec")} DESC, c.centroid_id
+               ) AS rn
+        FROM corpus s CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b USING (centroid_id)
+      WHERE a.vec_id < b.vec_id AND {_duck_cos("a.v", "b.v")} >= 0.99
+    )
+    SELECT centroid_id,
+           COUNT(*) AS n_members,
+           COUNT(*) FILTER (WHERE d.vec_id IS NOT NULL) AS n_dropped,
+           MIN(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS min_kept_id
+    FROM assigned a LEFT JOIN dropped d USING (vec_id)
+    GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.operators.similarity import (
+        cosine_from_norms,
+        ivf_assign,
+        vec_norm,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    reps = (
+        e.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+    )
+    twin = reps.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) * _PERTURB), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    corpus = reps.unionByName(twin)
+    assigned = ivf_assign(
+        corpus, cents, vec_col="v", id_col="vec_id", n_assign=1
+    ).withColumn("nrm", vec_norm(F.col("v")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = cosine_from_norms(
+        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter((F.col("a.vec_id") < F.col("b.vec_id")) & (F.round(cos, 6) >= 0.99))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("__dropped").alias("n_dropped"),
+            F.min(F.when(F.col("__dropped").isNull(), F.col("vec_id"))).alias(
+                "min_kept_id"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 # Higher-order array functions over the embedding column (SURVEY §1.2:
 # arrays are a first-class engine type even though the reference never
 # persists them). filter/size/array_position run inside codegen on the
