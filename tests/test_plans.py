@@ -281,3 +281,26 @@ def test_partitioned_table_read_prunes_partitions(spark, tmp_path):
     # and no post-scan Filter on date_extract remains
     data_filters = pushed_filters(df)
     assert all("date_extract" not in f for f in data_filters)
+
+
+def test_minhash_rep_dedup_exchange_is_reused(spark):
+    """Clone-collapse shape: the distinct-text groupBy feeds BOTH sides
+    of the band self-join through ONE exchange — a regression to two
+    independent scans+shuffles of the corpus doubles the dominant cost
+    at 100 TB."""
+    from wopen_spark.plans import executed_plan_string
+
+    plan = executed_plan_string(_q(spark, "minhash_lsh_candidate_pairs"))
+    assert "ReusedExchange" in plan
+    # and the >=3-words guard still reaches the scan as a data filter
+    assert "regexp_extract_all" in plan.split("FileScan", 1)[1].split("\n", 1)[0]
+
+
+def test_embedding_lsh_rep_dedup_exchange_is_reused(spark):
+    """The exact-dedup groupBy(embedding) exchange must be shared across
+    all three band joins (6 logical subtree instances, one physical
+    shuffle of the raw vectors)."""
+    from wopen_spark.plans import executed_plan_string
+
+    plan = executed_plan_string(_q(spark, "embedding_near_dup_pairs"))
+    assert plan.count("ReusedExchange") >= 5

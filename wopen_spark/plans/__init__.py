@@ -2,6 +2,7 @@
 
 from wopen_spark.plans.inspect import (
     exchanges,
+    executed_plan_string,
     join_strategies,
     plan_string,
     pushed_filters,
@@ -10,6 +11,7 @@ from wopen_spark.plans.inspect import (
 
 __all__ = [
     "exchanges",
+    "executed_plan_string",
     "join_strategies",
     "plan_string",
     "pushed_filters",

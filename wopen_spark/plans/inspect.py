@@ -23,6 +23,15 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def executed_plan_string(df: DataFrame) -> str:
+    """The AQE-final executed plan. Runs the query (collect) first so
+    adaptive re-planning — runtime broadcast conversion, exchange reuse,
+    skew splits — has actually happened; ``plan_string`` shows only the
+    initial static plan."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every PushedFilters entry across the plan's scans (flattened)."""
     out: list[str] = []
