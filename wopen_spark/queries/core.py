@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wopen_spark.functions.text import TOKEN_REGEX, doc_fingerprint, token_count
-from wopen_spark.queries.registry import _spread, _dsum, _t, query
+from wopen_spark.queries.registry import _spread, _dsum, _lsum, _t, query
 
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (SURVEY §2.6 aggregations;
@@ -25,10 +25,10 @@ from wopen_spark.queries.registry import _spread, _dsum, _t, query
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -44,10 +44,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price, 4).alias("sum_disc_price"),
-            _dsum(charge, 6).alias("sum_charge"),
+            _lsum(F.col("l_quantity")).alias("sum_qty"),
+            _lsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _lsum(disc_price, 4).alias("sum_disc_price"),
+            _lsum(charge, 6).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -96,7 +96,7 @@ def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'O'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
@@ -111,7 +111,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(rev, 4).alias("revenue"))
+        .agg(_lsum(rev, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(20)
     )

@@ -67,26 +67,27 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
-           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+           CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_value,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregate over a 5-hot-key distribution: the
-    salted plan must equal the plain GROUP BY bit-for-bit (decimal sums
-    are order-independent, so re-association across salts is exact)."""
+    salted plan must equal the plain GROUP BY bit-for-bit (scaled-long
+    sums are order-independent, so re-association across salts is
+    exact; min/max trivially re-associate)."""
     ev = _t(spark, sf_dir, "events")
-    dec = F.col("value").cast("decimal(18,2)")
+    cents = F.round(F.col("value") * 100).cast("long")
     out = salted_aggregate(
         ev,
         keys=["event_type"],
         aggs={
             "n": (F.lit(1), "count"),
-            "total_value": (dec, "sum"),
-            "min_value": (dec, "min"),
-            "max_value": (dec, "max"),
+            "total_value": (cents, "sum"),
+            "min_value": (cents, "min"),
+            "max_value": (cents, "max"),
         },
         buckets=16,
         salt_col="event_id",
@@ -94,9 +95,9 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n",
-        F.col("total_value").cast("double").alias("total_value"),
-        F.col("min_value").cast("double").alias("min_value"),
-        F.col("max_value").cast("double").alias("max_value"),
+        (F.col("total_value").cast("double") / 100.0).alias("total_value"),
+        (F.col("min_value").cast("double") / 100.0).alias("min_value"),
+        (F.col("max_value").cast("double") / 100.0).alias("max_value"),
     ).orderBy("event_type")
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wopen_spark.queries.registry import _dsum, _t, query
+from wopen_spark.queries.registry import _dsum, _lsum, _t, query
 
 # ---------------------------------------------------------------------------
 # TPC-H Q3 shape: segment-filtered customer x orders x lineitem, revenue
@@ -25,7 +25,7 @@ from wopen_spark.queries.registry import _dsum, _t, query
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -55,7 +55,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
-        .agg(_dsum(rev, 4).alias("revenue"))
+        .agg(_lsum(rev, 4).alias("revenue"))
         .select("orderkey", "revenue", "orderdate", "orderpriority")
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
@@ -72,7 +72,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -107,7 +107,7 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(_dsum(rev, 4).alias("revenue"))
+        .agg(_lsum(rev, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
 
@@ -232,9 +232,9 @@ def sql_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
            CAST(CAST(SUM(CASE WHEN p.p_brand = 'Brand#1'
-                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))
-                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
-                / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                / CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE)
                AS DOUBLE) AS brand_share,
            COUNT(*) AS n_items
     FROM lineitem l
@@ -248,9 +248,11 @@ def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    rev = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
+        "long"
+    )
     brand_rev = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(
-        F.lit(0).cast("decimal(28,4)")
+        F.lit(0).cast("long")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -279,10 +281,10 @@ def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH avgs AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN avgs a ON a.l_partkey = l.l_partkey
@@ -299,7 +301,8 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey")
     avg_qty = (
-        F.sum(F.col("l_quantity").cast("decimal(28,2)")).over(w).cast("double")
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).over(w).cast("double")
+        / 100.0
         / F.count(F.lit(1)).over(w)
     )
     return (
@@ -307,9 +310,13 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double") / 7.0).alias(
-                "avg_yearly"
-            ),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -327,9 +334,9 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH big AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 300
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
     )
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, b.sum_qty
@@ -343,9 +350,9 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("q"))
-        .filter(F.col("q") > 300)
-        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"))
+        .filter(F.col("q") > 30000)
+        .select("l_orderkey", (F.col("q").cast("double") / 100.0).alias("sum_qty"))
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
