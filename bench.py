@@ -3,8 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + collect of the final result)
-so the measurement includes the full plan, not just plan construction.
+Each query is executed to completion and fully materialized on the
+driver — via Arrow (toPandas) so the transfer measures columnar batches,
+not row-at-a-time pickling; row-Row collect() is the fallback for any
+plan Arrow can't carry. The measurement covers the full plan, not just
+plan construction.
 """
 
 from __future__ import annotations
@@ -55,8 +58,11 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
-            rows = fn(spark, sf_dir).collect()
-            _ = len(rows)
+            df = fn(spark, sf_dir)
+            try:
+                _ = len(df.toPandas())
+            except Exception:  # noqa: BLE001 — Arrow-incompatible result
+                _ = len(df.collect())
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -55,6 +55,29 @@ def asof_join(
         *[F.col(c) for c in l_cols],
     )
     merged = r.unionByName(lf, allowMissingColumns=True)
+    return asof_join_merged(merged, l_cols, right_cols, right_ts, suffix)
+
+
+def asof_join_merged(
+    merged: DataFrame,
+    l_cols: list[str],
+    right_cols: list[str],
+    right_ts: str = "ts",
+    suffix: str = "_right",
+) -> DataFrame:
+    """The window-merge core of :func:`asof_join`, taking an already
+    union-tagged frame (``__key``, ``__t``, ``__side`` 0=right/1=left,
+    ``__payload`` struct with ``__ts`` + payload fields, plus the left
+    columns on side-1 rows).
+
+    Build the tagged frame yourself when BOTH sides derive from one
+    table: a single scan with a conditional payload replaces two scans
+    of the same file (the asof_click_before_purchase shape — left =
+    purchases, right = clicks, one events scan). Note the carry window
+    needs no right-side pre-dedup: ``last()`` over the (ts, side,
+    payload) order already resolves equal-timestamp right rows to the
+    greatest payload, which IS the max-id tie-break.
+    """
     # right rows sort before left rows at equal ts (__side 0 < 1), so an
     # equal-timestamp right row IS visible to the left row (ts_r <= ts_l)
     w = (

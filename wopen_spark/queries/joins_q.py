@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wopen_spark.operators.joins import asof_join, salted_aggregate
+from wopen_spark.operators.joins import asof_join_merged, salted_aggregate
 from wopen_spark.queries.registry import _t, query
 
 # events.ts is TIMESTAMP(NANOS); both engines compare at µs precision
@@ -37,25 +37,37 @@ _DUCK_EV = (
 )
 def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase, the user's most recent click at or before it —
-    the canonical time-series alignment. One shuffle on user_id (the
-    union-merge window), no range-join pair explosion; DuckDB's native
-    ASOF JOIN is the oracle."""
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    the canonical time-series alignment. ONE events scan (click and
+    purchase rows tagged in place — the pre-merged asof_join_merged entry
+    point) and one shuffle on user_id for the union-merge window; no
+    range-join pair explosion, and no right-side pre-dedup window (the
+    carry's last() already resolves equal-ts clicks to the max event_id,
+    matching the oracle's QUALIFY dedup). DuckDB's native ASOF JOIN is
+    the oracle."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    # dedup right side per (user, ts) to the max event_id so the as-of
-    # tie-break is identical in both engines
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    is_purchase = F.col("event_type") == "purchase"
+    payload_t = "struct<__ts:timestamp,click_id:bigint>"
+    merged = ev.select(
+        F.col("user_id").alias("__key"),
+        F.col("ts").alias("__t"),
+        is_purchase.cast("int").alias("__side"),
+        F.when(
+            ~is_purchase,
+            F.struct(
+                F.col("ts").alias("__ts"), F.col("event_id").alias("click_id")
+            ),
+        )
+        .otherwise(F.lit(None))
+        .cast(payload_t)
+        .alias("__payload"),
+        "event_id",
+        "user_id",
+        "ts",
     )
-    out = asof_join(
-        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
-        right_cols=["click_id"],
+    out = asof_join_merged(
+        merged, l_cols=["event_id", "user_id", "ts"], right_cols=["click_id"]
     )
     return out.select(
         "event_id", "user_id", "click_id", F.col("ts_asof").alias("click_ts")
