@@ -236,6 +236,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iterations: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — trains the centroids
     that ``ivf_cosine_topk`` probes (completing the IVF story: index
@@ -253,20 +254,31 @@ def kmeans_train(
       size — unlike collecting raw vectors per centroid.
 
     Determinism: assignments round cosine to 6 decimals with centroid-id
-    tie-break (``ivf_assign``); means are decimal-summed then divided by
-    the count, so every engine derives bit-identical centroids and the
+    tie-break (``ivf_assign``); means go through scaled-long arithmetic —
+    round(component·10^12) as long, exact 64-bit sums, two shared double
+    divides — so every engine derives bit-identical centroids and the
     next iteration sees the same assignment. Empty clusters drop out
     (standard Lloyd's behavior).
 
+    ``weight_col`` (integer multiplicity) trains on pre-collapsed
+    distinct vectors: a rep with weight w contributes exactly what w
+    byte-identical clones would (the scaled long multiplies by w before
+    summing), so exact-dedup-first costs nothing in fidelity and removes
+    the clone share of assignment + explode work. Headroom: |component|
+    < 10^3 keeps each scaled term under 10^15; clusters up to ~10^3
+    members-x-weight per dimension stay within the 9.2e18 long range.
+
     Returns (centroid_id, centroid array<double>, n_members) after
-    ``iterations`` update steps.
+    ``iterations`` update steps (n_members counts weights).
     """
+    scale = 10**12
+    w_expr = F.col(weight_col) if weight_col else F.lit(1)
     cents = seeds.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
     )
     for _ in range(iterations):
         assigned = ivf_assign(
-            corpus,
+            corpus.withColumn("__w", w_expr),
             cents.select(
                 F.col("centroid_id").alias(id_col), F.col("__cent").alias(vec_col)
             ),
@@ -275,14 +287,16 @@ def kmeans_train(
             n_assign=1,
         )
         dims = assigned.select(
-            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            "centroid_id", "__w", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
         per_dim = dims.groupBy("centroid_id", "pos").agg(
             (
-                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.round(F.col("val") * scale).cast("long") * F.col("__w"))
+                .cast("double")
+                / float(scale)
+                / F.sum("__w")
             ).alias("val"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("__w").alias("n"),
         )
         cents = per_dim.groupBy("centroid_id").agg(
             F.transform(

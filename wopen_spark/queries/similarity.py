@@ -180,15 +180,20 @@ def ivf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # IVF index BUILD: Lloyd's k-means (k=8 seeds, 2 iterations) over the
 # embeddings — the trainer for the centroids ivf_cosine_top5 probes. The
-# oracle unrolls both iterations as CTEs; assignment and decimal-mean
-# arithmetic mirror the operator exactly, so centroids stay bit-equal
-# across engines and the second iteration sees identical assignments.
+# oracle unrolls both iterations as CTEs; assignment and the weighted
+# scaled-long mean arithmetic mirror the operator exactly, so centroids
+# stay bit-equal across engines and the second iteration sees identical
+# assignments. Training runs on exact-dedup reps weighted by clone
+# count — a rep at weight w contributes exactly what w byte-identical
+# clones would, so the collapse is free in fidelity and removes the
+# clone share (~99% at the replicated large SFs) of assignment and
+# explode work.
 def _duck_kmeans_iter(cents_cte: str, out_assign: str, out_dims: str, out_cents: str) -> str:
     cos = _duck_cos("c2.vec", f"c.cvec")
     return f"""
     {out_assign} AS (
-      SELECT vec_id, centroid_id, vec FROM (
-        SELECT c2.vec_id, c.centroid_id, c2.vec,
+      SELECT vec_id, w, centroid_id, vec FROM (
+        SELECT c2.vec_id, c2.w, c.centroid_id, c2.vec,
                ROW_NUMBER() OVER (
                  PARTITION BY c2.vec_id ORDER BY {cos} DESC, c.centroid_id
                ) AS rn
@@ -197,8 +202,9 @@ def _duck_kmeans_iter(cents_cte: str, out_assign: str, out_dims: str, out_cents:
     ),
     {out_dims} AS (
       SELECT centroid_id, pos,
-             CAST(SUM(CAST(vec[pos + 1] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS val,
-             COUNT(*) AS n
+             CAST(SUM(CAST(round(vec[pos + 1] * 1000000000000) AS BIGINT) * w) AS DOUBLE)
+               / 1000000000000.0 / SUM(w) AS val,
+             SUM(w) AS n
       FROM {out_assign}, range(0, 64) t(pos)
       GROUP BY centroid_id, pos
     ),
@@ -211,12 +217,15 @@ def _duck_kmeans_iter(cents_cte: str, out_assign: str, out_dims: str, out_cents:
 @query(
     "kmeans_centroids_2iter",
     oracle=f"""
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    WITH corpus AS (
+      SELECT min(vec_id) AS vec_id, COUNT(*) AS w, embedding::DOUBLE[] AS vec
+      FROM embeddings GROUP BY embedding
+    ),
     cents0 AS (SELECT vec_id AS centroid_id, vec AS cvec FROM corpus WHERE vec_id < 8),
     {_duck_kmeans_iter("cents0", "assign1", "dims1", "cents1")},
     {_duck_kmeans_iter("cents1", "assign2", "dims2", "cents2")}
     SELECT centroid_id, CAST(t.pos AS BIGINT) AS pos, cvec[t.pos + 1] AS val,
-           n_members
+           CAST(n_members AS BIGINT) AS n_members
     FROM cents2, range(0, 64) t(pos)
     ORDER BY centroid_id, pos
     """,
@@ -224,11 +233,18 @@ def _duck_kmeans_iter(cents_cte: str, out_assign: str, out_dims: str, out_cents:
 def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wopen_spark.operators.similarity import kmeans_train
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("w"))
+        .select(
+            "vec_id", "w",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     trained = kmeans_train(
-        e, e.filter(F.col("vec_id") < 8), vec_col="v", id_col="vec_id", iterations=2
+        e, e.filter(F.col("vec_id") < 8), vec_col="v", id_col="vec_id",
+        iterations=2, weight_col="w",
     )
     return (
         trained.select(
