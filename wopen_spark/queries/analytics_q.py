@@ -108,3 +108,121 @@ def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+# ---------------------------------------------------------------------------
+# Bigram collocations: consecutive token pairs without exploding tokens
+# twice. The pair list is built inside the array domain (slice + zip_with),
+# so each document contributes one row to the explode and the only shuffle
+# is the final partial-aggregated count — same shuffle budget as a unigram
+# count. (A self-join on token position would shuffle the whole token
+# stream twice.)
+# ---------------------------------------------------------------------------
+@query(
+    "bigram_collocations",
+    oracle=r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '\S+') AS ts FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_zip(ts[1:greatest(len(ts)-1, 0)], ts[2:len(ts)])) AS p
+      FROM toks
+    )
+    SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*) AS n
+    FROM pairs
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token bigrams over the corpus (collocation mining,
+    a standard corpus-statistics pass in training-data pipelines)."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    ts = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    n_pairs = F.greatest(F.size(ts) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, n_pairs),
+        F.slice(ts, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine resample: zero-fill missing days in a sparse daily series.
+# The spine is generated from the aggregated bounds (|days| rows), so the
+# generate-join side is trivially broadcast; the big table is touched once
+# by the aggregate. The reference's pandas equivalent is
+# DataFrame.resample('D').sum().fillna(0) — this is the distributed shape.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_purchase_zero_filled",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(18,2))) AS rev,
+             COUNT(*) AS n
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 31 = 7
+      GROUP BY d
+    ),
+    days AS (
+      SELECT CAST(u AS DATE) AS day FROM (
+        SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                      (SELECT max(d) FROM daily),
+                                      INTERVAL 1 DAY)) AS u
+      )
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_purchases
+    FROM days LEFT JOIN daily ON day = d
+    ORDER BY day
+    """,
+)
+def daily_purchase_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 31 == 7)
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spine = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    return (
+        spine.join(F.broadcast(daily), spine.day == daily.d, "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("rev").cast("double"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_purchases"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT coverage: users present in two behavioral cohorts. Spark plans
+# INTERSECT as a left-semi join over distinct keys — two partial-aggregated
+# distincts and one equi-join, no row materialization of the full event
+# stream.
+# ---------------------------------------------------------------------------
+@query(
+    "clicker_purchaser_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def clicker_purchaser_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(purchasers).orderBy("user_id")
