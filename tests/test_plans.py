@@ -304,3 +304,33 @@ def test_embedding_lsh_rep_dedup_exchange_is_reused(spark):
 
     plan = executed_plan_string(_q(spark, "embedding_near_dup_pairs"))
     assert plan.count("ReusedExchange") >= 5
+
+
+def test_zero_fill_spine_join_broadcasts_daily_agg(spark):
+    # The calendar spine joins the |days|-row daily aggregate: must be a
+    # broadcast, never a shuffle of the aggregate output.
+    df = _q(spark, "daily_purchase_zero_filled")
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies
+    # the purchase filter reaches the events scan
+    assert any("event_type" in f for f in pushed_filters(df))
+
+
+def test_bigram_count_single_agg_shuffle(spark):
+    # Pairs are built in the array domain (slice + zip_with), so the plan
+    # is scan -> explode -> partial agg -> one exchange -> final agg; no
+    # join, no second shuffle of the token stream.
+    df = _q(spark, "bigram_collocations")
+    assert join_strategies(df) == []
+    # exchanges: optional _spread repartition + the aggregate shuffle
+    assert len(exchanges(df)) <= 2
+
+
+def test_intersect_plans_as_semi_join(spark):
+    # INTERSECT should compile to aggregated distinct + left-semi hash
+    # join, not a cartesian or union-based rewrite.
+    df = _q(spark, "clicker_purchaser_intersect")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
