@@ -70,17 +70,43 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "wopen_spark_total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a file; the printed line must stay
+    # under the harness's 2000-char stdout tail so it parses as JSON.
+    # (Rounds 1-2 printed all queries on one line; at 86 queries that is
+    # ~2.7 KB, the tail cut off the line start, and the recorded bench
+    # artifact had parsed=null.) Slowest-first so the entries that matter
+    # for perf grading survive the cut.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(
+                {"total_sec": total, "sf": sf_val, "queries": timings}, f, indent=1
+            )
+    except OSError:
+        full_path = None
+
+    base = {
+        "metric": "wopen_spark_total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "errors": sum(1 for v in timings.values() if v < 0),
+        "queries_full": "BENCH_FULL.json" if full_path else None,
+    }
+    budget = 1800
+    shown: dict[str, float] = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        trial = dict(base, queries=dict(shown, **{name: timings[name]}))
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            break
+        shown[name] = timings[name]
+    out = dict(base, queries=shown, queries_omitted=len(timings) - len(shown))
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
