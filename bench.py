@@ -96,12 +96,21 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "errors": sum(1 for v in timings.values() if v < 0),
+        # failed-query names in the base dict so they survive truncation
+        # (errored queries time -1.0 and sort last, i.e. cut first)
+        "failed": sorted(n for n, v in timings.items() if v < 0),
         "queries_full": "BENCH_FULL.json" if full_path else None,
     }
     budget = 1800
     shown: dict[str, float] = {}
     for name in sorted(timings, key=lambda n: -timings[n]):
-        trial = dict(base, queries=dict(shown, **{name: timings[name]}))
+        # trial must mirror the final output shape: include queries_omitted
+        # at its worst-case width so the printed line can't exceed budget
+        trial = dict(
+            base,
+            queries=dict(shown, **{name: timings[name]}),
+            queries_omitted=len(timings),
+        )
         if len(json.dumps(trial, separators=(",", ":"))) > budget:
             break
         shown[name] = timings[name]

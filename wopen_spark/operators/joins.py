@@ -150,8 +150,13 @@ def range_join_within(
     one exploded bucket (the right side's bucket is unique).
     """
     w_us = window_seconds * 1_000_000
+    # unix_micros requires TIMESTAMP; parquet event ts is TIMESTAMP_NTZ.
+    # The NTZ->LTZ cast applies one consistent offset to every row, which
+    # cancels in both the pair delta and the bucket±1 neighbourhood math.
     ev = df.select(
-        F.col(id_col), F.col(by), F.unix_micros(F.col(ts_col)).alias("__us")
+        F.col(id_col),
+        F.col(by),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
     ).withColumn("__bkt", F.floor(F.col("__us") / w_us))
     a = ev.select(
         F.col(id_col).alias("id_a"),
