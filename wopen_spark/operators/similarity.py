@@ -196,37 +196,57 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     n_assign: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its ``n_assign`` nearest centroids by cosine.
+    """Assign each vector to its ``n_assign`` nearest centroids by cosine,
+    entirely map-side: ZERO shuffle of the corpus.
 
-    Centroids are broadcast (they number ~sqrt(corpus), always small), so
-    assignment is a map-side pass over the corpus — the only shuffle is
-    the per-vector top-n window, partitioned on the (unique) vector id and
-    thus skew-free. Scores round to 6 decimals with centroid-id tie-break
-    for engine-reproducible assignments.
+    The centroid set (always small, ~sqrt(corpus)) is collapsed to a
+    one-row array and broadcast; per corpus row the scores are computed
+    with ``transform`` and ranked with an ``array_sort`` comparator
+    inside codegen. Earlier revisions ranked with a ``row_number`` window
+    partitioned on the vector id — correct, but that shuffles the ENTIRE
+    corpus once per call (and once per k-means iteration), which is the
+    dominant cost at 1B vectors. The comparator reproduces the window's
+    exact order: cosine rounded to 6 decimals descending, centroid id
+    ascending, so assignments are bit-identical to the windowed form and
+    engine-reproducible.
     """
-    c = centroids.select(
-        F.col(id_col).alias(centroid_id_col),
-        F.col(vec_col).alias("__cvec"),
-        vec_norm(F.col(vec_col)).alias("__cvnorm"),
+    carr = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        vec_norm(F.col(vec_col)).alias("cnorm"),
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cvec", "cnorm"))).alias("__cents")
     )
-    scored = (
-        df.withColumn("__vnorm", vec_norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(c))
-        .withColumn(
-            "__cs",
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
             F.round(
                 cosine_from_norms(
-                    F.col(vec_col), F.col("__cvec"), F.col("__vnorm"), F.col("__cvnorm")
+                    F.col(vec_col), c["cvec"], F.col("__vnorm"), c["cnorm"]
                 ),
                 6,
-            ),
-        )
+            ).alias("cs"),
+            c["cid"].alias("cid"),
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc(centroid_id_col))
+    ranked = F.slice(
+        F.array_sort(
+            scored,
+            lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
+            .when(l["cs"] < r["cs"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .when(l["cid"] > r["cid"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        1,
+        n_assign,
+    )
+    out_cols = df.columns
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_assign)
-        .drop("__cvec", "__cvnorm", "__vnorm", "__cs", "__rn")
+        df.withColumn("__vnorm", vec_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(carr))
+        .select(*out_cols, F.explode(ranked).alias("__pick"))
+        .select(*out_cols, F.col("__pick")["cid"].alias(centroid_id_col))
     )
 
 
