@@ -144,13 +144,18 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     # distinct (is_bench, text): a text appearing both in the benchmark
     # source and the corpus grams twice — once per role, as the doc-level
-    # original did
+    # original did. The gram stage keys on md5(text) instead of the text
+    # itself: a gram row otherwise carries the full multi-KB document
+    # through the distinct shuffle, and at length(text) gram rows per doc
+    # that shuffle is ~99% dead weight. The md5 stands in for the text
+    # through explode/distinct/count; doc_ids re-attach by hashing the
+    # corpus side the same way.
     roles = d.select(
         (F.col("source") == "src0").alias("is_bench"), "text"
     ).distinct()
     norm = roles.select(
         "is_bench",
-        "text",
+        F.md5(F.col("text")).alias("tid"),
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
     )
     grams = (
@@ -162,20 +167,20 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .select("is_bench", "text", F.expr(f"substring(t, pos, {_G})").alias("gram"))
+        .select("is_bench", "tid", F.expr(f"substring(t, pos, {_G})").alias("gram"))
         .distinct()
     )
     bench = grams.filter(F.col("is_bench")).select("gram").distinct()
-    per_text = (
+    per_tid = (
         grams.filter(~F.col("is_bench"))
         .join(F.broadcast(bench), "gram")
-        .groupBy("text")
+        .groupBy("tid")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
     return (
         d.filter(F.col("source") != "src0")
-        .select("doc_id", "text")
-        .join(F.broadcast(per_text), "text")
+        .select("doc_id", F.md5(F.col("text")).alias("tid"))
+        .join(F.broadcast(per_tid), "tid")
         .select("doc_id", "n_shared_grams")
         .orderBy("doc_id")
     )
