@@ -334,3 +334,36 @@ def test_intersect_plans_as_semi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_shapes_broadcast_dims(spark):
+    """New TPC-H-shape queries: every dimension join (part, supplier,
+    customer-side lookups, nation twice) must be a broadcast hash join —
+    the fact side shuffles only for its own aggregate."""
+    for name in [
+        "promo_revenue_share",
+        "disjunctive_predicate_revenue",
+        "nation_trade_volume",
+    ]:
+        strategies = join_strategies(_q(spark, name))
+        assert strategies and all(
+            j == "BroadcastHashJoin" for j in strategies
+        ), (name, strategies)
+
+
+def test_scalar_subquery_filters_broadcast_not_collect(spark):
+    """Q11/Q22 shapes: the global-aggregate threshold rides a broadcast
+    nested-loop cross join (one row), never a shuffled cartesian."""
+    for name in ["idle_rich_customers", "top_supplier_value_share"]:
+        strategies = join_strategies(_q(spark, name))
+        assert "CartesianProduct" not in strategies, (name, strategies)
+        assert "BroadcastNestedLoopJoin" in strategies, (name, strategies)
+
+
+def test_promo_share_pushes_date_filter(spark):
+    df = _q(spark, "promo_revenue_share")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # column pruning: only the needed lineitem columns are read
+    assert any(
+        "l_partkey" in s and "l_returnflag" not in s for s in scan_schemas(df)
+    )

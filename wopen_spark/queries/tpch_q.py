@@ -1,0 +1,311 @@
+"""TPC-H-shape relational coverage beyond the reference's two-table
+joins: conditional aggregation ratios (Q14), zero-preserving outer-join
+histograms (Q13), disjunctive multi-branch predicates (Q19), scalar-
+subquery + anti-join filters (Q22), global-share HAVING (Q11), and the
+two-dimension star with the same dim joined twice (Q7).
+
+Plan intent at 100 TB: every dimension (part, supplier, customer,
+nation) broadcasts; the lineitem/orders facts shuffle at most once on
+their join key; scalar aggregates ride a broadcast cross join instead of
+a driver collect; all date/segment filters land on the parquet scans.
+Aggregates go through scaled-long cents arithmetic (registry._lsum) so
+the DuckDB oracle hashes bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.queries.registry import _lsum, _t, query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+_LSUM4 = "CAST(SUM(CAST(round({expr} * 10000) AS BIGINT)) AS DOUBLE) / 10000.0"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share per ship month — conditional aggregation
+# over one fact scan, part dim broadcast. The share divides two exact
+# scaled-long sums with the identical double ops on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           round(100.0 * ({_LSUM4.format(expr=f"CASE WHEN p.p_type = 'PROMO' THEN {_REV} ELSE 0 END")})
+                 / ({_LSUM4.format(expr=_REV)}), 6) AS promo_share,
+           {_LSUM4.format(expr=_REV)} AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(100.0 * _lsum(promo, 4) / _lsum(_rev(), 4), 6).alias(
+                "promo_share"
+            ),
+            _lsum(_rev(), 4).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: distribution of per-customer order counts, zero-order
+# customers preserved through the left outer join — two aggregation
+# levels, the second over already-tiny data.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive brand/size/quantity branches — one broadcast
+# join on the common partkey, the OR evaluated post-join (NOT three
+# scans), revenue in exact cents.
+# ---------------------------------------------------------------------------
+_Q19_BRANCHES = [
+    ("Brand#11", 1, 15, 1.0, 11.0),
+    ("Brand#12", 1, 25, 10.0, 20.0),
+    ("Brand#13", 1, 35, 20.0, 30.0),
+]
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    oracle=f"""
+    SELECT {_LSUM4.format(expr=_REV)} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s1} AND {s2}"
+        f" AND l.l_quantity BETWEEN {q1} AND {q2})"
+        for b, s1, s2, q1, q2 in _Q19_BRANCHES
+    )}
+    """,
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for b, s1, s2, q1, q2 in _Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s1, s2)
+            & F.col("l_quantity").between(q1, q2)
+        )
+        cond = branch if cond is None else (cond | branch)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_lsum(_rev(), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: customers richer than the mean positive balance with no
+# RECENT order (the correlated NOT EXISTS carries a date predicate, so
+# the anti join's build side is filtered before the shuffle) — scalar
+# aggregate broadcast via cross join (no driver collect), grouped by
+# segment.
+# ---------------------------------------------------------------------------
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH thresh AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_acctbal
+    FROM customer c, thresh t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _lsum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: per-supplier revenue kept only above a fixed share of the
+# GLOBAL total — the filter threshold is itself an aggregate, broadcast
+# back over the grouped rows.
+# ---------------------------------------------------------------------------
+@query(
+    "top_supplier_value_share",
+    oracle=f"""
+    WITH per_supp AS (
+      SELECT l.l_suppkey, {_LSUM4.format(expr=_REV)} AS revenue
+      FROM lineitem l GROUP BY 1
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(round(revenue * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS total_rev
+      FROM per_supp
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, p.revenue,
+           round(100.0 * p.revenue / t.total_rev, 6) AS share_pct
+    FROM per_supp p
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey, total t
+    WHERE p.revenue > 0.011 * t.total_rev
+    ORDER BY p.revenue DESC, suppkey
+    """,
+)
+def top_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = li.groupBy("l_suppkey").agg(_lsum(_rev(), 4).alias("revenue"))
+    total = per_supp.agg(
+        (
+            F.sum(F.round(F.col("revenue") * 10000).cast("long")).cast("double")
+            / 10000.0
+        ).alias("total_rev")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue") > 0.011 * F.col("total_rev"))
+        .join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            "revenue",
+            F.round(100.0 * F.col("revenue") / F.col("total_rev"), 6).alias(
+                "share_pct"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: cross-nation trade volume — the nation dim joins TWICE (via
+# supplier and via customer); both sides broadcast, lineitem shuffles
+# once on orderkey to meet orders.
+# ---------------------------------------------------------------------------
+_TRADE_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(o.o_orderdate) AS order_year,
+           {_LSUM4.format(expr=_REV)} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN {_TRADE_NATIONS!r}
+      AND nc.n_name IN {_TRADE_NATIONS!r}
+      AND ns.n_name <> nc.n_name
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_TRADE_NATIONS))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    supp_side = s.join(
+        F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_side = c.join(
+        F.broadcast(
+            n.select(F.col("n_nationkey"), F.col("n_name").alias("cust_nation"))
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(F.broadcast(supp_side), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_side), o.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(_lsum(_rev(), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
