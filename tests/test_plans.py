@@ -367,3 +367,18 @@ def test_promo_share_pushes_date_filter(spark):
     assert any(
         "l_partkey" in s and "l_returnflag" not in s for s in scan_schemas(df)
     )
+
+
+def test_lexical_diversity_is_map_side_only(spark):
+    """Per-doc lexical stats must stay a pure map pass: the only exchange
+    is the final presentation sort, never a shuffle of word explosions."""
+    df = _q(spark, "doc_lexical_diversity")
+    ex = exchanges(df)
+    assert len(ex) <= 1, ex
+
+
+def test_tfidf_broadcasts_df_and_corpus_size(spark):
+    strategies = join_strategies(_q(spark, "tfidf_top_terms"))
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies, strategies

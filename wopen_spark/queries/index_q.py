@@ -1,0 +1,234 @@
+"""Corpus indexing + end-to-end dedup queries for training-data
+pipelines: inverted-index posting lists, TF-IDF top terms, per-doc
+lexical-diversity stats, and the full near-dup KEEP decision (LSH
+candidates -> components -> one survivor per cluster).
+
+Scale shapes: tf is the only corpus-sized shuffle (keyed on (doc,term)
+then term — uniform unless a term is globally hot, which the posting cap
+bounds); document-frequency and corpus-size scalars broadcast; the
+lexical stats are pure map-side array expressions (zero shuffle, zero
+Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wopen_spark.operators.dedup import minhash_lsh_candidates
+from wopen_spark.operators.graph import connected_components
+from wopen_spark.queries.dedup import DUCK_LSH_PAIRS, DUCK_LSH_REPS, _lsh_reps
+from wopen_spark.queries.registry import _spread, _t, query
+
+_DUCK_W = "regexp_extract_all(lower(text), '\\S+')"
+
+
+def _words() -> F.Column:
+    return F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term -> document frequency, total term frequency, and
+# the first 10 postings (sorted doc_ids). The posting list is CAPPED —
+# at 100 TB a hot term's full posting list is itself big data and would
+# be sharded, never collected into one array; df/total_tf stay exact
+# because they aggregate before the cap.
+# ---------------------------------------------------------------------------
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t.token, doc_id, COUNT(*) AS tf
+      FROM documents, unnest({_DUCK_W}) AS t(token)
+      GROUP BY 1, 2
+    )
+    SELECT token,
+           COUNT(*) AS df,
+           SUM(tf) AS total_tf,
+           array_to_string(list_sort(list(doc_id))[1:10], '|') AS postings_head
+    FROM tf
+    GROUP BY token
+    ORDER BY df DESC, token
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(_words()).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10), "|"
+            ).alias("postings_head"),
+        )
+        .orderBy(F.desc("df"), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-3 terms per document by tf * ln(N/df). df per term and the
+# corpus size N broadcast; the per-doc top-k is a window over the tf
+# rows, partitioned on doc_id (unique -> skew-free).
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t.token, COUNT(*) AS tf
+      FROM documents, unnest({_DUCK_W}) AS t(token)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(_words()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per doc: token count, type count, type-token ratio,
+# hapax count (words occurring exactly once in the doc). Entirely
+# map-side: the hapax test runs over the SORTED word array comparing
+# each position to its neighbours — no explode, no shuffle, no Python.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_lexical_diversity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_sort({_DUCK_W}) AS ws FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_types,
+           CASE WHEN len(ws) > 0
+             THEN round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+             ELSE 0.0 END AS type_token_ratio,
+           len(list_filter(range(1, len(ws) + 1),
+               i -> (i = 1 OR ws[i] <> ws[i-1])
+                AND (i = len(ws) OR ws[i] <> ws[i+1]))) AS n_hapax
+    FROM w ORDER BY doc_id
+    """,
+)
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ws = F.array_sort(_words())
+    d = d.select("doc_id", ws.alias("ws"))
+    n = F.size(F.col("ws"))
+    types = F.size(F.array_distinct(F.col("ws")))
+    is_hapax = lambda i: (  # noqa: E731 — inline predicate over position i
+        F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("ws"), i) != F.element_at(F.col("ws"), i - 1)
+        )
+        & F.when(i == n, F.lit(True)).otherwise(
+            F.element_at(F.col("ws"), i) != F.element_at(F.col("ws"), i + 1)
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        types.cast("long").alias("n_types"),
+        F.when(n > 0, F.round(types.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("type_token_ratio"),
+        F.size(F.filter(F.sequence(F.lit(1), n), is_hapax)).cast("long").alias(
+            "n_hapax"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup KEEP decision: exact-dedup reps -> MinHash-LSH
+# candidate pairs -> connected components -> keep exactly one doc per
+# transitive cluster (the min doc_id, which is both the component label
+# and the rep of its text group). Every doc gets a verdict; the
+# iterative part runs only on the distinct-text graph.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_keep_corpus",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({DUCK_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    rep_comp AS (
+      SELECT a AS rep_id, MIN(b) AS component FROM reach GROUP BY a
+    ),
+    {DUCK_LSH_REPS}
+    SELECT d.doc_id AS doc_id,
+           coalesce(rc.component, rm.doc_id) AS component,
+           CAST(d.doc_id = coalesce(rc.component, rm.doc_id) AS BIGINT) AS kept
+    FROM documents d
+    JOIN reps rm USING (text)
+    LEFT JOIN rep_comp rc ON rc.rep_id = rm.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def near_dup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = _lsh_reps(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    rep_of = reps.withColumnRenamed("doc_id", "rep_id")
+    comp_of = comps.withColumnRenamed("node", "rep_id")
+    keep_label = F.coalesce(F.col("component"), F.col("rep_id"))
+    return (
+        d.join(F.broadcast(rep_of), "text")
+        .join(F.broadcast(comp_of), "rep_id", "left")
+        .select(
+            "doc_id",
+            keep_label.alias("component"),
+            (F.col("doc_id") == keep_label).cast("long").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
