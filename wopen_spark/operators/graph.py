@@ -64,7 +64,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage: O(1) plan per round
+            # truncate lineage: O(1) plan per round. Lazy: the convergence
+            # aggregate right below materializes it, so each round runs ONE
+            # job instead of checkpoint-then-aggregate running two.
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
