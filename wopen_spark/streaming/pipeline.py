@@ -18,28 +18,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see queries.registry)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file stream (one file today; a directory that
-    keeps growing in production — the checkpoint tracks processed files)."""
+    keeps growing in production — the checkpoint tracks processed files).
+
+    The generated events file has stored ``ts`` as TIMESTAMP(NANOS) in
+    some testdata versions (readable only as nanos-as-long) and as
+    microsecond TIMESTAMP_NTZ in others. A stream needs an explicit
+    schema, so probe the batch reader's resolved type once (footer-only,
+    no data scan) and build the matching stream schema; either way the
+    stream exposes ``ts`` as a session-TZ TimestampType for
+    watermarks/windows — mirroring queries.registry._t.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    resolved = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp_ntz")
+    if resolved == "bigint":  # TIMESTAMP(NANOS) via nanos-as-long
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = (
+        T.TimestampNTZType() if resolved == "timestamp_ntz" else T.TimestampType()
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
