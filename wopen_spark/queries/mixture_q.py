@@ -1,0 +1,223 @@
+"""Corpus mixture + LM-based curation queries: per-source deterministic
+sampling rates, unigram log-probability scoring, cross-source duplicate
+overlap, and CUBE grouping-sets analytics.
+
+Scale shapes: the mixture sample is a pure map-side filter (rate map is
+a literal, hash is per-row); the unigram LM broadcast-joins a
+vocabulary-sized count table against the (doc, term) tf rows; the
+overlap matrix self-joins on the uniform md5 fingerprint key only.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wopen_spark.queries.registry import _spread, _t, query
+
+_DUCK_W = "regexp_extract_all(lower(text), '\\S+')"
+
+# per-source sampling percentages — the "mixture weights" a training run
+# assigns to corpus slices (heavier on the cleaner sources)
+_MIX_RATES = {"src0": 5, "src1": 20, "src2": 50, "src3": 80, "src4": 100}
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source mixture sampling: every row is kept iff a
+# salted key hash falls under its source's rate — reproducible on any
+# engine/partitioning (rand() is not), and entirely map-side: the rate
+# map is a literal, so the filter rides the parquet scan.
+# ---------------------------------------------------------------------------
+@query(
+    "source_mixture_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+               AS bucket,
+             CASE source {"".join(f"WHEN '{s}' THEN {r} " for s, r in _MIX_RATES.items())}ELSE 0 END AS rate
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE bucket < rate) AS n_sampled
+    FROM tagged GROUP BY source ORDER BY source
+    """,
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[F.lit(x) for x in chain.from_iterable(_MIX_RATES.items())]
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = F.coalesce(rate_map[F.col("source")], F.lit(0))
+    return (
+        d.select("source", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("bucket") < F.col("rate"), 1)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM scoring: corpus token counts form the model (vocabulary-
+# sized, broadcast); each doc's mean token log-probability flags
+# out-of-distribution documents — the cheap perplexity-style quality
+# gate. Same ln/sum/round discipline as bm25_search (round 6 after the
+# sum bounds float-order noise).
+# ---------------------------------------------------------------------------
+@query(
+    "unigram_logprob_docs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t.token, COUNT(*) AS tf
+      FROM documents, unnest({_DUCK_W}) AS t(token)
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+    n AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(SUM(tf.tf * ln(CAST(vocab.cnt AS DOUBLE) / n.total)) / SUM(tf.tf), 6)
+             AS avg_logprob
+    FROM tf JOIN vocab USING (token) CROSS JOIN n
+    GROUP BY tf.doc_id
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    n = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("cnt").cast("double") / F.col("total"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap: which sources copy from each other —
+# fingerprinted on the leading 3-word shingle (a coarse lead-paragraph
+# detector; full-text md5 via functions.text.doc_fingerprint plugs in
+# for exact overlap). The distinct collapses clones first, then the tiny
+# (fingerprint, source) table self-joins on the uniform md5 key only.
+# The matrix drives source-level dedup priority in a mixture.
+# ---------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH fps AS (
+      SELECT DISTINCT md5(array_to_string({_DUCK_W}[1:3], ' ')) AS fp,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_texts
+    FROM fps a JOIN fps b USING (fp)
+    WHERE a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    lead_fp = F.md5(
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0)
+                ),
+                1,
+                3,
+            ),
+            " ",
+        )
+    )
+    fps = d.select(lead_fp.alias("fp"), "source").distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets over (event_type, day-of-week): all four
+# aggregation levels in ONE shuffle — the partial aggregate expands each
+# row into its grouping sets map-side, so no re-scan per level (vs. four
+# UNION'd GROUP BYs).
+# ---------------------------------------------------------------------------
+@query(
+    "event_type_cube_stats",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN GROUPING(dow) = 0 THEN dow END AS dow,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      -- DuckDB dayofweek is 0-6 (Sun=0); Spark's is 1-7 (Sun=1)
+      SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events
+    )
+    GROUP BY CUBE (event_type, dow)
+    ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+    """,
+)
+def event_type_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first()
+        )
+    )
