@@ -269,6 +269,35 @@ def test_asof_join_semantics(spark):
     assert out[3].ts_asof is None
 
 
+def test_asof_forward_semantics(spark):
+    """Forward as-of: equal timestamps match, later-only matches, keys
+    with no subsequent right row get null, equal-ts ties pick min rid."""
+    import datetime as dt
+
+    from wopen_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(3)), (2, 10, t(4)), (3, 20, t(9))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(2)), (101, 10, t(4)), (103, 10, t(4)), (102, 20, t(1))],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r.lid: r
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts",
+            right_cols=["rid"], direction="forward",
+        ).collect()
+    }
+    assert out[1].rid == 101  # earliest at-or-after 0:03 is 0:04, tie -> min rid
+    assert out[2].rid == 101  # equal timestamp (0:04) matches, min rid
+    assert out[3].rid is None  # right row is before the left row
+    assert out[3].ts_asof is None
+
+
 def test_connected_components_semantics(spark):
     """Chains collapse to the min id; disjoint components stay apart."""
     from wopen_spark.operators.graph import connected_components

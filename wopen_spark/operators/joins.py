@@ -29,13 +29,16 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join: attach the latest right row at or before
-    each left row's timestamp, per ``by`` key.
+    """As-of left join per ``by`` key: ``direction='backward'`` attaches
+    the latest right row at or before each left row's timestamp;
+    ``'forward'`` the earliest right row at or after it.
 
     ``right_cols`` are the right payload columns to carry (renamed with
-    ``suffix`` on collision). Ties on the right timestamp are broken by
-    the last row in (ts, payload-struct) order, deterministically.
+    ``suffix`` on collision). Tie-break on equal right timestamps is
+    deterministic: max (ts, payload-struct) for backward, min for
+    forward — i.e. ORDER BY ts [DESC], payload [DESC] LIMIT 1 semantics.
     """
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols]
@@ -55,7 +58,7 @@ def asof_join(
         *[F.col(c) for c in l_cols],
     )
     merged = r.unionByName(lf, allowMissingColumns=True)
-    return asof_join_merged(merged, l_cols, right_cols, right_ts, suffix)
+    return asof_join_merged(merged, l_cols, right_cols, right_ts, suffix, direction)
 
 
 def asof_join_merged(
@@ -64,6 +67,7 @@ def asof_join_merged(
     right_cols: list[str],
     right_ts: str = "ts",
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """The window-merge core of :func:`asof_join`, taking an already
     union-tagged frame (``__key``, ``__t``, ``__side`` 0=right/1=left,
@@ -78,11 +82,20 @@ def asof_join_merged(
     payload) order already resolves equal-timestamp right rows to the
     greatest payload, which IS the max-id tie-break.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     # right rows sort before left rows at equal ts (__side 0 < 1), so an
-    # equal-timestamp right row IS visible to the left row (ts_r <= ts_l)
+    # equal-timestamp right row IS visible to the left row (backward:
+    # ts_r <= ts_l; forward: ts_r >= ts_l). Forward scans time DESCENDING
+    # with the payload also descending, so last() resolves equal-ts right
+    # rows to the MIN payload — the "earliest next" semantics.
+    if direction == "backward":
+        order = [F.asc("__t"), F.asc("__side"), F.asc("__payload")]
+    else:
+        order = [F.desc("__t"), F.asc("__side"), F.desc("__payload")]
     w = (
         Window.partitionBy("__key")
-        .orderBy("__t", "__side", "__payload")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn("__last", F.last("__payload", ignorenulls=True).over(w))

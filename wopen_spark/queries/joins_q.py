@@ -75,6 +75,62 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_next_click_after_signup",
+    oracle=f"""
+    WITH ev AS ({_DUCK_EV}),
+    s AS (SELECT * FROM ev WHERE event_type = 'signup'),
+    c AS (SELECT user_id, ts, event_id AS click_id FROM ev
+          WHERE event_type = 'click'),
+    pairs AS (
+      SELECT s.event_id, s.user_id, c.click_id, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY s.event_id
+                                ORDER BY c.ts, c.click_id) AS rn
+      FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.ts >= s.ts
+    )
+    SELECT event_id, user_id, click_id, click_ts
+    FROM pairs WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def asof_next_click_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for every signup, the user's earliest click at or
+    after it — the other half of time-series alignment (next-event
+    attribution). Same single-scan union-merge shape as the backward
+    query, scanning time descending; equal-ts clicks resolve to the min
+    click_id, matching the oracle's ORDER BY ts, click_id."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "signup")
+    )
+    is_signup = F.col("event_type") == "signup"
+    payload_t = "struct<__ts:timestamp,click_id:bigint>"
+    merged = ev.select(
+        F.col("user_id").alias("__key"),
+        F.col("ts").alias("__t"),
+        is_signup.cast("int").alias("__side"),
+        F.when(
+            ~is_signup,
+            F.struct(
+                F.col("ts").alias("__ts"), F.col("event_id").alias("click_id")
+            ),
+        )
+        .otherwise(F.lit(None))
+        .cast(payload_t)
+        .alias("__payload"),
+        "event_id",
+        "user_id",
+        "ts",
+    )
+    out = asof_join_merged(
+        merged,
+        l_cols=["event_id", "user_id", "ts"],
+        right_cols=["click_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "click_id", F.col("ts_asof").alias("click_ts")
+    ).orderBy("event_id")
+
+
+@query(
     "salted_event_type_stats",
     oracle="""
     SELECT event_type,
