@@ -357,16 +357,24 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms precomputed per vector: the pair stage then does ONE dot per
     # candidate instead of three (the norms' arithmetic is identical to
     # the oracle's sqrt(dot(v,v)), so values stay bit-equal)
-    corpus = base.unionByName(twin).select(
-        "vec_id",
-        "v",
-        *[
-            hyperplane_bucket(
-                F.col("v"), _PLANES[k * _BAND_BITS : (k + 1) * _BAND_BITS]
-            ).alias(f"bucket{k}")
-            for k in range(_N_BANDS)
-        ],
-        vec_norm(F.col("v")).alias("nrm"),
+    # lazy localCheckpoint: the 48-hyperplane scoring + norm pass is
+    # referenced by all 3 band self-joins (6 plan arms); checkpointing
+    # materializes it once instead of recomputing per arm — the standard
+    # persist-before-reuse move for multi-branch plans
+    corpus = (
+        base.unionByName(twin)
+        .select(
+            "vec_id",
+            "v",
+            *[
+                hyperplane_bucket(
+                    F.col("v"), _PLANES[k * _BAND_BITS : (k + 1) * _BAND_BITS]
+                ).alias(f"bucket{k}")
+                for k in range(_N_BANDS)
+            ],
+            vec_norm(F.col("v")).alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
     )
     a, b = corpus.alias("a"), corpus.alias("b")
     cos = F.round(
