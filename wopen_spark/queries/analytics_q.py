@@ -226,3 +226,84 @@ def clicker_purchaser_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return clickers.intersect(purchasers).orderBy("user_id")
+
+
+@query(
+    "quantity_price_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS syy,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS quantity_price_corr
+    FROM m ORDER BY returnflag
+    """,
+)
+def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group computed from EXACT scaled-long
+    moment sums (Σx, Σy, Σx², Σy², Σxy as overflow-safe longs), combined
+    with the identical double expression on both engines — the
+    order-independent alternative to F.corr, whose float accumulation
+    order is partitioning-dependent. One shuffle (the groupBy); the five
+    moments ride the same map-side partial aggregate. Quantities are
+    integral and prices 2-dp in TPC-H, so the long casts are lossless."""
+    li = _t(spark, sf_dir, "lineitem")
+    qx = F.round(F.col("l_quantity")).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qx).cast("double").alias("sx"),
+        (F.sum(pc).cast("double") / 100.0).alias("sy"),
+        F.sum(qx * qx).cast("double").alias("sxx"),
+        (F.sum(pc * pc).cast("double") / 10000.0).alias("syy"),
+        (F.sum(qx * pc).cast("double") / 100.0).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(corr, 6).alias("quantity_price_corr"),
+    ).orderBy("returnflag")
+
+
+@query(
+    "mode_event_type_per_user",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key MODE (most frequent value, lexicographic tie-break): one
+    count aggregate then a window over the already-small (user, type)
+    table — never a collect of raw values per key."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+        .orderBy("user_id")
+    )
