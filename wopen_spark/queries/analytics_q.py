@@ -307,3 +307,106 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
         .orderBy("user_id")
     )
+
+
+_KMV_K = 64
+_KMV_SCALE = float(16 ** 15)  # hash domain: 15 hex chars -> [0, 16^15)
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT event_type, MAX(hv) AS kth, COUNT(*) AS k_used
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_exact,
+           CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE round((k_used - 1) * {_KMV_SCALE!r} / kth, 6) END AS kmv_estimate
+    FROM sk JOIN exact USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, ORACLE-MATCHED: unlike
+    HLL (engine-specific registers, rows-only check), KMV is defined by
+    pure arithmetic — the k smallest salted-md5 hashes of the key — so
+    any engine derives the identical estimate. Mergeable (union = k
+    smallest of concatenated sketches), one shuffle on (type, hash) for
+    the distinct + the tiny per-type top-k window; if the key set is
+    smaller than k the sketch IS the exact count."""
+    ev = _t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("kth"), F.count(F.lit(1)).alias("k_used"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.round((F.col("k_used") - 1) * _KMV_SCALE / F.col("kth"), 6))
+    return (
+        sk.join(exact, "event_type")
+        .select("event_type", "n_exact", est.alias("kmv_estimate"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "locf_last_purchase_value",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events ORDER BY event_id
+    """,
+)
+def locf_last_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-filling (last observation carried forward): every event
+    carries the user's most recent purchase value — last(ignorenulls)
+    over a running row frame, one shuffle on the partition key. The
+    sparse column is synthesized in place (value where purchase), the
+    standard shape for forward-filling sensor/price series."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    ).orderBy("event_id")
