@@ -309,3 +309,49 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_lsum(_rev(), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
         .orderBy("supp_nation", "cust_nation", "order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join shape: two aggregated keyspaces (event users vs order
+# customers) merged with both-sided null preservation — the reconcile-
+# two-systems report. Aggregating BEFORE the join keeps the outer join
+# on two small unique-key tables (never fact x fact).
+# ---------------------------------------------------------------------------
+@query(
+    "full_outer_user_presence",
+    oracle="""
+    WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    oc AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+           FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+    SELECT coalesce(ev.user_id, oc.user_id) AS user_id,
+           coalesce(ev.n_events, 0) AS n_events,
+           coalesce(oc.n_orders, 0) AS n_orders,
+           CASE WHEN ev.user_id IS NULL THEN 'orders_only'
+                WHEN oc.user_id IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM ev FULL OUTER JOIN oc ON ev.user_id = oc.user_id
+    ORDER BY user_id
+    """,
+)
+def full_outer_user_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy(F.col("o_custkey").alias("o_user"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = ev.join(oc, ev.user_id == oc.o_user, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("user_id"), F.col("o_user")).alias("user_id"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.when(F.col("user_id").isNull(), "orders_only")
+        .when(F.col("o_user").isNull(), "events_only")
+        .otherwise("both")
+        .alias("presence"),
+    ).orderBy("user_id")
