@@ -237,7 +237,11 @@ def clicker_purchaser_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
              CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS syy,
+             -- cents^2 ~ 1e14 per row: the squared-price moment exceeds
+             -- the long range beyond ~1e5 rows/group, so it accumulates
+             -- in DECIMAL(38,0) (exact on both engines) before the cast
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))
+                      * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 10000.0 AS syy,
              CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
@@ -260,12 +264,16 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qx = F.round(F.col("l_quantity")).cast("long")
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # cents^2 ~ 1e14/row overflows a long sum beyond ~1e5 rows per group;
+    # the squared-price moment accumulates in decimal (exact, matching
+    # the oracle's DECIMAL(38,0)) and only then casts to double
+    pd_ = pc.cast("decimal(18,0)")
     m = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(qx).cast("double").alias("sx"),
         (F.sum(pc).cast("double") / 100.0).alias("sy"),
         F.sum(qx * qx).cast("double").alias("sxx"),
-        (F.sum(pc * pc).cast("double") / 10000.0).alias("syy"),
+        (F.sum(pd_ * pd_).cast("double") / 10000.0).alias("syy"),
         (F.sum(qx * pc).cast("double") / 100.0).alias("sxy"),
     )
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
