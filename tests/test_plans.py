@@ -382,3 +382,34 @@ def test_tfidf_broadcasts_df_and_corpus_size(spark):
     assert "CartesianProduct" not in strategies
     assert "BroadcastHashJoin" in strategies
     assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_correlation_single_shuffle(spark):
+    """Five moment sums ride ONE map-side-combined groupBy shuffle; the
+    correlation arithmetic is post-aggregate projection."""
+    df = _q(spark, "quantity_price_correlation")
+    # one aggregate exchange + the presentation sort at most
+    assert len(exchanges(df)) <= 2, exchanges(df)
+
+
+def test_mode_and_kmv_aggregate_before_window(spark):
+    """MODE and KMV both reduce to aggregates/windows over already-small
+    keyed tables — no cartesian, no broadcast explosion."""
+    for name in ["mode_event_type_per_user", "kmv_distinct_users"]:
+        strategies = join_strategies(_q(spark, name))
+        assert "CartesianProduct" not in strategies, (name, strategies)
+
+
+def test_locf_single_partition_shuffle(spark):
+    """LOCF is one window pass: exactly one hash exchange on the
+    partition key plus the presentation sort."""
+    df = _q(spark, "locf_last_purchase_value")
+    assert len(exchanges(df)) <= 2, exchanges(df)
+
+
+def test_full_outer_joins_aggregates_not_facts(spark):
+    """The full outer join must sit above the two aggregates (SMJ/SHJ of
+    small unique-key tables), with both fact scans pruned to the join
+    key + count inputs."""
+    df = _q(spark, "full_outer_user_presence")
+    assert any("o_totalprice" in f for f in pushed_filters(df))
