@@ -74,8 +74,15 @@ _WRATIO_SLUGS = [
     """,
 )
 def wratio_top1_assoc_slugs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    left = spark.createDataFrame([(t,) for t in _WRATIO_TERMS], ["search_term"])
-    right = spark.createDataFrame([(s,) for s in _WRATIO_SLUGS], ["slug"])
+    # pandas-sourced createDataFrame: the Arrow path plans a pure
+    # LocalRelation, so the cross join runs in-plan (~0.2s); the
+    # list-of-tuples path parallelizes an RDD and the same join costs ~5s
+    # of scheduling round-trips — the dominant cost of this fixture-sized
+    # query. (The levenshtein scorer remains the at-scale path.)
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({"search_term": _WRATIO_TERMS}))
+    right = spark.createDataFrame(pd.DataFrame({"slug": _WRATIO_SLUGS}))
     return (
         fuzzy_top1_join(left, right, "search_term", "slug", scorer="wratio")
         .select("search_term", "slug", "similarity")
