@@ -228,16 +228,25 @@ def range_frame_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
-        F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("k")
+    """eqNullSafe (<=>) join semantics, aggregate-before-join: counting
+    pairs per key only needs each side's per-key count multiplied, so
+    both sides reduce FIRST (map-side combined) and the null-safe join
+    runs over two key-cardinality tables — at sf10 the naive pair join
+    materializes ~21e9 rows just to count them (54 s); this plan is
+    ~1 s and identical by the oracle hash."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 7, F.lit(3)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("na"))
     )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.nullif(F.col("s_suppkey") % 7, F.lit(3)).alias("kb")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_suppkey") % 7, F.lit(3)).alias("kb"))
+        .agg(F.count(F.lit(1)).alias("nb"))
     )
     return (
-        c.join(s, F.col("k").eqNullSafe(F.col("kb")))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        c.join(F.broadcast(s), F.col("k").eqNullSafe(F.col("kb")))
+        .select("k", (F.col("na") * F.col("nb")).alias("n_pairs"))
         .orderBy(F.col("k").asc_nulls_first())
     )
 
