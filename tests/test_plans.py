@@ -296,14 +296,17 @@ def test_minhash_rep_dedup_exchange_is_reused(spark):
     assert "regexp_extract_all" in plan.split("FileScan", 1)[1].split("\n", 1)[0]
 
 
-def test_embedding_lsh_rep_dedup_exchange_is_reused(spark):
-    """The exact-dedup groupBy(embedding) exchange must be shared across
-    all three band joins (6 logical subtree instances, one physical
-    shuffle of the raw vectors)."""
+def test_embedding_lsh_scoring_computed_once(spark):
+    """The 48-hyperplane-scored corpus must be materialized ONCE and
+    shared by all 6 arms of the 3 band self-joins. It is localCheckpointed
+    (stronger than exchange reuse — the scoring job runs once, period),
+    so the final plan reads only the checkpointed RDD: zero parquet
+    scans, zero re-derivations of the scoring subtree."""
     from wopen_spark.plans import executed_plan_string
 
     plan = executed_plan_string(_q(spark, "embedding_near_dup_pairs"))
-    assert plan.count("ReusedExchange") >= 5
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_zero_fill_spine_join_broadcasts_daily_agg(spark):
@@ -369,12 +372,17 @@ def test_promo_share_pushes_date_filter(spark):
     )
 
 
-def test_lexical_diversity_is_map_side_only(spark):
-    """Per-doc lexical stats must stay a pure map pass: the only exchange
-    is the final presentation sort, never a shuffle of word explosions."""
+def test_lexical_diversity_clone_collapsed(spark):
+    """Per-doc lexical stats compute once per DISTINCT text (one distinct
+    shuffle) and clones inherit via broadcast join — never a word-array
+    shuffle per document, never a shuffled join back."""
     df = _q(spark, "doc_lexical_diversity")
     ex = exchanges(df)
-    assert len(ex) <= 1, ex
+    # distinct-text aggregate + presentation sort; the join back must be
+    # broadcast, not another exchange
+    assert len(ex) <= 3, ex
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SortMergeJoin" not in join_strategies(df)
 
 
 def test_tfidf_broadcasts_df_and_corpus_size(spark):

@@ -418,13 +418,21 @@ def _sql_marker_sum(lang: str) -> str:
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.queries.registry import _per_distinct_text
+
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
-        "n_chars",
-    ).orderBy("doc_id")
+    return (
+        _per_distinct_text(
+            d.select("doc_id", "n_chars", "text"),
+            lambda t: t.select(
+                "text",
+                token_count(F.col("text")).alias("n_tokens"),
+                F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
+            ),
+        )
+        .select("doc_id", "n_tokens", "n_ws_tokens", "n_chars")
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -17,7 +17,7 @@ from wopen_spark.operators.dedup import (
     ngram_jaccard,
     simhash,
 )
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import _per_distinct_text, _spread, _t, query
 
 # DuckDB fragments mirroring operators.dedup._word_shingles / minhash
 _DUCK_WORDS = "regexp_extract_all(lower(trim(text)), '\\S+')"
@@ -45,8 +45,17 @@ _N_MINHASH = 4
     """,
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures are a function of the text alone, so they compute once
+    per DISTINCT text and every clone inherits via broadcast join
+    (queries.registry._per_distinct_text) — at sf10 that is 4,992
+    signature computations instead of 500k."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(d, "text", n_hashes=_N_MINHASH, shingle_size=3)
+    sigs = _per_distinct_text(
+        d.select("doc_id", "text"),
+        lambda texts: minhash_signatures(
+            texts, "text", n_hashes=_N_MINHASH, shingle_size=3
+        ),
+    )
     return sigs.select(
         "doc_id",
         *[F.col("minhash").getItem(i).alias(f"mh{i}") for i in range(_N_MINHASH)],
@@ -74,8 +83,14 @@ def _duck_simhash(bits: int = 16) -> str:
     """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return d.select("doc_id", simhash(F.col("text"), bits=16).alias("fp")).orderBy("doc_id")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return (
+        _per_distinct_text(
+            d, lambda t: t.select("text", simhash(F.col("text"), bits=16).alias("fp"))
+        )
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
 
 
 @query(

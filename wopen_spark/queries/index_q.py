@@ -152,30 +152,39 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    ws = F.array_sort(_words())
-    d = d.select("doc_id", ws.alias("ws"))
-    n = F.size(F.col("ws"))
-    types = F.size(F.array_distinct(F.col("ws")))
-    is_hapax = lambda i: (  # noqa: E731 — inline predicate over position i
-        F.when(i == 1, F.lit(True)).otherwise(
-            F.element_at(F.col("ws"), i) != F.element_at(F.col("ws"), i - 1)
+    from wopen_spark.queries.registry import _per_distinct_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(texts: DataFrame) -> DataFrame:
+        t = texts.select("text", F.array_sort(_words()).alias("ws"))
+        n = F.size(F.col("ws"))
+        types = F.size(F.array_distinct(F.col("ws")))
+        is_hapax = lambda i: (  # noqa: E731 — inline predicate over position i
+            F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(F.col("ws"), i) != F.element_at(F.col("ws"), i - 1)
+            )
+            & F.when(i == n, F.lit(True)).otherwise(
+                F.element_at(F.col("ws"), i) != F.element_at(F.col("ws"), i + 1)
+            )
         )
-        & F.when(i == n, F.lit(True)).otherwise(
-            F.element_at(F.col("ws"), i) != F.element_at(F.col("ws"), i + 1)
+        return t.select(
+            "text",
+            n.cast("long").alias("n_tokens"),
+            types.cast("long").alias("n_types"),
+            F.when(n > 0, F.round(types.cast("double") / n, 6))
+            .otherwise(F.lit(0.0))
+            .alias("type_token_ratio"),
+            F.size(F.filter(F.sequence(F.lit(1), n), is_hapax))
+            .cast("long")
+            .alias("n_hapax"),
         )
+
+    return (
+        _per_distinct_text(d, build)
+        .select("doc_id", "n_tokens", "n_types", "type_token_ratio", "n_hapax")
+        .orderBy("doc_id")
     )
-    return d.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        types.cast("long").alias("n_types"),
-        F.when(n > 0, F.round(types.cast("double") / n, 6))
-        .otherwise(F.lit(0.0))
-        .alias("type_token_ratio"),
-        F.size(F.filter(F.sequence(F.lit(1), n), is_hapax)).cast("long").alias(
-            "n_hapax"
-        ),
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

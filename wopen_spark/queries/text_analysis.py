@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.functions.text import LANG_MARKERS, STOPWORDS, language_id, quality_score
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import _per_distinct_text, _spread, _t, query
 
 
 def _duck_word_count(word: str) -> str:
@@ -47,12 +47,20 @@ _LANG_CASE = (
     """,
 )
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detected language is a function of the text alone: computed
+    once per DISTINCT text, inherited by clones via broadcast join
+    (_per_distinct_text) — 4,992 regex-marker passes at sf10, not 500k."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        language_id(F.col("text")).alias("detected_lang"),
-    ).orderBy("doc_id")
+    return (
+        _per_distinct_text(
+            d.select("doc_id", "lang", "text"),
+            lambda t: t.select(
+                "text", language_id(F.col("text")).alias("detected_lang")
+            ),
+        )
+        .select("doc_id", F.col("lang").alias("labeled_lang"), "detected_lang")
+        .orderBy("doc_id")
+    )
 
 
 _STOP_SUM = " + ".join(_duck_word_count(w) for w in STOPWORDS)
@@ -81,7 +89,14 @@ _STOP_SUM = " + ".join(_duck_word_count(w) for w in STOPWORDS)
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+    return (
+        _per_distinct_text(
+            d.select("doc_id", "text"),
+            lambda t: t.select("text", quality_score(F.col("text")).alias("quality")),
+        )
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
 
 
 # Rolling (polynomial / Rabin-Karp) document fingerprint: the order-aware
@@ -108,4 +123,11 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, c: (a * 31 + F.ascii(c)) % F.lit(1000000007).cast("long"),
     )
-    return d.select("doc_id", h.alias("rolling_hash")).orderBy("doc_id")
+    return (
+        _per_distinct_text(
+            d.select("doc_id", "text"),
+            lambda t: t.select("text", h.alias("rolling_hash")),
+        )
+        .select("doc_id", "rolling_hash")
+        .orderBy("doc_id")
+    )
