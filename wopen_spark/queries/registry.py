@@ -84,19 +84,24 @@ def _davg(col, scale: int = 4):
     return (F.sum(col.cast(f"decimal(28,{scale})")) / F.count(F.lit(1))).cast("double")
 
 
-def _per_distinct_text(d: DataFrame, build) -> DataFrame:
-    """Clone-collapse for per-document functions of the text alone:
-    ``build`` maps a DataFrame[text] of DISTINCT texts to
-    DataFrame[text, ...computed]; every document then inherits its
-    text's computed columns through a broadcast join.
+def _per_distinct(d: DataFrame, key_cols: list[str], build) -> DataFrame:
+    """Clone-collapse for per-row functions of a low-cardinality input:
+    ``build`` maps a DataFrame of the DISTINCT ``key_cols`` to the same
+    keys plus computed columns; every row then inherits its key's
+    computed columns through a broadcast join.
 
-    On clone-heavy corpora (the sf10 campaign's tables are ~100x
+    On clone-heavy inputs (the sf10 campaign's tables are ~100x
     exact-replicated — realistic for web-scale data) this removes ~99%
     of the per-row compute for one distinct shuffle. On a duplicate-free
-    corpus it degrades to the same single shuffle. The broadcast assumes
-    the distinct-text side fits the broadcast threshold; for corpora
-    where it doesn't, swap the hint for a hash join on a text
-    fingerprint — still one shuffle, still computes each text once.
+    input it degrades to the same single shuffle. The broadcast assumes
+    the distinct side fits the broadcast threshold; where it doesn't,
+    swap the hint for a hash join on a key fingerprint — still one
+    shuffle, still computes each distinct value once.
     """
-    per = build(d.select("text").distinct())
-    return d.join(F.broadcast(per), "text")
+    per = build(d.select(*key_cols).distinct())
+    return d.join(F.broadcast(per), key_cols)
+
+
+def _per_distinct_text(d: DataFrame, build) -> DataFrame:
+    """``_per_distinct`` specialized to the documents ``text`` column."""
+    return _per_distinct(d, ["text"], build)

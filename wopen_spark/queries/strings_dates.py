@@ -19,7 +19,7 @@ from wopen_spark.functions.dates import (
     french_date_str,
 )
 from wopen_spark.functions.strings import capitalize_first, clean_image, normalize_slug
-from wopen_spark.queries.registry import _t, query
+from wopen_spark.queries.registry import _per_distinct, _t, query
 
 
 # P1/§2.10 slug normalization (get_similarity.py:132-138) applied to part
@@ -41,8 +41,18 @@ from wopen_spark.queries.registry import _t, query
     """,
 )
 def slug_normalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return p.select("p_partkey", normalize_slug(F.col("p_name")).alias("slug")).orderBy("p_partkey")
+    """The slug is a function of p_name alone; the regex chain runs once
+    per DISTINCT name and rows inherit via broadcast join (_per_distinct
+    — the replicated large-SF part table has ~64 distinct names)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        _per_distinct(
+            p, ["p_name"],
+            lambda t: t.select("p_name", normalize_slug(F.col("p_name")).alias("slug")),
+        )
+        .select("p_partkey", "slug")
+        .orderBy("p_partkey")
+    )
 
 
 # str.capitalize() parity (assos_validation_retreatment.py:77) + initcap
@@ -59,12 +69,19 @@ def slug_normalize_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def capitalize_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        capitalize_first(F.col("p_name")).alias("cap_first"),
-        F.initcap(F.col("p_name")).alias("title_case"),
-    ).orderBy("p_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return (
+        _per_distinct(
+            p, ["p_name"],
+            lambda t: t.select(
+                "p_name",
+                capitalize_first(F.col("p_name")).alias("cap_first"),
+                F.initcap(F.col("p_name")).alias("title_case"),
+            ),
+        )
+        .select("p_partkey", "cap_first", "title_case")
+        .orderBy("p_partkey")
+    )
 
 
 # regexp_extract (get_similarity.py:131, update_assos...py:99-103): pull the
@@ -140,8 +157,12 @@ def clean_image_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        p.withColumn("image", image)
-        .select("p_partkey", clean_image(F.col("image")).alias("cleaned"))
+        _per_distinct(
+            p.withColumn("image", image).select("p_partkey", "image"),
+            ["image"],
+            lambda t: t.select("image", clean_image(F.col("image")).alias("cleaned")),
+        )
+        .select("p_partkey", "cleaned")
         .orderBy("p_partkey")
     )
 
@@ -162,9 +183,18 @@ _FR_MONTHS_SQL = "[" + ", ".join(f"'{m}'" for m in _FR_MONTHS) + "]"
     """,
 )
 def french_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.select("o_orderkey", french_date_str(F.col("o_orderdate")).alias("date_fr")).orderBy(
-        "o_orderkey"
+    """~2.4k distinct order dates in 15M rows at sf10: the format chain
+    runs per DISTINCT date, rows inherit via broadcast join."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        _per_distinct(
+            o, ["o_orderdate"],
+            lambda t: t.select(
+                "o_orderdate", french_date_str(F.col("o_orderdate")).alias("date_fr")
+            ),
+        )
+        .select("o_orderkey", "date_fr")
+        .orderBy("o_orderkey")
     )
 
 
@@ -180,18 +210,28 @@ def french_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     d_str = F.date_format(F.col("o_orderdate"), "dd/MM/yyyy")
-    return o.select(
-        "o_orderkey",
-        d_str.alias("d_str"),
-        # string, not DATE: date-typed outputs stringify differently across
-        # engines' pandas conversion (datetime64 vs date object)
-        F.date_format(F.to_date(d_str, "dd/MM/yyyy"), "yyyy-MM-dd").alias("d_parsed"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_95"
-        ),
-    ).orderBy("o_orderkey")
+    return (
+        _per_distinct(
+            o, ["o_orderdate"],
+            lambda t: t.select(
+                "o_orderdate",
+                d_str.alias("d_str"),
+                # string, not DATE: date-typed outputs stringify differently
+                # across engines' pandas conversion (datetime64 vs date)
+                F.date_format(F.to_date(d_str, "dd/MM/yyyy"), "yyyy-MM-dd").alias(
+                    "d_parsed"
+                ),
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                ).alias("days_since_95"),
+            ),
+        )
+        .select("o_orderkey", "d_str", "d_parsed", "days_since_95")
+        .orderBy("o_orderkey")
+    )
 
 
 # Availability calendar (process_open_data.py:50-70): fixed range minus each
@@ -247,14 +287,22 @@ def user_availability_jan2024(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregate: reduce on the raw props string FIRST (one
+    map-side-combined shuffle, exact decimal partial sums), then parse
+    JSON once per DISTINCT props (~100 at sf10, not 10M) and re-combine.
+    Decimal sums re-associate exactly, so the oracle hash is unchanged."""
     ev = _t(spark, sf_dir, "events")
+    per_props = ev.groupBy("props").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("val"),
+    )
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
-        ev.withColumn("k_mod", k % 10)
+        per_props.withColumn("k_mod", k % 10)
         .groupBy("k_mod")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.sum("n").alias("n"),
+            F.sum("val").cast("double").alias("total_value"),
         )
         .orderBy("k_mod")
     )
