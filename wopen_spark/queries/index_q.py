@@ -100,29 +100,41 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-collapsed: tf and the per-doc ranking are functions of the
+    text, and document frequency / corpus size weight each distinct text
+    by its clone count (exact integer sums — a text with w clones
+    contributes exactly w documents to df and N). The explode runs over
+    ~5k distinct texts at sf10 instead of 500k docs; every doc inherits
+    its text's top-3 through a broadcast join."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("w"))
     tf = (
-        d.select("doc_id", F.explode(_words()).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        groups.select("text", "w", F.explode(_words()).alias("token"))
+        .groupBy("text", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("w").alias("w"))
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("token").agg(F.sum("w").alias("df"))
+    n = groups.agg(F.sum("w").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
         .select(
-            "doc_id",
+            "text",
             "token",
             F.round(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
-    return (
+    w = Window.partitionBy("text").orderBy(F.desc("tfidf"), F.asc("token"))
+    top = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
+    )
+    return (
+        d.select("doc_id", "text")
+        .join(F.broadcast(top), "text")
+        .select("doc_id", "token", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
 

@@ -100,23 +100,30 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-collapsed: per-doc tf is a function of the text, and the
+    vocabulary counts weight each distinct text by its clone count
+    (cnt = sum of w*tf — exact longs, identical to summing every doc).
+    The explode and scoring run per distinct text; docs inherit via
+    broadcast join."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("w"))
     tf = (
-        d.select(
-            "doc_id",
+        groups.select(
+            "text",
+            "w",
             F.explode(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
             ).alias("token"),
         )
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("text", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("w").alias("w"))
     )
-    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    vocab = tf.groupBy("token").agg(F.sum(F.col("tf") * F.col("w")).alias("cnt"))
     n = vocab.agg(F.sum("cnt").alias("total"))
-    return (
+    per_text = (
         tf.join(F.broadcast(vocab), "token")
         .crossJoin(F.broadcast(n))
-        .groupBy("doc_id")
+        .groupBy("text")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
             F.round(
@@ -128,6 +135,11 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
+    )
+    return (
+        d.select("doc_id", "text")
+        .join(F.broadcast(per_text), "text")
+        .select("doc_id", "n_tokens", "avg_logprob")
         .orderBy("doc_id")
     )
 

@@ -50,30 +50,39 @@ _K1, _B = 1.2, 0.75
     """,
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for a fixed term set. Scale shape: the token explode is
-    filtered to query terms BEFORE the tf groupBy (tiny shuffle), doc
-    lengths are a map-side pass, corpus stats and idf broadcast."""
+    """BM25 top-20 for a fixed term set, clone-collapsed: tf/dl are
+    functions of the text, and every corpus statistic weights each
+    distinct text by its clone count with exact integer sums (a text
+    with w clones contributes exactly w docs to n_docs, df, and the
+    length total — identical doubles fall out of the same divisions).
+    The explode runs over distinct texts; docs inherit their text's
+    score through a broadcast join before the global top-20."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id",
+    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("w"))
+    toks = groups.select(
+        "text",
+        "w",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
         ).alias("token"),
     )
     tf = (
         toks.filter(F.col("token").isin(_QUERY_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("text", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("w").alias("w"))
     )
-    dl = d.select(
-        "doc_id",
+    dl = groups.select(
+        "text",
+        "w",
         F.regexp_count(F.lower(F.col("text")), F.lit(r"\S+")).alias("dl"),
     )
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum("w").alias("n_docs"),
+        (
+            F.sum(F.col("dl") * F.col("w")).cast("double") / F.sum("w")
+        ).alias("avgdl"),
     )
-    idf = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = tf.groupBy("token").agg(F.sum("w").alias("df"))
     term = (
         F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
         * F.col("tf") * (_K1 + 1)
@@ -81,13 +90,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "token")
-        .join(dl, "doc_id")
+        .join(dl.select("text", "dl"), "text")
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
+        .groupBy("text")
         .agg(F.sum(term).alias("score"))
     )
     return (
-        scored.select("doc_id", F.round(F.col("score"), 6).alias("bm25"))
+        d.select("doc_id", "text")
+        .join(F.broadcast(scored), "text")
+        .select("doc_id", F.round(F.col("score"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
