@@ -355,3 +355,93 @@ def full_outer_user_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: revenue lost to returned items per customer in a quarter —
+# the 4-table star (lineitem x orders x customer x nation) with the
+# returnflag filter on the fact scan and a top-20 presentation cut.
+# ---------------------------------------------------------------------------
+@query(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name, n.n_name AS nation,
+           {_LSUM4.format(expr=_REV)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(_lsum(_rev(), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands per customer: the largest silence between consecutive
+# orders. The lag window partitions on the (unique-ish) customer key —
+# parallel and skew-free, unlike a global-sort gap scan which funnels
+# into one task.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_order_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           MAX(datediff('day', prev_d, o_orderdate)) AS max_gap_days,
+           CAST(MIN(o_orderdate) AS DATE)::VARCHAR AS first_order,
+           CAST(MAX(o_orderdate) AS DATE)::VARCHAR AS last_order
+    FROM seq GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    ORDER BY custkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("prev_d", F.lag("o_orderdate").over(w))
+    return (
+        seq.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("prev_d").cast("date"))
+            ).alias("max_gap_days"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        )
+        .filter(F.col("n_orders") >= 5)
+        .orderBy("custkey")
+    )
