@@ -418,3 +418,135 @@ def locf_last_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT (t_view IS NOT NULL) AS s1,
+             (t_view IS NOT NULL AND t_click >= t_view) AS s2,
+             (t_view IS NOT NULL AND t_click >= t_view AND t_purchase >= t_click) AS s3
+      FROM firsts
+    )
+    SELECT stage_idx, stage, n_users FROM (
+      SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) FILTER (WHERE s1) AS n_users FROM flags
+      UNION ALL
+      SELECT 2, 'view>click', COUNT(*) FILTER (WHERE s2) FROM flags
+      UNION ALL
+      SELECT 3, 'view>click>purchase', COUNT(*) FILTER (WHERE s3) FROM flags
+    ) ORDER BY stage_idx
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel in ONE pass: per-user first-timestamps pivot into
+    three columns with conditional MIN (single groupBy shuffle), the
+    ordering predicates become boolean flags, and the three stage counts
+    unpivot via stack — no per-stage re-scan, no self-joins."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") >= F.col("t_click"))
+    counts = firsts.agg(
+        F.count(F.when(s1, 1)).alias("c1"),
+        F.count(F.when(s2, 1)).alias("c2"),
+        F.count(F.when(s3, 1)).alias("c3"),
+    )
+    return counts.selectExpr(
+        "stack(3, 1, 'view', c1, 2, 'view>click', c2, 3, 'view>click>purchase', c3)"
+        " AS (stage_idx, stage, n_users)"
+    ).orderBy("stage_idx")
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', c.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users bucketed by first-activity week,
+    counted in each subsequent activity week. The cohort table is
+    user-cardinality (broadcast); activity dedups (user, week) in one
+    shuffle. Both engines truncate weeks to Monday."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(
+                    F.col("act_week").cast("date"), F.col("cohort_week").cast("date")
+                )
+                / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "event_value_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    )
+    SELECT CAST(least(9, floor((e.value - b.lo) / ((b.hi - b.lo) / 10))) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           round(b.lo + least(9, floor((e.value - b.lo) / ((b.hi - b.lo) / 10))) * ((b.hi - b.lo) / 10), 6) AS bucket_lo
+    FROM events e, bounds b
+    GROUP BY 1, 3 ORDER BY 1
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 10-bin histogram over a global [min, max] range: the bounds
+    are a one-row aggregate broadcast back over the scan (no driver
+    collect), the bucket id is pure arithmetic identical on both
+    engines, and the count is one map-side-combined shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 10
+    bucket = F.least(F.lit(9), F.floor((F.col("value") - F.col("lo")) / width))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            bucket.cast("long").alias("bucket"),
+            F.round(F.col("lo") + bucket * width, 6).alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", "n", "bucket_lo")
+        .orderBy("bucket")
+    )
