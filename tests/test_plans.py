@@ -421,3 +421,25 @@ def test_full_outer_joins_aggregates_not_facts(spark):
     key + count inputs."""
     df = _q(spark, "full_outer_user_presence")
     assert any("o_totalprice" in f for f in pushed_filters(df))
+
+
+def test_funnel_single_pass_no_cartesian(spark):
+    """The ordered funnel must be one groupBy pass + scalar agg + stack —
+    no per-stage re-scan joins."""
+    df = _q(spark, "conversion_funnel")
+    assert "CartesianProduct" not in join_strategies(df)
+    from wopen_spark.plans import executed_plan_string
+
+    # AQE repeats the tree in its "Initial Plan" section — count scans in
+    # the final plan only
+    final = executed_plan_string(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+
+
+def test_histogram_bounds_broadcast(spark):
+    """Global min/max bounds ride a broadcast nested-loop cross join of a
+    one-row aggregate — never a driver collect, never a shuffled
+    cartesian."""
+    strategies = join_strategies(_q(spark, "event_value_histogram"))
+    assert "BroadcastNestedLoopJoin" in strategies
+    assert "CartesianProduct" not in strategies

@@ -282,3 +282,31 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "decile")
     )
+
+
+@query(
+    "supplier_balance_percentiles",
+    oracle="""
+    SELECT s_suppkey,
+           s_nationkey,
+           round(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+           round(CUME_DIST() OVER w, 6) AS bal_cume_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def supplier_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST within nation partitions — the relative-
+    standing window functions (the remaining ranking-family coverage
+    beyond row_number/rank/ntile). Partitioned on the nation key, so the
+    sort is local and parallel; both are rounded to absorb last-ulp
+    division differences."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    ).orderBy("s_suppkey")
