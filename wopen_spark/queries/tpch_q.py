@@ -445,3 +445,73 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 5)
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: the pure scan-predicate revenue aggregate — every predicate
+# must reach the parquet scan; the whole query is one map-side-combined
+# scalar aggregate (the canonical scan-throughput anchor).
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24.0
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.05)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        _lsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: order counts by priority where ANY lineitem shipped after a
+# cutoff — correlated EXISTS compiled to a left-semi hash join with the
+# lineitem predicate pushed to its scan (the build side shrinks before
+# the shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "late_shipment_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '1998-06-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def late_shipment_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("orderpriority")
+    )
