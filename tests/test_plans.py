@@ -443,3 +443,33 @@ def test_histogram_bounds_broadcast(spark):
     strategies = join_strategies(_q(spark, "event_value_histogram"))
     assert "BroadcastNestedLoopJoin" in strategies
     assert "CartesianProduct" not in strategies
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_signatures_docs",
+        "winnowing_fingerprints",
+        "doc_token_stats",
+        "doc_language_id",
+        "doc_quality_scores",
+        "doc_rolling_hash",
+        "simhash_docs",
+        "tfidf_top_terms",
+        "bm25_search",
+        "unigram_logprob_docs",
+        "french_order_dates",
+        "date_roundtrip",
+        "clean_image_paths",
+        "slug_normalize_parts",
+        "capitalize_part_names",
+    ],
+)
+def test_clone_collapse_inherit_join_is_broadcast(spark, name):
+    """Every clone-collapsed query must inherit computed columns through
+    a BROADCAST join — a SortMergeJoin here would shuffle the full-width
+    rows and erase the collapse's benefit at scale."""
+    strategies = join_strategies(_q(spark, name))
+    assert "BroadcastHashJoin" in strategies, (name, strategies)
+    assert "SortMergeJoin" not in strategies, (name, strategies)
+    assert "CartesianProduct" not in strategies, (name, strategies)

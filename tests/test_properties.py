@@ -122,3 +122,32 @@ def test_normalize_slug_idempotent(spark, samples):
     once = df.select(normalize_slug(F.col("s")).alias("c"))
     twice = once.select(normalize_slug(F.col("c")).alias("c"))
     assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
+def test_per_distinct_equals_direct_compute(spark):
+    """_per_distinct(d, keys, build) must be row-for-row identical to
+    computing the function on every row directly — clone collapse is a
+    physical rewrite, never a semantic one. Exercised over a frame with
+    heavy duplication, empty strings, and rows whose computed column the
+    build side can drop (inner-join semantics)."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.queries.registry import _per_distinct
+
+    rows = [(i, ["alpha", "beta", "", "gamma beta"][i % 4]) for i in range(200)]
+    import pandas as pd
+
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "txt"]))
+
+    def build(keys):
+        return keys.select(
+            "txt", F.length("txt").alias("n"), F.upper("txt").alias("up")
+        )
+
+    collapsed = _per_distinct(d, ["txt"], build).select("id", "n", "up")
+    direct = d.select(
+        "id", F.length("txt").alias("n"), F.upper("txt").alias("up")
+    )
+    assert sorted(map(tuple, collapsed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
