@@ -74,3 +74,74 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (node, rank) with rank = scaled-long internal value / 10^scale.
+
+    Deterministic across engines and partitionings: ranks live in the
+    scaled-long domain (``scale`` decimal digits). Each round does
+    contribution = round(pr_s / outdeg) (one IEEE divide + half-up
+    round), an EXACT long sum per destination (no double-sum order
+    sensitivity), and pr_s' = round((1-d)*10^s + d*csum) — the same few
+    IEEE ops in any engine. Dangling nodes keep receiving (1-d); their
+    lost mass is NOT redistributed (the classic simplification; at web
+    scale add one broadcast scalar per round). Headroom: csum is summed
+    exactly as longs and re-enters doubles below 2^53, sound to ~9e6
+    rank-mass units — beyond any per-node rank here.
+
+    Scale shape: outdeg and ranks are node-keyed; each iteration is one
+    shuffle of |edges| contributions onto their destination plus a
+    node-keyed left join — the standard distributed PageRank round.
+    Lineage is truncated per round (lazy localCheckpoint), so the plan
+    stays O(1) in the iteration count.
+    """
+    factor = 10**scale
+    base_s = (1.0 - damping) * factor  # same IEEE ops as the SQL oracle
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    e = e.localCheckpoint()  # re-joined every round; compute upstream once
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("pr_s", F.lit(factor).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["a"] == ranks["node"])
+            .join(outdeg, "a")
+            .select(
+                F.col("b"),
+                F.round(F.col("pr_s").cast("double") / F.col("outdeg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("b")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["b"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base_s)
+                    + damping * F.coalesce(F.col("csum"), F.lit(0)).cast("double")
+                )
+                .cast("long")
+                .alias("pr_s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node", (F.col("pr_s").cast("double") / factor).alias("rank")
+    )

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.operators.dedup import minhash_lsh_candidates
-from wopen_spark.operators.graph import connected_components
+from wopen_spark.operators.graph import connected_components, pagerank
 from wopen_spark.queries.dedup import DUCK_LSH_PAIRS, DUCK_LSH_REPS, _lsh_reps
 from wopen_spark.queries.registry import _spread, _t, query
 
@@ -63,3 +63,68 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "component")
         .orderBy("doc_id")
     )
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs — the iterative
+    operator stays value-checked (same scaled-long arithmetic as
+    ``operators.graph.pagerank``), not just row-counted."""
+    ctes = [
+        """directed AS (
+          SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (SELECT a, b FROM directed UNION SELECT b, a FROM directed),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        outdeg AS (SELECT a, COUNT(*) AS outdeg FROM edges GROUP BY a),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_s FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (
+          SELECT e.b AS node,
+                 SUM(CAST(round(CAST(r.pr_s AS DOUBLE) / o.outdeg) AS BIGINT)) AS csum
+          FROM edges e
+          JOIN r{i - 1} r ON e.a = r.node
+          JOIN outdeg o ON e.a = o.a
+          GROUP BY e.b
+        ),
+        r{i} AS (
+          SELECT n.node,
+                 CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1000000000
+                            + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c.csum, 0) AS DOUBLE))
+                      AS BIGINT) AS pr_s
+          FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT node, CAST(pr_s AS DOUBLE) / 1000000000 AS rank
+    FROM r{iterations} ORDER BY rank DESC, node"""
+    )
+
+
+@query("pagerank_customer_supplier", oracle=_pagerank_oracle(3))
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed rounds, d=0.85) over the undirected bipartite
+    customer~supplier trade graph derived from orders x lineitem.
+    Centrality scoring of the entity graph — the standard iterative
+    test beyond connected components. Edge derivation shuffles the two
+    facts once on the order key and dedups to entity pairs; each round
+    is then |edges|-shaped, exactly the distributed PageRank loop (see
+    operators/graph.pagerank for the determinism contract)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    directed = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, src="src", dst="dst", iterations=3, damping=0.85)
+    return ranks.orderBy(F.desc("rank"), "node")

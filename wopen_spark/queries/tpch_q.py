@@ -515,3 +515,277 @@ def late_shipment_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit by nation x ship-year for a name-filtered part family.
+# (The testdata has no partsupp, so profit is discounted revenue; the
+# interesting part of Q9 — a selective dim filter driving a 3-dim star
+# over the fact, grouped on two derived dims — is intact.) part and
+# supplier->nation broadcast; lineitem shuffles once for the final
+# group-by.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_year_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           {_LSUM4.format(expr=_REV)} AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC
+    """,
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(_lsum(_rev(), 4).alias("profit"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("nation", F.desc("ship_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: late-shipment priority counts by line status — one
+# fact-fact equi join (orders x lineitem on orderkey), the "late"
+# predicate computed from both sides post-join, priority folded into two
+# conditional counts. At 100 TB both sides shuffle on l_orderkey /
+# o_orderkey once; no dim table involved.
+# ---------------------------------------------------------------------------
+@query(
+    "late_shipment_mode_counts",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_lines,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def late_shipment_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: distinct-supplier counts per part attribute triple, with a
+# NOT-IN supplier exclusion. The supplier relation here is derived from
+# lineitem (no partsupp in the testdata): dedup (partkey, suppkey)
+# first — shrinking the fact ~7x BEFORE the dim join — then anti-join
+# the excluded suppliers (broadcast), then count distinct per attrs.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_count_by_part_attrs",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 2, 3, 4, 5)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, brand, type, size
+    """,
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 2, 3, 4, 5)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who were the SOLE failing supplier on a
+# multi-supplier order — the double-correlated EXISTS / NOT EXISTS,
+# compiled to one left-semi plus one left-anti hash join, both keyed on
+# l_orderkey with the supplier inequality as a residual condition. The
+# fact dedups to (orderkey, suppkey) pairs first, so the self-joins run
+# on the shrunken pair set, not raw lineitem.
+# ---------------------------------------------------------------------------
+@query(
+    "sole_failed_supplier_orders",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         failed AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                    WHERE l_returnflag = 'R' AND l_linestatus = 'F')
+    SELECT s.s_name AS supplier, COUNT(*) AS numwait
+    FROM failed f
+    JOIN supplier s ON f.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM pairs p
+                  WHERE p.l_orderkey = f.l_orderkey
+                    AND p.l_suppkey <> f.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM failed f2
+                      WHERE f2.l_orderkey = f.l_orderkey
+                        AND f2.l_suppkey <> f.l_suppkey)
+    GROUP BY 1 ORDER BY numwait DESC, supplier
+    """,
+)
+def sole_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    failed = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = pairs.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_failed = failed.select(
+        F.col("l_orderkey").alias("f_ok"), F.col("l_suppkey").alias("f_sk")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sole = (
+        failed.join(
+            other,
+            (failed.l_orderkey == other.o_ok) & (failed.l_suppkey != other.o_sk),
+            "left_semi",
+        ).join(
+            other_failed,
+            (failed.l_orderkey == other_failed.f_ok)
+            & (failed.l_suppkey != other_failed.f_sk),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers holding a dominant share of a part's shipments —
+# nested aggregation (per part+supplier, then per part) feeding a
+# semi-join up to the supplier dim. Quantities sum in the exact long
+# domain and the dominance test is integer arithmetic (q*4 > total), so
+# both engines decide each candidate identically — no double-sum
+# order sensitivity in the filter.
+# ---------------------------------------------------------------------------
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+             SUM(CAST(round(l.l_quantity) AS BIGINT)) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT pk, SUM(q) AS tq, COUNT(*) AS n_supp FROM shipped GROUP BY 1)
+    SELECT s.s_name AS supplier, s.s_acctbal AS acctbal,
+           COUNT(*) AS n_dominated_parts
+    FROM shipped sh
+    JOIN tot t ON sh.pk = t.pk
+    JOIN supplier s ON sh.sk = s.s_suppkey
+    WHERE t.n_supp > 1 AND sh.q * 4 > t.tq
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("q"))
+    )
+    # Per-part totals via a window over the already-aggregated pair set:
+    # one extra shuffle on pk over data shrunk to |parts x suppliers|.
+    w = Window.partitionBy("pk")
+    dominant = (
+        shipped.withColumn("tq", F.sum("q").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter((F.col("n_supp") > 1) & (F.col("q") * 4 > F.col("tq")))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        dominant.join(F.broadcast(s), dominant.sk == s.s_suppkey)
+        .groupBy(
+            F.col("s_name").alias("supplier"), F.col("s_acctbal").alias("acctbal")
+        )
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy("supplier")
+    )
