@@ -550,3 +550,72 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "n", "bucket_lo")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: the most common 3-step event-type paths WITHIN a
+# session (30-min-gap sessionization, same contract as user_sessions).
+# The navigation-pattern query of product analytics. Two window passes
+# over the same (user_id)-partitioned sort — Catalyst reuses one
+# shuffle+sort for both because the second window's (user, session) key
+# is a prefix extension — then one small aggregate over trigrams.
+# ---------------------------------------------------------------------------
+@query(
+    "session_path_trigrams",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ),
+    tri AS (
+      SELECT event_type AS step1,
+             LEAD(event_type, 1) OVER w AS step2,
+             LEAD(event_type, 2) OVER w AS step3
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, COUNT(*) AS cnt
+    FROM tri WHERE step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY cnt DESC, step1, step2, step3
+    LIMIT 30
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w2).alias("step2"),
+        F.lead("event_type", 2).over(w2).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "step1", "step2", "step3")
+        .limit(30)
+    )

@@ -233,3 +233,118 @@ def event_type_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first()
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights: per-source sampling weight
+# proportional to size^(1/τ) with τ=2 (sqrt damping) — the standard
+# rebalancing that up-weights small sources when mixing corpora for
+# training. Aggregates are exact longs; sqrt is IEEE correctly-rounded
+# (unlike pow, which varies by libm — that's WHY τ=2), and the weight is
+# emitted in the scaled-integer ppm domain so there is no double-sum or
+# round(x, n) engine sensitivity anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CAST(n_chars AS BIGINT)) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_docs, total_chars,
+             CAST(round(sqrt(CAST(total_chars AS DOUBLE)) * 1000000) AS BIGINT)
+               AS raw_s
+      FROM per_src
+    ),
+    tot AS (SELECT SUM(raw_s) AS t FROM scaled)
+    SELECT source, n_docs, total_chars,
+           CAST(round(CAST(raw_s AS DOUBLE) * 1000000 / t) AS BIGINT)
+             AS weight_ppm
+    FROM scaled CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+    scaled = per_src.withColumn(
+        "raw_s",
+        F.round(F.sqrt(F.col("total_chars").cast("double")) * 1000000).cast("long"),
+    )
+    tot = scaled.agg(F.sum("raw_s").alias("t"))
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("raw_s").cast("double") * 1000000 / F.col("t"))
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge counting — one round of byte-pair-encoding vocabulary
+# training: count adjacent character pairs across the corpus, weighted
+# by word frequency. The expensive explode runs per DISTINCT word (the
+# word-count table), not per occurrence — the exact trick a tokenizer
+# trainer uses at 100 TB, where the distinct-word table is millions of
+# rows while the corpus is trillions of tokens. Pair generation is a
+# higher-order transform over index sequences: zero Python in the path.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT t.word AS word, COUNT(*) AS w
+      FROM documents, unnest({_DUCK_W}) AS t(word)
+      GROUP BY 1
+    ),
+    idx AS (
+      SELECT word, w,
+             unnest(generate_series(1, length(word) - 1)) AS i
+      FROM words WHERE length(word) >= 2
+    ),
+    pairs AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, w FROM idx)
+    SELECT pair, SUM(w) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 40
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "w",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("w").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(40)
+    )

@@ -534,3 +534,83 @@ def embedding_element_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.array_position("embedding", F.array_max("embedding")).cast("long").alias("argmax"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of the embedding corpus — the compression
+# step an ANN index applies before storage (4x smaller vectors): per
+# dimension, min/max over the corpus give the affine scale, every value
+# maps to a 0..255 code, and the query reports per-dimension
+# reconstruction error. One posexplode + one dim-keyed aggregate + one
+# broadcast of the 64-row stats table — no shuffle of the corpus
+# itself beyond the dim rollup. All arithmetic is double-exact on both
+# engines: min/max are order-independent, the squared errors sum in the
+# scaled-long domain, and the code rounding is the shared half-up.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH idx AS (
+      SELECT vec_id, embedding,
+             CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS i
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v FROM idx
+    ),
+    stats AS (
+      SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n_vals
+      FROM flat GROUP BY dim
+    ),
+    coded AS (
+      SELECT f.dim, s.vmin, s.vmax, s.n_vals,
+             CASE WHEN s.vmax = s.vmin THEN 0
+                  ELSE CAST(round((f.v - s.vmin) / ((s.vmax - s.vmin) / 255)) AS INTEGER)
+             END AS code,
+             f.v
+      FROM flat f JOIN stats s USING (dim)
+    ),
+    err AS (
+      SELECT dim, vmin, vmax, n_vals,
+             CAST(round((v - (vmin + code * ((vmax - vmin) / 255)))
+                        * (v - (vmin + code * ((vmax - vmin) / 255))) * 1e12)
+                  AS BIGINT) AS e2_s
+      FROM coded
+    )
+    SELECT dim, vmin, vmax, n_vals,
+           CAST(SUM(e2_s) AS DOUBLE) / 1e12 / n_vals AS mse
+    FROM err GROUP BY dim, vmin, vmax, n_vals
+    ORDER BY dim
+    """,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    stats = flat.groupBy("dim").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).alias("n_vals"),
+    )
+    scale = (F.col("vmax") - F.col("vmin")) / 255
+    coded = flat.join(F.broadcast(stats), "dim").withColumn(
+        "code",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(F.round((F.col("v") - F.col("vmin")) / scale))
+        .cast("int"),
+    )
+    recon = F.col("vmin") + F.col("code") * scale
+    return (
+        coded.withColumn(
+            "e2_s",
+            F.round((F.col("v") - recon) * (F.col("v") - recon) * 1e12).cast(
+                "long"
+            ),
+        )
+        .groupBy("dim", "vmin", "vmax", "n_vals")
+        .agg(
+            (F.sum("e2_s").cast("double") / 1e12 / F.col("n_vals")).alias("mse")
+        )
+        .orderBy("dim")
+    )
