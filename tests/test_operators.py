@@ -418,3 +418,23 @@ def test_streaming_foreach_batch_table_sink(spark, tmp_path):
     days2 = available_now_to_table(spark, SF_SMOKE, t, str(tmp_path / "ck2"))
     assert sorted(days2) == expect_days
     assert t.read().count() == n
+
+
+def test_pagerank_tiny_star_graph(spark):
+    """Hand-computed 3-iteration PageRank on a 3-node star (1<->2,
+    1<->3): rank mass concentrates on the hub. Values are exact at the
+    1e-9 scale by the scaled-long determinism contract."""
+    from wopen_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=3, damping=0.85).collect()
+    }
+    assert abs(got[1] - 1.741625) < 1e-9
+    assert abs(got[2] - 0.6291875) < 1e-9
+    assert abs(got[3] - 0.6291875) < 1e-9
+    # no dangling nodes: total rank mass is conserved
+    assert abs(sum(got.values()) - 3.0) < 1e-8

@@ -473,3 +473,78 @@ def test_clone_collapse_inherit_join_is_broadcast(spark, name):
     assert "BroadcastHashJoin" in strategies, (name, strategies)
     assert "SortMergeJoin" not in strategies, (name, strategies)
     assert "CartesianProduct" not in strategies, (name, strategies)
+
+
+def test_nation_year_profit_star_broadcasts_all_dims(spark):
+    """Q9 shape: part/supplier/nation all broadcast; the lineitem fact
+    never shuffles for a join — only the final two-key aggregate — and
+    the fact scan prunes to the five columns used."""
+    df = _q(spark, "nation_year_profit")
+    strategies = join_strategies(df)
+    assert set(strategies) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 2  # group-by + order-by only
+    assert any(
+        "l_extendedprice" in s and "l_returnflag" not in s
+        for s in scan_schemas(df)
+    )
+
+
+def test_late_shipment_join_no_cartesian_and_pushdown(spark):
+    """Q12 shape: the orders x lineitem equi join must stay a hash/merge
+    join (the late-shipment inequality is a residual, not the join key)
+    and the shipdate range must reach the lineitem scan."""
+    df = _q(spark, "late_shipment_mode_counts")
+    assert "CartesianProduct" not in join_strategies(df)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_sole_failed_supplier_self_joins_are_keyed(spark):
+    """Q21 shape: the EXISTS/NOT EXISTS compile to keyed joins with the
+    supplier inequality as residual — a nested-loop or cartesian here
+    would be O(pairs^2) per order at scale."""
+    df = _q(spark, "sole_failed_supplier_orders")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+    assert len(exchanges(df)) <= 6
+
+
+def test_dominant_suppliers_window_reuses_pair_shuffle(spark):
+    """Q20 shape: nested agg + per-part window over the shrunken pair
+    set — bounded exchanges, broadcast supplier dim."""
+    df = _q(spark, "dominant_part_suppliers")
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+    assert len(exchanges(df)) <= 4
+
+
+def test_session_trigrams_one_shuffle_for_both_windows(spark):
+    """The (user, session) window's required distribution is satisfied
+    by the user-id hash partitioning of the sessionization window, so
+    BOTH window passes ride ONE exchange; the only other exchange is
+    the trigram aggregate."""
+    df = _q(spark, "session_path_trigrams")
+    assert len(exchanges(df)) <= 2
+    assert join_strategies(df) == []
+
+
+def test_bpe_pair_counts_no_python_and_bounded_shuffles(spark):
+    """Pair generation is a higher-order transform over the DISTINCT
+    word table: no Python UDF anywhere, and only the word/pair
+    aggregates (plus the small-file spreader) shuffle."""
+    df = _q(spark, "bpe_pair_counts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no row-at-a-time or arrow UDF stage
+    assert len(exchanges(df)) <= 3
+
+
+def test_int8_quantization_broadcasts_dim_stats(spark):
+    """The per-dimension min/max stats table (|dims| rows) broadcasts
+    back onto the exploded corpus — the corpus itself shuffles only
+    for the dim rollups."""
+    df = _q(spark, "embedding_int8_quantization")
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "SortMergeJoin" not in strategies
+    assert "CartesianProduct" not in strategies
