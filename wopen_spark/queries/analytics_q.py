@@ -619,3 +619,185 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "step1", "step2", "step3")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier): orders not dominated in (price, recency)
+# — no other order has >= price AND >= date with one strict. The naive
+# formulation is an O(n^2) inequality self-join; the scale shape here is
+# bucketed two-phase: (1) price-bucket summaries give every row its
+# definite dominator max-date from STRICTLY HIGHER buckets via a tiny
+# bucket-level running max (broadcast back), (2) a per-bucket window
+# resolves the within-bucket strict-greater prices in parallel. Prices
+# compare in exact integer cents, dates in integer days, so the
+# frontier membership test is engine-exact. The DuckDB oracle uses the
+# unbucketed single-window formulation — two INDEPENDENT derivations
+# of the frontier must agree row-for-row.
+# ---------------------------------------------------------------------------
+@query(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_orderkey, cents, day,
+             MAX(day) OVER (ORDER BY cents DESC
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_day_higher,
+             MAX(day) OVER (PARTITION BY cents) AS same_price_max
+      FROM o
+    )
+    SELECT o_orderkey, cents, day
+    FROM flagged
+    WHERE (max_day_higher IS NULL OR day > max_day_higher)
+      AND day = same_price_max
+    ORDER BY cents DESC, o_orderkey
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("day"),
+    )
+    # ~$2k-wide price buckets: few thousand buckets at any scale
+    o = o.withColumn("bkt", (F.col("cents") / 200_000).cast("long"))
+    bkt_max = o.groupBy("bkt").agg(F.max("day").alias("bmax"))
+    # tiny bucket table: running max over STRICTLY higher buckets
+    wb = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bkt_cum = bkt_max.withColumn("higher_bkt_max", F.max("bmax").over(wb)).select(
+        "bkt", "higher_bkt_max"
+    )
+    # per-bucket window: strictly-higher prices WITHIN the bucket
+    # (integer cents => RANGE ... 1 PRECEDING under DESC is exact '>')
+    ww = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wsame = Window.partitionBy("cents")
+    flagged = (
+        o.join(F.broadcast(bkt_cum), "bkt")
+        .withColumn("within_higher_max", F.max("day").over(ww))
+        .withColumn("same_price_max", F.max("day").over(wsame))
+    )
+    dominator_max = F.greatest(
+        F.coalesce(F.col("within_higher_max"), F.lit(-1)),
+        F.coalesce(F.col("higher_bkt_max"), F.lit(-1)),
+    )
+    return (
+        flagged.filter(
+            (F.col("day") > dominator_max)
+            & (F.col("day") == F.col("same_price_max"))
+        )
+        .select("o_orderkey", "cents", "day")
+        .orderBy(F.desc("cents"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: depth-3 x width-64 counter matrix over
+# the event user stream, estimate = min over the 3 hashed counters —
+# always >= the true count, with collision inflation bounded by the
+# width. Hashes are md5-derived, so BOTH engines build the identical
+# sketch and the estimates are integer-exact. The sketch table (192
+# rows) broadcasts back onto the distinct keys; nothing quadratic
+# anywhere. The query reports the top-20 estimated users alongside
+# their exact counts — the estimate/exact gap IS the sketch's accuracy
+# statement, value-checked.
+# ---------------------------------------------------------------------------
+_CMS_W = 64
+
+
+def _cms_bucket_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cms{j}|' || CAST(user_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    counters AS (
+      SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        SELECT 0 AS j, {_cms_bucket_sql(0)} AS bucket, COUNT(*) AS cnt FROM events GROUP BY 2
+        UNION ALL
+        SELECT 1, {_cms_bucket_sql(1)}, COUNT(*) FROM events GROUP BY 2
+        UNION ALL
+        SELECT 2, {_cms_bucket_sql(2)}, COUNT(*) FROM events GROUP BY 2
+      ) GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT user_id, 0 AS j, {_cms_bucket_sql(0)} AS bucket FROM exact
+      UNION ALL
+      SELECT user_id, 1, {_cms_bucket_sql(1)} FROM exact
+      UNION ALL
+      SELECT user_id, 2, {_cms_bucket_sql(2)} FROM exact
+    ),
+    est AS (
+      SELECT k.user_id, MIN(c.c) AS est_cnt
+      FROM keyed k JOIN counters c ON k.j = c.j AND k.bucket = c.bucket
+      GROUP BY 1
+    )
+    SELECT e.user_id, est.est_cnt, e.exact_cnt
+    FROM est JOIN exact e USING (user_id)
+    ORDER BY est.est_cnt DESC, e.user_id LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id")
+
+    def bucket(j: int):
+        return (
+            F.conv(
+                F.md5(F.concat(F.lit(f"cms{j}|"), F.col("user_id").cast("string"))).substr(1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    # one pass builds all 3 sketch rows: explode each event into its
+    # (j, bucket) cells, then count per cell — map-side combinable
+    cells = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), bucket(j).alias("bucket"))
+                for j in range(3)
+            ])
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    counters = cells.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    keyed = exact.select(
+        "user_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), bucket(j).alias("bucket"))
+                for j in range(3)
+            ])
+        ).alias("cell"),
+    ).select("user_id", "cell.j", "cell.bucket")
+    est = (
+        keyed.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "est_cnt", "exact_cnt")
+        .orderBy(F.desc("est_cnt"), "user_id")
+        .limit(20)
+    )

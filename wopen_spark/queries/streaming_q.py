@@ -130,3 +130,29 @@ def streaming_distinct_user_types(spark: SparkSession, sf_dir: str) -> DataFrame
     ckpt = tempfile.mkdtemp(prefix="wopen_dedup_ckpt_")
     out = available_now_distinct(spark, sf_dir, ckpt)
     return out.orderBy("user_id", "event_type")
+
+
+@query(
+    "streaming_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched with the
+    broadcast customer dim, aggregated per market segment — the third
+    streaming join shape (beyond stream-stream interval join and
+    stateful sessionization). One micro-batch (AvailableNow) must equal
+    the batch join, which is exactly what the oracle asserts."""
+    from wopen_spark.streaming.pipeline import available_now_stream_static_join
+
+    ckpt = tempfile.mkdtemp(prefix="wopen_stream_ckpt_")
+    return (
+        available_now_stream_static_join(spark, sf_dir, ckpt)
+        .orderBy("segment")
+    )

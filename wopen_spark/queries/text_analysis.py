@@ -131,3 +131,60 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rolling_hash")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy per language — the cheap statistical
+# fingerprint for corpus drift / gibberish detection (language-level
+# here; the same shape per-doc is the Gopher-style quality gate).
+# Char counts are exact longs; each -p*ln(p) term is rounded into the
+# scaled-long domain BEFORE the final sum, so only ln's last-ulp can
+# differ between engines — invisible at the checker's 6 significant
+# digits after the final round.
+# ---------------------------------------------------------------------------
+@query(
+    "char_entropy_by_lang",
+    oracle="""
+    WITH chars AS (
+      SELECT lang, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT lang, ch, COUNT(*) AS cnt FROM chars WHERE ch <> '' GROUP BY 1, 2
+    ),
+    totals AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total FROM counts GROUP BY 1),
+    terms AS (
+      SELECT c.lang,
+             CAST(round(-(CAST(c.cnt AS DOUBLE) / t.total)
+                        * ln(CAST(c.cnt AS DOUBLE) / t.total) * 1e9) AS BIGINT)
+               AS term_s,
+             t.total
+      FROM counts c JOIN totals t USING (lang)
+    )
+    SELECT lang,
+           round(CAST(SUM(term_s) AS DOUBLE) / 1e9, 6) AS entropy_nats,
+           total AS n_chars
+    FROM terms GROUP BY lang, total ORDER BY lang
+    """,
+)
+def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    chars = d.select(
+        "lang",
+        F.explode(F.filter(F.split(F.col("text"), ""), lambda c: c != "")).alias(
+            "ch"
+        ),
+    )
+    counts = chars.groupBy("lang", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("lang").agg(F.sum("cnt").cast("long").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total")
+    terms = counts.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "total",
+        F.round(-p * F.log(p) * 1e9).cast("long").alias("term_s"),
+    )
+    return (
+        terms.groupBy("lang", "total")
+        .agg(F.round(F.sum("term_s").cast("double") / 1e9, 6).alias("entropy_nats"))
+        .select("lang", "entropy_nats", F.col("total").alias("n_chars"))
+        .orderBy("lang")
+    )

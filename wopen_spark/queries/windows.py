@@ -310,3 +310,44 @@ def supplier_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     ).orderBy("s_suppkey")
+
+
+# NTILE: equi-count price quartiles WITHIN each order priority — the
+# partitioned form is the scale-safe one (a global NTILE forces a
+# single-partition sort; per-key it parallelizes across priorities).
+@query(
+    "ntile_price_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )

@@ -274,3 +274,45 @@ def available_now_distinct(
         )
         q.awaitTermination(120)
     return spark.table("wopen_stream_distinct")
+
+
+def available_now_stream_static_join(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of purchase events
+    joins the STATIC customer dimension (broadcast — the dim is re-read
+    per batch but never shuffled, and no join state accumulates, unlike
+    stream-stream). The canonical "enrich the firehose with a dim table"
+    shape; aggregates purchase value per market segment. AvailableNow
+    over the static file is one micro-batch, so complete-mode output
+    must equal the batch join+aggregate the oracle states."""
+    import os
+
+    purchases = event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = F.broadcast(
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    enriched = purchases.join(cust, purchases.user_id == cust.c_custkey).groupBy(
+        F.col("c_mktsegment").alias("segment")
+    )
+    agg = enriched.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    with _state_partitions(spark, None):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wopen_stream_static_join")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table("wopen_stream_static_join")
