@@ -801,3 +801,121 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_cnt"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA (alpha=0.25) of event values — the stateful per-key fold
+# done WITHOUT Python and WITHOUT a driver loop: collect each user's
+# (ts-ordered) values into an array and fold with the higher-order
+# aggregate, all inside codegen. Chronological order is pinned by
+# (ts, event_id) sort in both engines, so the fold's IEEE op sequence
+# is identical and the result deterministic. Per-user arrays are
+# event-count bounded (fine for user streams; for unbounded keys the
+# windowed-recurrence form replaces the collect).
+# ---------------------------------------------------------------------------
+@query(
+    "ewma_user_values",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n_events,
+           round(list_reduce(vals,
+                 (acc, x) -> CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc),
+                 6) AS ewma
+    FROM ordered ORDER BY user_id
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").cast("double").alias("v")))
+        ).alias("rows")
+    )
+    vals = F.col("rows").getField("v")
+    return ordered.select(
+        "user_id",
+        F.size("rows").alias("n_events"),
+        F.round(
+            F.aggregate(
+                F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+                F.element_at(vals, 1),
+                lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+            ),
+            6,
+        ).alias("ewma"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test: event type vs day-of-week — the
+# data-quality drift check ("did the traffic mix change by weekday?").
+# The full contingency grid (including zero cells) comes from a
+# broadcast cross of the two tiny margins; expected counts are exact
+# long products entering doubles below 2^53; the chi-square terms sum
+# in the scaled-long domain. Everything broadcast — the fact is
+# touched once for the cell counts.
+# ---------------------------------------------------------------------------
+@query(
+    "chisq_event_dow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    cols_m AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT rm.event_type, cm.dow, rm.r, cm.c, COALESCE(o.o, 0) AS o
+      FROM rows_m rm CROSS JOIN cols_m cm
+      LEFT JOIN obs o ON o.event_type = rm.event_type AND o.dow = cm.dow
+    ),
+    terms AS (
+      SELECT CAST(round(
+               (o - CAST(r AS DOUBLE) * c / n.n)
+               * (o - CAST(r AS DOUBLE) * c / n.n)
+               / (CAST(r AS DOUBLE) * c / n.n) * 1e9) AS BIGINT) AS t_s,
+             r, c
+      FROM grid CROSS JOIN tot n
+    )
+    SELECT round(CAST(SUM(t_s) AS DOUBLE) / 1e9, 6) AS chi2,
+           CAST((COUNT(DISTINCT r) * 0 + (SELECT COUNT(*) FROM rows_m) - 1)
+                * ((SELECT COUNT(*) FROM cols_m) - 1) AS BIGINT) AS dof,
+           (SELECT n FROM tot) AS n_events
+    FROM terms
+    """,
+)
+def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rows_m = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cols_m = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(F.broadcast(obs), ["event_type", "dow"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        F.round((F.col("o") - e) * (F.col("o") - e) / e * 1e9)
+        .cast("long")
+        .alias("t_s")
+    )
+    dof = (
+        rows_m.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(F.broadcast(cols_m.agg(F.count(F.lit(1)).alias("nc"))))
+        .select(((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"))
+    )
+    return (
+        terms.agg(F.round(F.sum("t_s").cast("double") / 1e9, 6).alias("chi2"))
+        .crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_events"))))
+    )

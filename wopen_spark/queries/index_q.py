@@ -253,3 +253,80 @@ def near_dup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: exact two-word phrase counts via postings
+# intersection — tokens carry positions, a phrase hit is (same doc,
+# adjacent positions). The IR-complete step beyond the bag-of-words
+# inverted index. Token postings filter to the phrase vocabulary BEFORE
+# the self-join (selective scan), the join keys on (text, position+1)
+# — uniform, never quadratic — and the whole thing runs per DISTINCT
+# text with clone weights, so replicated docs cost nothing extra.
+# ---------------------------------------------------------------------------
+_PHRASES = [("table value", "table", "value"), ("fast key", "fast", "key"),
+            ("big data", "big", "data")]
+
+
+@query(
+    "phrase_search_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS pos
+      FROM (SELECT doc_id, {_DUCK_W} AS arr FROM documents)
+    ),
+    postings AS (SELECT doc_id, pos, arr[CAST(pos AS INTEGER)] AS tok FROM toks),
+    phrases(phrase, w1, w2) AS (VALUES {", ".join(f"('{p}', '{a}', '{b}')" for p, a, b in _PHRASES)}),
+    hits AS (
+      SELECT ph.phrase, t1.doc_id
+      FROM postings t1
+      JOIN phrases ph ON t1.tok = ph.w1
+      JOIN postings t2 ON t2.doc_id = t1.doc_id
+                      AND t2.pos = t1.pos + 1 AND t2.tok = ph.w2
+    )
+    SELECT phrase,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM hits GROUP BY phrase ORDER BY phrase
+    """,
+)
+def phrase_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("w"))
+    vocab = sorted({w for _, a, b in _PHRASES for w in (a, b)})
+    toks = (
+        groups.select(
+            "text",
+            "w",
+            F.posexplode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+            ).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok").isin(vocab))
+        .select("text", "w", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    phrases = F.broadcast(
+        spark.createDataFrame(_PHRASES, ["phrase", "w1", "w2"])
+    )
+    t2 = toks.select(
+        F.col("text").alias("text2"), F.col("pos").alias("pos2"), F.col("tok").alias("tok2")
+    )
+    hits = (
+        toks.join(phrases, toks.tok == phrases.w1)
+        .join(
+            t2,
+            (F.col("text2") == F.col("text"))
+            & (F.col("pos2") == F.col("pos") + 1)
+            & (F.col("tok2") == F.col("w2")),
+        )
+        .groupBy("phrase", "text", "w")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        hits.groupBy("phrase")
+        .agg(
+            F.sum("w").cast("long").alias("n_docs"),
+            F.sum(F.col("occ") * F.col("w")).cast("long").alias("n_occurrences"),
+        )
+        .orderBy("phrase")
+    )

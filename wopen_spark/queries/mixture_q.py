@@ -348,3 +348,51 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "pair")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (90/5/5) on a salted key hash —
+# reproducible on any engine/partitioning (rand() is not), entirely
+# map-side, and leak-proof: a document's split never changes when the
+# corpus grows. The per-source breakdown doubles as the drift check
+# that the hash is unbiased across slices.
+# ---------------------------------------------------------------------------
+@query(
+    "train_val_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))).substr(1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
