@@ -919,3 +919,162 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dof))
         .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_events"))))
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket brand co-occurrence: brand pairs appearing in the same
+# order, by support. The fact dedups to DISTINCT (order, brand) BEFORE
+# the self-join — the standard frequent-itemset contraction — and the
+# join keys on the uniform orderkey, so candidates are bounded by
+# brands-per-order (tiny), never |lineitem|^2.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_cooccurrence",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+)
+def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
+    )
+    return (
+        ob.join(
+            b,
+            (ob.l_orderkey == b.ok2) & (ob.p_brand < b.brand_b),
+        )
+        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation per event type — the robust
+# dispersion measure outlier pipelines prefer over stddev. Values enter
+# as exact cents; both engines' linear-interpolated percentiles of
+# integers are IEEE-identical (halving and adding longs below 2^53 is
+# exact), so the medians need no rounding at all. Two grouped exact
+# percentiles + one broadcast of the 5-row median table.
+# ---------------------------------------------------------------------------
+@query(
+    "mad_event_values",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS median_cents
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           COUNT(*) AS n_events,
+           m.median_cents,
+           quantile_cont(abs(c.cents - m.median_cents), 0.5) AS mad_cents
+    FROM c JOIN med m USING (event_type)
+    GROUP BY c.event_type, m.median_cents
+    ORDER BY c.event_type
+    """,
+)
+def mad_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", 0.5).alias("median_cents")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.percentile(
+                F.abs(F.col("cents") - F.col("median_cents")), 0.5
+            ).alias("mad_cents"),
+        )
+        .select("event_type", "n_events", "median_cents", "mad_cents")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier screen per event type: mean/std from EXACT moment
+# sums (same discipline as quantity_price_correlation — the squared
+# moment rides decimal so no group size overflows it), then a
+# map-side flag pass. Outlier thresholds computed identically on both
+# engines because every input to the final IEEE expression is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "value_zscore_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(cents) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(m.n AS BIGINT) AS n_events,
+           COUNT(*) FILTER (WHERE abs((c.cents - m.sx / m.n)
+             / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1))) > 3) AS n_outliers,
+           round(MAX((c.cents - m.sx / m.n)
+             / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1))), 6) AS max_z
+    FROM c JOIN m USING (event_type)
+    GROUP BY c.event_type, m.n
+    ORDER BY c.event_type
+    """,
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    cd = F.col("cents").cast("decimal(18,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("cents").cast("double").alias("sx"),
+        F.sum(cd * cd).cast("double").alias("sxx"),
+    )
+    std = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    z = (F.col("cents") - F.col("sx") / F.col("n")) / std
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(F.when(F.abs(z) > 3, 1)).alias("n_outliers"),
+            F.round(F.max(z), 6).alias("max_z"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            "n_outliers",
+            "max_z",
+        )
+        .orderBy("event_type")
+    )

@@ -511,3 +511,32 @@ def orders_rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("o_orderstatus").asc_nulls_first(),
         )
     )
+
+
+# LISTAGG surface: per-nation sorted supplier roster — sort_array +
+# array_join is the deterministic distributed form (string_agg with an
+# unpinned order is partitioning-dependent).
+@query(
+    "nation_supplier_roster",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS roster
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "roster"
+            ),
+        )
+        .orderBy("nation")
+    )
