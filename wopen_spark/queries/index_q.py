@@ -294,32 +294,35 @@ def phrase_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("w"))
     vocab = sorted({w for _, a, b in _PHRASES for w in (a, b)})
+    # the positional self-join keys on md5(text), never the multi-KB
+    # text itself — the shuffle carries 32-byte keys (same fix as the
+    # contamination gram join)
     toks = (
         groups.select(
-            "text",
+            F.md5("text").alias("fp"),
             "w",
             F.posexplode(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
             ).alias("pos0", "tok"),
         )
         .filter(F.col("tok").isin(vocab))
-        .select("text", "w", (F.col("pos0") + 1).alias("pos"), "tok")
+        .select("fp", "w", (F.col("pos0") + 1).alias("pos"), "tok")
     )
     phrases = F.broadcast(
         spark.createDataFrame(_PHRASES, ["phrase", "w1", "w2"])
     )
     t2 = toks.select(
-        F.col("text").alias("text2"), F.col("pos").alias("pos2"), F.col("tok").alias("tok2")
+        F.col("fp").alias("fp2"), F.col("pos").alias("pos2"), F.col("tok").alias("tok2")
     )
     hits = (
         toks.join(phrases, toks.tok == phrases.w1)
         .join(
             t2,
-            (F.col("text2") == F.col("text"))
+            (F.col("fp2") == F.col("fp"))
             & (F.col("pos2") == F.col("pos") + 1)
             & (F.col("tok2") == F.col("w2")),
         )
-        .groupBy("phrase", "text", "w")
+        .groupBy("phrase", "fp", "w")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
     return (
