@@ -438,3 +438,24 @@ def test_pagerank_tiny_star_graph(spark):
     assert abs(got[3] - 0.6291875) < 1e-9
     # no dangling nodes: total rank mass is conserved
     assert abs(sum(got.values()) - 3.0) < 1e-8
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSONL sink/source round-trip preserves rows and (with an explicit
+    schema) types; the sink stays partitioned — no coalesce(1)."""
+    import glob as _glob
+
+    from wopen_spark.sources.files import jsonl_sink, jsonl_source
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text", "id % 3 AS grp"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    jsonl_sink(df, out, partitions=4)
+    assert len(_glob.glob(out + "/part-*")) == 4  # partitioned, not one file
+    back = jsonl_source(spark, out, schema=df.schema)
+    # nullability flags differ after a file round-trip; names+types must not
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert sorted(r.doc_id for r in back.collect()) == list(range(100))

@@ -1078,3 +1078,51 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (WAU per day) — the product-analytics
+# staple whose naive form (distinct over a sliding window) re-scans the
+# fact per day. Scale shape: contract the fact to DISTINCT (day, user)
+# once, then fan each pair out to the <=7 days it supports via a range
+# join against the day spine (generated from aggregated bounds,
+# broadcast), and count distinct per day. The shuffle is |pairs| x 7,
+# never |events| x window.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (
+      SELECT CAST(u AS DATE) AS day FROM (
+        SELECT unnest(generate_series((SELECT min(d) FROM du),
+                                      (SELECT max(d) FROM du),
+                                      INTERVAL 1 DAY)) AS u
+      )
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT du.user_id) AS wau
+    FROM days JOIN du
+      ON du.d <= days.day AND du.d > days.day - INTERVAL 7 DAY
+    GROUP BY days.day ORDER BY days.day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    spine = (
+        du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        du.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("day")
+    )

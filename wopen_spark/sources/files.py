@@ -43,3 +43,25 @@ def csv_sink(df: DataFrame, path: str, sep: str = ";", header: bool = True) -> s
     shutil.move(part, path)
     shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def jsonl_sink(df: DataFrame, path: str, partitions: int | None = None) -> str:
+    """Write a DataFrame as JSON-Lines — the interchange format every
+    training-data pipeline ultimately emits (one JSON doc per line,
+    splittable, streamable). Stays PARTITIONED (a directory of part
+    files): JSONL exports are corpus-sized, so there is deliberately no
+    coalesce(1) here — the single-file contract belongs to csv_sink.
+    """
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").json(path)
+    return path
+
+
+def jsonl_source(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a JSONL directory/file. An explicit schema skips the
+    inference scan (one full read of the data!) — always pass one in
+    production; inference is for exploration only."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
