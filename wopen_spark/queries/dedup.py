@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.operators.dedup import (
+    _word_shingles,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard,
@@ -237,4 +238,129 @@ def simhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_docs"), F.min("min_id").alias("keep_doc_id"))
         .filter(F.col("n_docs") >= 2)
         .orderBy("fp")
+    )
+
+
+@query(
+    "normalized_text_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS hh
+      FROM documents)
+    SELECT doc_id, source,
+           COUNT(*) OVER (PARTITION BY hh) AS group_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY hh) AS keep
+    FROM h ORDER BY doc_id
+    """,
+)
+def normalized_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonicalization (lowercase, strip punctuation,
+    collapse whitespace) — the first dedup pass of every web-scale corpus
+    pipeline, catching trivially-reformatted copies that byte-exact dedup
+    misses.
+
+    The canonical hash is a function of the text alone, so it computes
+    once per DISTINCT text (clone-collapse); the keep/group-size decision
+    is one window shuffle keyed on the uniform md5 — same scale shape as
+    doc_fingerprint_dedup."""
+    from pyspark.sql import Window
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    hashed = _per_distinct_text(
+        d.select("doc_id", "source", "text"),
+        lambda t: t.select("text", F.md5(norm).alias("hh")),
+    )
+    w = Window.partitionBy("hh")
+    return (
+        hashed.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .select("doc_id", "source", "group_size", "keep")
+        .orderBy("doc_id")
+    )
+
+
+_N_SRC_MINHASH = 16
+
+
+@query(
+    "source_minhash_similarity",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_DUCK_WORDS} AS w FROM documents),
+    sh AS (SELECT DISTINCT source, unnest({_duck_shingles(3)}) AS s FROM toks),
+    sig AS (SELECT source, seed, MIN(substr(md5(seed || '#' || s), 1, 8)) AS mh
+            FROM sh, range({_N_SRC_MINHASH}) t(seed) GROUP BY 1, 2)
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) FILTER (WHERE a.mh = b.mh) AS n_match,
+           CAST(COUNT(*) FILTER (WHERE a.mh = b.mh) AS DOUBLE)
+             / {_N_SRC_MINHASH}.0 AS jaccard_est
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level MinHash: one signature per SOURCE (min over the
+    source's distinct 3-word shingles, per seed), then the pairwise
+    source-similarity matrix from signature agreement — the mergeable-
+    sketch way to compare whole corpora without any doc-level join.
+
+    Scale shape: shingles contract to DISTINCT (source, shingle) in one
+    shuffle with map-side combine; signatures are |sources| x seeds rows,
+    so the pairwise self-join is a broadcast over a frame that fits in
+    one task regardless of corpus size. The min over fixed-width lowercase
+    hex prefixes equals the min over the underlying 32-bit hash values,
+    so both engines pick identical signature elements."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    sh = (
+        d.select(
+            "source", F.explode(_word_shingles(F.col("text"), 3)).alias("s")
+        )
+        .distinct()
+    )
+    sig = (
+        sh.withColumn(
+            "seed", F.explode(F.sequence(F.lit(0), F.lit(_N_SRC_MINHASH - 1)))
+        )
+        .select(
+            "source",
+            "seed",
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("seed").cast("string"), F.col("s"))),
+                1,
+                8,
+            ).alias("mh"),
+        )
+        .groupBy("source", "seed")
+        .agg(F.min("mh").alias("mh"))
+    )
+    a = sig.select(
+        F.col("source").alias("src_a"), F.col("seed").alias("seed"),
+        F.col("mh").alias("mh_a"),
+    )
+    b = sig.select(
+        F.col("source").alias("src_b"), F.col("seed").alias("seed_b"),
+        F.col("mh").alias("mh_b"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (a.seed == b.seed_b) & (a.src_a < b.src_b),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).alias(
+                "n_match"
+            )
+        )
+        .withColumn(
+            "jaccard_est",
+            F.col("n_match").cast("double") / float(_N_SRC_MINHASH),
+        )
+        .orderBy("src_a", "src_b")
     )

@@ -614,3 +614,51 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings)
+    SELECT label, dim, COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_scaled,
+           CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS centroid
+    FROM ex GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding corpus, dimension-wise — the
+    class-prototype computation behind semantic clustering QA and
+    nearest-class-mean classification.
+
+    Element sums accumulate in a scaled-long domain (round(x * 1e6) per
+    element, exact integer adds), so the result is independent of
+    partitioning and row order and hashes bit-equal against the oracle;
+    the final centroid divide runs the identical IEEE ops on both
+    engines. One shuffle on (label, dim) with map-side partial sums —
+    the posexplode itself is map-side and never widens the exchange."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.round(F.col("x") * 1000000).cast("long")).alias("sum_scaled"),
+        )
+        .withColumn(
+            "centroid",
+            F.col("sum_scaled").cast("double") / 1000000.0 / F.col("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

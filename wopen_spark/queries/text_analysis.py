@@ -188,3 +188,45 @@ def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "entropy_nats", F.col("total").alias("n_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "source_vocab_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(trim(text)), '\\S+')) AS word
+      FROM documents),
+    wc AS (SELECT source, word, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT source, CAST(SUM(c) AS BIGINT) AS total_tokens,
+           COUNT(*) AS vocab_size,
+           COUNT(*) FILTER (WHERE c = 1) AS hapax_count
+    FROM wc GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary profile per source: total tokens, distinct
+    words, and hapax legomena (words seen exactly once) — the Heaps'-law
+    numbers a data-mixture curator reads before weighting sources.
+
+    Clone-weighted: word counting runs once per DISTINCT (source, text)
+    pair with the clone multiplicity carried as a weight, so the explode
+    touches each distinct document once no matter how replicated the
+    corpus is. Two shuffles total — (source, word) with map-side partial
+    sums, then the tiny per-source rollup."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = d.groupBy("source", "text").agg(F.count(F.lit(1)).alias("wt"))
+    words = pairs.select(
+        "source",
+        "wt",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("source", "word").agg(F.sum("wt").alias("c"))
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").alias("total_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_count"),
+        )
+        .orderBy("source")
+    )

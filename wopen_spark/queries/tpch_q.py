@@ -789,3 +789,146 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
         .orderBy("supplier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part within one region. The testdata
+# has no partsupp table, so the supply "cost" is contracted from the fact:
+# the minimum observed unit price per (part, supplier) pair, in exact
+# cents (round half-away on the identical IEEE divide in both engines).
+# The eligible set (European suppliers, STANDARD parts) is fixed BEFORE
+# the per-part minimum, as in Q2's correlated subquery; ties on the
+# minimum all survive, as in the real query.
+#
+# Plan intent at 100 TB: lineitem contracts to |part x supplier| pairs in
+# one shuffle with map-side partial min; part and the supplier~nation~
+# region chain broadcast; the per-part minimum is a window over the
+# contracted pair set, never a second fact scan.
+# ---------------------------------------------------------------------------
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT c.pk, c.sk, c.cost_cents, s.s_name, s.s_acctbal, n.n_name
+      FROM cost c
+      JOIN supplier s ON c.sk = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT e.*, p.p_name,
+             MIN(cost_cents) OVER (PARTITION BY pk) AS min_cents
+      FROM eligible e JOIN part p ON e.pk = p.p_partkey
+      WHERE p.p_type = 'STANDARD'
+    )
+    SELECT s_acctbal AS acctbal, s_name AS supplier, n_name AS nation,
+           pk AS partkey, p_name AS part_name, cost_cents
+    FROM ranked WHERE cost_cents = min_cents
+    ORDER BY acctbal DESC, supplier, nation, partkey
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cost = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
+                    "long"
+                )
+            ).alias("cost_cents")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_name")
+    )
+    eligible = (
+        cost.join(F.broadcast(supp_eur), cost.sk == supp_eur.s_suppkey)
+        .join(F.broadcast(p), cost.pk == p.p_partkey)
+    )
+    w = Window.partitionBy("pk")
+    return (
+        eligible.withColumn("min_cents", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cents"))
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("pk").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            "cost_cents",
+        )
+        .orderBy(F.desc("acctbal"), "supplier", "nation", "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: the top-revenue supplier(s) for one quarter. Revenue sums in
+# the scaled-cents long domain, so the equality against the global
+# maximum is exact on both engines — the classic Q15 footgun (double
+# revenue == double max) is defined away. The global max rides a
+# broadcast cross join of a 1-row aggregate, like Q11's threshold —
+# no driver collect, no single-partition window.
+# ---------------------------------------------------------------------------
+@query(
+    "top_quarter_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS sk,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier,
+           CAST(r.rev_cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM rev r JOIN supplier s ON r.sk = s.s_suppkey
+    WHERE r.rev_cents = (SELECT MAX(rev_cents) FROM rev)
+    ORDER BY suppkey
+    """,
+)
+def top_quarter_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(F.round(_rev() * 100).cast("long")).alias("rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            (F.col("rev_cents").cast("double") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
