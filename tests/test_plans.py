@@ -548,3 +548,100 @@ def test_int8_quantization_broadcasts_dim_stats(spark):
     assert "BroadcastHashJoin" in strategies
     assert "SortMergeJoin" not in strategies
     assert "CartesianProduct" not in strategies
+
+
+def test_min_cost_supplier_broadcasts_all_dims(spark):
+    """Q2 shape: part and the supplier~nation~region chain broadcast;
+    the fact contracts to (part, supplier) pairs in ONE shuffle and the
+    per-part minimum rides a window on the contracted set — exchanges
+    stay bounded (pair agg + window + order) with no cartesian."""
+    df = _q(spark, "min_cost_supplier_per_part")
+    strategies = join_strategies(df)
+    assert set(strategies) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 3
+
+
+def test_top_quarter_revenue_pushes_date_and_broadcasts_max(spark):
+    """Q15 shape: the quarter filter reaches the parquet scan, and the
+    global-max threshold joins as a broadcast (1-row aggregate), never
+    a driver collect or single-partition window."""
+    df = _q(spark, "top_quarter_revenue_supplier")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_normalized_dedup_clone_collapse_and_window(spark):
+    """The canonical-hash compute inherits through the clone-collapse
+    broadcast join; the keep decision is one window shuffle on the
+    uniform hash."""
+    df = _q(spark, "normalized_text_dedup")
+    strategies = join_strategies(df)
+    assert set(strategies) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 5
+
+
+def test_source_minhash_pairwise_is_broadcast(spark):
+    """Per-source signatures are |sources| x seeds rows, so the pairwise
+    self-join must be a broadcast hash join — a sort-merge or cartesian
+    here would shuffle the signature table for nothing."""
+    df = _q(spark, "source_minhash_similarity")
+    strategies = join_strategies(df)
+    assert set(strategies) == {"BroadcastHashJoin"}
+
+
+def test_vocab_stats_no_joins_bounded_shuffles(spark):
+    """Clone-weighted vocabulary rollup: (source, text) contraction,
+    (source, word) aggregate, per-source rollup, final order — all
+    map-side-combined aggregates, no joins anywhere."""
+    df = _q(spark, "source_vocab_stats")
+    assert join_strategies(df) == []
+    assert len(exchanges(df)) <= 5
+
+
+def test_label_centroids_single_aggregate_shuffle(spark):
+    """The posexplode is map-side; the only exchanges are the
+    (label, dim) aggregate and the final order — and nothing drops to
+    Python."""
+    df = _q(spark, "embedding_label_centroids")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert join_strategies(df) == []
+    assert len(exchanges(df)) <= 2
+    assert "Python" not in plan
+
+
+def test_ann_recall_joins_stay_broadcast(spark):
+    """Recall@5 composes the exact scan (intentional broadcast nested
+    loop over the tiny query panel) with the IVF probe join — nothing
+    may degrade to a cartesian or a shuffled nested loop."""
+    df = _q(spark, "ann_recall_ivf_top5")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "SortMergeJoin" not in strategies
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_centroid_distances_never_rescan_corpus(spark):
+    """The pairwise label join runs over the |labels| x dims centroid
+    table — broadcast hash joins only; the corpus contributes exactly
+    one aggregate pass."""
+    df = _q(spark, "label_centroid_distances")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+
+
+def test_quality_sample_is_map_only_after_collapse(spark):
+    """Quality-weighted sampling: the only join is the clone-collapse
+    broadcast; the acceptance test is a pure filter with no extra
+    exchange beyond the distinct-text contraction."""
+    df = _q(spark, "quality_weighted_sample")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 4
+
+
+def test_top_quality_rank_single_window_shuffle(spark):
+    """RANK per lang rides one window exchange over the collapsed
+    scores."""
+    df = _q(spark, "top_quality_docs_per_lang")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 5

@@ -662,3 +662,190 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "ann_recall_ivf_top5",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+      {_duck_argtop("SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings", 1)}
+    ),
+    probes AS (
+      {_duck_argtop("SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id IN (0, 1, 2)", 4)}
+    ),
+    ivf_scored AS (
+      SELECT p.vec_id AS query_id, a.vec_id,
+             {_duck_cos("a.vec", "p.vec")} AS cosine
+      FROM assigned a JOIN probes p USING (centroid_id)
+    ),
+    ivf_top5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM ivf_scored
+      ) WHERE rank <= 5
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    exact_scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_duck_cos("e.embedding::DOUBLE[]", "q.qvec")} AS cosine
+      FROM embeddings e CROSS JOIN q
+    ),
+    exact_top5 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM exact_scored
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / 5.0 AS recall_at5
+    FROM exact_top5 e
+    LEFT JOIN ivf_top5 i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ann_recall_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against the exact brute-force ranking —
+    the accuracy dial every ANN deployment tunes against nprobe. Both
+    rankings share the deterministic (cosine DESC, vec_id) tie-break and
+    6-digit rounded scores, so the top-5 SETS are engine-identical and
+    the recall is exact, not approximate.
+
+    Scale shape: the exact side is the one full corpus scan (ground
+    truth for a small query panel), the IVF side touches only probed
+    lists; the hit join runs on |queries| x 5 rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 16)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2))
+    exact = cosine_topk(e, q, vec_col="embedding", id_col="vec_id", k=5).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_cosine_topk(
+        e, q, centroids, vec_col="embedding", id_col="vec_id", k=5, nprobe=4
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / 5.0).alias("recall_at5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "label_centroid_distances",
+    oracle="""
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS c
+      FROM ex GROUP BY 1, 2),
+    norms AS (
+      SELECT label,
+             CAST(SUM(CAST(round(c * c * 1000000000000) AS BIGINT)) AS BIGINT) AS nrm
+      FROM cent GROUP BY 1),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(round(a.c * b.c * 1000000000000) AS BIGINT)) AS BIGINT) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           round((CAST(dot AS DOUBLE) / 1000000000000.0)
+             / (sqrt(CAST(na.nrm AS DOUBLE) / 1000000000000.0)
+                * sqrt(CAST(nb.nrm AS DOUBLE) / 1000000000000.0)), 6) AS cosine
+    FROM dots
+    JOIN norms na ON dots.label_a = na.label
+    JOIN norms nb ON dots.label_b = nb.label
+    ORDER BY 1, 2
+    """,
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the inter-class
+    separation matrix that tells a curator whether semantic labels are
+    distinguishable before training on them.
+
+    All sums ride scaled-long domains (1e6 for centroid accumulation,
+    1e12 for the dot/norm products over the identical IEEE centroid
+    doubles), so every intermediate is partitioning-independent and the
+    final cosine runs the same double ops on both engines. The centroid
+    table is |labels| x dims rows — the pairwise join is broadcast and
+    never touches the corpus again."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "x")).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.sum(F.round(F.col("x") * 1000000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "dim",
+            (F.col("s").cast("double") / 1000000.0 / F.col("n")).alias("c"),
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c") * 1000000000000).cast("long")).alias(
+            "nrm"
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim"),
+        F.col("c").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(
+            F.broadcast(b),
+            (a.dim == b.dim_b) & (a.label_a < b.label_b),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb") * 1000000000000).cast("long")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                (F.col("dot").cast("double") / 1000000000000.0)
+                / (
+                    F.sqrt(F.col("na").cast("double") / 1000000000000.0)
+                    * F.sqrt(F.col("nb").cast("double") / 1000000000000.0)
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -230,3 +230,101 @@ def source_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DUCK_QUALITY = f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(regexp_extract_all(text, '\\S+')) AS words,
+             {_STOP_SUM} AS stop_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             round(
+               0.4 * (CASE WHEN n >= 50 AND n <= 5000 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * (CASE WHEN n > 0 THEN alpha::DOUBLE / n::DOUBLE ELSE 0.0 END)
+               + 0.3 * least(CAST(1.0 AS DOUBLE),
+                   (CASE WHEN words > 0 THEN stop_hits::DOUBLE / words::DOUBLE ELSE 0.0 END) * 8),
+               6) AS quality
+      FROM m
+    )"""
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    {_DUCK_QUALITY}
+    SELECT doc_id, quality FROM q
+    WHERE CAST(('0x' || substr(md5('qws|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            % 1000 < CAST(round(quality * 1000) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling: each doc's acceptance
+    probability IS its quality score, decided by a salted key hash — so
+    high-quality docs are upsampled, the decision replays identically on
+    any engine/partitioning, and no rand() state exists to desync a
+    distributed rerun. This is the curation knob between hard filtering
+    (quality cut) and uniform sampling.
+
+    Map-only: the quality term rides the clone-collapse broadcast, the
+    hash test is a pure filter — zero data shuffles beyond the collapse."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    scored = _per_distinct_text(
+        d.select("doc_id", "text"),
+        lambda t: t.select("text", quality_score(F.col("text")).alias("quality")),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qws|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        scored.filter(bucket < F.round(F.col("quality") * 1000).cast("long"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "top_quality_docs_per_lang",
+    oracle=f"""
+    {_DUCK_QUALITY}
+    SELECT lang, doc_id, quality, rnk FROM (
+      SELECT lang, doc_id, quality,
+             RANK() OVER (PARTITION BY lang ORDER BY quality DESC) AS rnk
+      FROM q
+    ) WHERE rnk <= 5 ORDER BY lang, rnk, doc_id
+    """,
+)
+def top_quality_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curriculum head: the top-5 quality ranks per lang,
+    with RANK() keeping score ties — a tied 5th place admits every doc
+    at that score, which is the right semantics when scores are coarse
+    (row_number would drop tied docs by arbitrary id order).
+
+    One window shuffle on lang; the quality term inherits through the
+    clone-collapse broadcast like every per-text function."""
+    from pyspark.sql import Window
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    scored = _per_distinct_text(
+        d.select("doc_id", "lang", "text"),
+        lambda t: t.select("text", quality_score(F.col("text")).alias("quality")),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"))
+    return (
+        scored.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "quality", "rnk")
+        .orderBy("lang", "rnk", "doc_id")
+    )
