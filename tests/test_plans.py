@@ -645,3 +645,38 @@ def test_top_quality_rank_single_window_shuffle(spark):
     df = _q(spark, "top_quality_docs_per_lang")
     assert set(join_strategies(df)) == {"BroadcastHashJoin"}
     assert len(exchanges(df)) <= 5
+
+
+def test_ols_single_fact_shuffle_broadcast_dim(spark):
+    """OLS moments ride ONE brand aggregate over the fact with the part
+    dim broadcast — no second scan for any moment."""
+    df = _q(spark, "brand_price_quantity_ols")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 2
+
+
+def test_column_profile_one_scan_all_columns(spark):
+    """The profiler computes every column's count/nulls/distinct/min/max
+    from ONE scan (Expand-based distinct aggregates), never a per-column
+    rescan — exchanges stay at the single aggregate plus final order."""
+    df = _q(spark, "orders_column_profile")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert join_strategies(df) == []
+    assert plan.count("FileScan") + plan.count("Scan parquet") >= 1
+    assert len(exchanges(df)) <= 2
+
+
+def test_grouping_sets_single_expand_shuffle(spark):
+    """The three grouping levels expand map-side into one aggregate
+    shuffle — same property as CUBE, not three UNION'd scans."""
+    df = _q(spark, "event_grouping_sets_stats")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert join_strategies(df) == []
+    assert len(exchanges(df)) <= 2
+
+
+def test_dense_rank_one_window_shuffle(spark):
+    df = _q(spark, "acctbal_dense_rank_in_nation")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 2

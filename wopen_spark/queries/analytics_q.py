@@ -1126,3 +1126,140 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("wau"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simple OLS regression per brand — slope/intercept of extendedprice on
+# quantity, from the SAME exact scaled-long moment sums as the
+# correlation query: every input to the closed-form (n·Σxy − ΣxΣy) /
+# (n·Σx² − (Σx)²) expression is partitioning-independent, so both
+# engines produce bit-equal coefficients. One fact shuffle (the brand
+# aggregate); the part dim broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_price_quantity_ols",
+    oracle="""
+    WITH m AS (
+      SELECT p.p_brand AS brand,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sxy
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM m ORDER BY brand
+    """,
+)
+def brand_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qx = F.round(F.col("l_quantity")).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(qx).cast("double").alias("sx"),
+            (F.sum(pc).cast("double") / 100.0).alias("sy"),
+            F.sum(qx * qx).cast("double").alias("sxx"),
+            (F.sum(qx * pc).cast("double") / 100.0).alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Column profiling — the data-quality sweep every ingestion pipeline
+# runs first: per column, row count, null count, distinct count, and
+# min/max rendered as strings. ONE scan computes every column's
+# aggregates in a single map-side pass (count_distinct rides Spark's
+# partial-aggregation planning: one expand + shuffle, no per-column
+# rescans); the wide 1-row result unpivots to the long (column, stats)
+# shape with a stack projection.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+@query(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(printf('%.2f', MIN(o_totalprice)) AS VARCHAR),
+           CAST(printf('%.2f', MAX(o_totalprice)) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+
+    def render(c: str, suffix: str):
+        col = F.col(f"{c}__{suffix}")
+        if c == "o_totalprice":
+            return F.format_string("%.2f", col)
+        return col.cast("string")
+
+    stack_args = []
+    for c in _PROFILE_COLS:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__n"),
+            F.col(f"{c}__nulls"),
+            F.col(f"{c}__distinct"),
+            render(c, "min"),
+            render(c, "max"),
+        ]
+    return (
+        wide.select(
+            F.stack(
+                F.lit(len(_PROFILE_COLS)),
+                *stack_args,
+            ).alias("column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+        )
+        .orderBy("column_name")
+    )

@@ -396,3 +396,54 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS — the asymmetric level list CUBE can't express:
+# ((event_type, dow), (event_type), ()) skips the per-dow-only level.
+# Same single-shuffle property as CUBE (map-side expand into the listed
+# sets); GROUPING() flags disambiguate real NULLs from rollup NULLs.
+# ---------------------------------------------------------------------------
+@query(
+    "event_grouping_sets_stats",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN GROUPING(dow) = 0 THEN dow END AS dow,
+           CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           CAST(GROUPING(dow) AS BIGINT) AS g_dow,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      -- DuckDB dayofweek is 0-6 (Sun=0); Spark's is 1-7 (Sun=1)
+      SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+    ORDER BY g_type, g_dow, event_type NULLS FIRST, dow NULLS FIRST
+    """,
+)
+def event_grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "dow"], ["event_type"], []], "event_type", "dow"
+        )
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("dow").cast("long").alias("g_dow"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select("event_type", "dow", "g_type", "g_dow", "n", "total_value")
+        .orderBy(
+            "g_type",
+            "g_dow",
+            F.col("event_type").asc_nulls_first(),
+            F.col("dow").asc_nulls_first(),
+        )
+    )

@@ -351,3 +351,36 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+@query(
+    "acctbal_dense_rank_in_nation",
+    oracle="""
+    SELECT n.n_name AS nation, s.s_name AS supplier,
+           CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           DENSE_RANK() OVER (
+             PARTITION BY n.n_name
+             ORDER BY CAST(round(s.s_acctbal * 100) AS BIGINT) DESC
+           ) AS drnk
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY nation, drnk, supplier
+    """,
+)
+def acctbal_dense_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK over exact cents per nation — equal balances share a
+    rank with no gaps after ties (vs RANK), the right semantics for
+    leaderboard tiers. Ranking on the scaled-long cents keeps the tie
+    decision engine-exact; one window shuffle on the nation key."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("nation").orderBy(F.desc("acctbal_cents"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("s_name").alias("supplier"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .withColumn("drnk", F.dense_rank().over(w))
+        .orderBy("nation", "drnk", "supplier")
+    )
