@@ -680,3 +680,33 @@ def test_dense_rank_one_window_shuffle(spark):
     df = _q(spark, "acctbal_dense_rank_in_nation")
     assert set(join_strategies(df)) == {"BroadcastHashJoin"}
     assert len(exchanges(df)) <= 2
+
+
+def test_debounce_single_window_shuffle(spark):
+    """Debounce is one (user, type) window pass — no joins, no global
+    sort before the final presentation orderBy."""
+    df = _q(spark, "debounce_events")
+    assert join_strategies(df) == []
+    assert len(exchanges(df)) <= 2
+
+
+def test_source_dup_rate_single_aggregate_chain(spark):
+    """The per-source distinct count rides the clone-collapse hash; only
+    the contraction, the Expand aggregate chain, and the final order
+    exchange data."""
+    df = _q(spark, "source_dup_rate")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+
+
+def test_pagerank_one_edge_join_per_round(spark):
+    """The static outdeg rides on the rank state, so each of the three
+    rounds joins the edge list exactly once — the plan must not contain
+    a second |edges|-wide join per iteration (2 joins/round would show
+    >= 6 hash joins; state-carried outdeg shows 3 edge joins + 3
+    node-keyed update joins + the one-time outdeg attach)."""
+    df = _q(spark, "pagerank_customer_supplier")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    # localCheckpoint truncates lineage: the visible plan is the last
+    # round only — one edge join + one node update join at most.
+    assert len([s for s in strategies if "Join" in s]) <= 3

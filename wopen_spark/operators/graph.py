@@ -115,11 +115,19 @@ def pagerank(
         .localCheckpoint()
     )
     outdeg = e.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.withColumn("pr_s", F.lit(factor).cast("long"))
+    # The static outdeg rides ON the rank state (node, outdeg, pr_s), so
+    # each round joins the edge list exactly ONCE — a second |edges|-wide
+    # outdeg join per round would double the dominant shuffle. Dangling
+    # nodes carry a null outdeg that is never read (they match no e.a).
+    nodes_deg = (
+        nodes.join(outdeg, nodes["node"] == outdeg["a"], "left")
+        .select("node", "outdeg")
+        .localCheckpoint()
+    )
+    state = nodes_deg.withColumn("pr_s", F.lit(factor).cast("long"))
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["a"] == ranks["node"])
-            .join(outdeg, "a")
+            e.join(state, e["a"] == state["node"])
             .select(
                 F.col("b"),
                 F.round(F.col("pr_s").cast("double") / F.col("outdeg"))
@@ -129,10 +137,11 @@ def pagerank(
             .groupBy("b")
             .agg(F.sum("c").alias("csum"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["b"], "left")
+        state = (
+            nodes_deg.join(contrib, nodes_deg["node"] == contrib["b"], "left")
             .select(
                 "node",
+                "outdeg",
                 F.round(
                     F.lit(base_s)
                     + damping * F.coalesce(F.col("csum"), F.lit(0)).cast("double")
@@ -142,6 +151,6 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select(
+    return state.select(
         "node", (F.col("pr_s").cast("double") / factor).alias("rank")
     )

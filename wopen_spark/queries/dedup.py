@@ -364,3 +364,44 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "source_dup_rate",
+    oracle="""
+    WITH h AS (
+      SELECT source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT hh) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT hh) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the first number a curator reads
+    when deciding how aggressively to dedup each corpus slice. Uses the
+    same normalized md5 fingerprint as doc_fingerprint_dedup, computed
+    once per DISTINCT text via clone-collapse; the rollup is one
+    aggregate with a distinct count (Expand-planned, single shuffle
+    chain, no per-source rescan)."""
+    from wopen_spark.functions.text import doc_fingerprint
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    hashed = _per_distinct_text(
+        d.select("source", "text"),
+        lambda t: t.select("text", doc_fingerprint(F.col("text")).alias("hh")),
+    )
+    n = F.count(F.lit(1))
+    nd = F.count_distinct(F.col("hh"))
+    return (
+        hashed.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            nd.alias("n_unique"),
+            ((n - nd).cast("double") / n.cast("double")).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

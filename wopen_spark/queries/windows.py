@@ -384,3 +384,36 @@ def acctbal_dense_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("drnk", F.dense_rank().over(w))
         .orderBy("nation", "drnk", "supplier")
     )
+
+
+@query(
+    "debounce_events",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             floor(epoch(ts))::BIGINT
+               - floor(epoch(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)))::BIGINT
+               AS gap_sec
+      FROM events
+    ) WHERE gap_sec IS NULL OR gap_sec > 5
+    ORDER BY event_id
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop an event when the SAME user fired the SAME type
+    within the previous 5 seconds — the standard double-click /
+    retry-storm cleanup before behavioural analytics. Second-resolution
+    gaps keep the threshold decision integer-exact on both engines.
+
+    One window shuffle on (user, type); at 100 TB that key is fine-
+    grained enough to spread, and no global ordering is ever needed."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_sec", gap)
+        .filter(F.col("gap_sec").isNull() | (F.col("gap_sec") > 5))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
