@@ -459,3 +459,25 @@ def test_jsonl_round_trip(spark, tmp_path):
         (f.name, f.dataType) for f in df.schema.fields
     ]
     assert sorted(r.doc_id for r in back.collect()) == list(range(100))
+
+
+def test_orc_roundtrip_partitioned_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip: values survive, the partition column
+    comes back, and a partition filter prunes to one directory."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.sources.files import orc_sink, orc_source
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        ["id", "val", "day"],
+    )
+    out = str(tmp_path / "orc_t")
+    orc_sink(df, out, partition_by=["day"])
+    back = orc_source(spark, out)
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+    one_day = back.filter(F.col("day") == "2024-01-02")
+    assert [r.val for r in one_day.collect()] == ["c"]
+    # partition pruning: the scan must read only the day=2024-01-02 dir
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "2024-01-02" in plan or "PartitionFilters" in plan

@@ -710,3 +710,19 @@ def test_pagerank_one_edge_join_per_round(spark):
     # localCheckpoint truncates lineage: the visible plan is the last
     # round only — one edge join + one node update join at most.
     assert len([s for s in strategies if "Join" in s]) <= 3
+
+
+def test_split_leakage_two_aggregates_after_collapse(spark):
+    """Leak detection: fingerprint inherits via the clone-collapse
+    broadcast; then the per-fingerprint and per-combination aggregates —
+    no self-joins, no cartesian."""
+    df = _q(spark, "split_leakage_check")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+
+
+def test_event_runs_share_one_user_exchange(spark):
+    """Both row_number windows sort within the same user-keyed exchange;
+    only the run and histogram aggregates add exchanges."""
+    df = _q(spark, "event_type_runs")
+    assert join_strategies(df) == []
+    assert len(exchanges(df)) <= 4

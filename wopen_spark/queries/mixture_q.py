@@ -447,3 +447,68 @@ def event_grouping_sets_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dow").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split leakage check: content fingerprints whose member docs land in
+# MORE THAN ONE of the train/val/test splits — exact duplicates leaking
+# across the eval boundary, the QA gate run right after any hash split.
+# The split is keyed on doc_id while the fingerprint is keyed on
+# content, so byte-identical docs with different ids CAN split apart;
+# this query quantifies exactly that.
+# ---------------------------------------------------------------------------
+@query(
+    "split_leakage_check",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS hh,
+             CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    per_fp AS (
+      SELECT hh, COUNT(*) AS n_docs,
+             string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+             COUNT(DISTINCT split) AS n_splits
+      FROM tagged GROUP BY 1
+    )
+    SELECT splits, COUNT(*) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM per_fp WHERE n_splits > 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.functions.text import doc_fingerprint
+    from wopen_spark.queries.registry import _per_distinct_text
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(
+            F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))).substr(1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    tagged = _per_distinct_text(
+        d.select("doc_id", "text"),
+        lambda t: t.select("text", doc_fingerprint(F.col("text")).alias("hh")),
+    ).select("hh", split.alias("split"))
+    per_fp = tagged.groupBy("hh").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        F.count_distinct("split").alias("n_splits"),
+    )
+    return (
+        per_fp.filter(F.col("n_splits") > 1)
+        .groupBy("splits")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .orderBy("splits")
+    )

@@ -417,3 +417,46 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+
+
+@query(
+    "event_type_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS island
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, island, COUNT(*) AS run_len
+      FROM seq GROUP BY 1, 2, 3
+    )
+    SELECT event_type, run_len, COUNT(*) AS n_runs
+    FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event stream (maximal runs of
+    the same type), rolled into a (type, run length) histogram — the
+    gaps-and-islands GROUPING form (customer_order_gaps covers the gap
+    form). The two row_numbers share the user-keyed sort, so both
+    windows plus the run aggregate ride ONE user exchange; only the tiny
+    histogram reshuffles."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type", "run_len")
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+        .orderBy("event_type", "run_len")
+    )

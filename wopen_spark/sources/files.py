@@ -65,3 +65,21 @@ def jsonl_source(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def orc_sink(df: DataFrame, path: str, partition_by: list[str] | None = None) -> str:
+    """Write a DataFrame as ORC — the columnar interchange format for
+    Hive-ecosystem consumers (predicate pushdown and column pruning work
+    the same as parquet on the read side). Partitioned layout when
+    ``partition_by`` is given, mirroring the parquet Table layer."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return path
+
+
+def orc_source(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC directory/file; partition-directory columns come back
+    as real columns, filters and projections push into the ORC reader."""
+    return spark.read.orc(path)
