@@ -481,3 +481,25 @@ def test_orc_roundtrip_partitioned_pushdown(spark, tmp_path):
     # partition pruning: the scan must read only the day=2024-01-02 dir
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "2024-01-02" in plan or "PartitionFilters" in plan
+
+
+def test_prefix_containment_complete_beyond_neighbors(spark):
+    """The sorted-successor check must find a prefix even when other
+    extending texts sort between the prefix and a non-adjacent
+    superstring, and must not flag non-prefix neighbors."""
+    from wopen_spark.operators.dedup import prefix_contained_flags
+
+    rows = [
+        (1, "ab c"),    # prefix of "ab cc" (immediate) and "ab cd"
+        (2, "ab cc"),
+        (3, "ab cd"),
+        (4, "xyz"),     # no superstring
+        (5, "xy"),      # prefix of "xyz" via successor
+        (6, "qr"),      # "qs" is NOT an extension
+        (7, "qs"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.is_prefix for r in prefix_contained_flags(df).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: True, 6: False, 7: False}

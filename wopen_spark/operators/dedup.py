@@ -201,3 +201,30 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str, keep: str = "min") -> D
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     keep_ids = df.withColumn("__key", key).groupBy("__key").agg(agg.alias(id_col)).drop("__key")
     return df.join(keep_ids, id_col, "left_semi")
+
+
+def prefix_contained_flags(
+    df: DataFrame, text_col: str = "text", order_col: str = "doc_id"
+) -> DataFrame:
+    """Flag rows whose ``text_col`` is a strict prefix of ANOTHER row's
+    text. Complete by construction: among distinct texts sorted
+    lexicographically, if A prefixes any text then every text between A
+    and that one also extends A — so A's immediate successor decides.
+    Prefix pairs share their first character, so the sort runs inside
+    first-char partitions (parallel; no global sort).
+
+    Input rows must have distinct ``text_col`` values (contract clones
+    first); returns the input columns plus ``is_prefix`` boolean.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.substring(text_col, 1, 1)).orderBy(
+        text_col, order_col
+    )
+    nxt = F.lead(text_col).over(w)
+    return df.withColumn(
+        "is_prefix",
+        nxt.isNotNull()
+        & (nxt != F.col(text_col))
+        & (nxt.substr(F.lit(1), F.length(text_col)) == F.col(text_col)),
+    )

@@ -405,3 +405,49 @@ def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "prefix_containment_docs",
+    oracle="""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, text, COUNT(*) AS n_clones
+      FROM documents GROUP BY text
+    ),
+    nbr AS (
+      SELECT doc_id, text, n_clones,
+             LEAD(text) OVER (
+               PARTITION BY substr(text, 1, 1) ORDER BY text, doc_id
+             ) AS nxt
+      FROM reps
+    )
+    SELECT doc_id, n_clones, length(text) AS n_chars
+    FROM nbr
+    WHERE nxt IS NOT NULL AND nxt <> text
+      AND substr(nxt, 1, length(text)) = text
+    ORDER BY doc_id
+    """,
+)
+def prefix_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose full text is a strict PREFIX of another distinct doc —
+    the truncation-duplicate case shingle similarity underweights (a
+    short doc swallowed by a long one shares few of the long doc's
+    shingles). Sort-neighbor check, and it is COMPLETE, not a
+    heuristic: if A prefixes any doc, A's immediate lexicographic
+    successor among distinct texts must itself extend A, so ONE lead()
+    per doc decides containment. Prefix pairs always share their first
+    character, so the sort partitions by first char — parallel, never a
+    global single-partition sort. Exact-dedup reps first: one shuffle
+    to contract clones, one window exchange over distinct texts."""
+    from wopen_spark.operators.dedup import prefix_contained_flags
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    reps = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_clones")
+    )
+    return (
+        prefix_contained_flags(reps, "text", "doc_id")
+        .filter(F.col("is_prefix"))
+        .select("doc_id", "n_clones", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
