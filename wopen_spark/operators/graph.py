@@ -34,10 +34,15 @@ def connected_components(
     # materialize the edge list once: it is re-joined EVERY round, and an
     # expensive upstream (e.g. the LSH candidate pipeline) would otherwise
     # be recomputed per iteration
+    # hash-partitioned on the probe key and CACHED: persist (unlike
+    # localCheckpoint, which scans back with unknown partitioning) keeps
+    # the hash(b) layout visible to every round's neighbour join, so the
+    # |edges| side never re-exchanges inside the loop
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .repartition("b")
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -83,6 +88,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     scale: int = 9,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     (node, rank) with rank = scaled-long internal value / 10^scale.
@@ -106,14 +112,23 @@ def pagerank(
     """
     factor = 10**scale
     base_s = (1.0 - damping) * factor  # same IEEE ops as the SQL oracle
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
-    e = e.localCheckpoint()  # re-joined every round; compute upstream once
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # The static frames are hash-partitioned on their join keys and
+    # CACHED (not checkpointed: a localCheckpoint scans back as a bare
+    # RDD with unknown partitioning, so every round would re-exchange
+    # the |edges| side — persist keeps the Exchange in the plan where
+    # EnsureRequirements can see it). Each round's e ⋈ state join then
+    # reuses e's hash(a) layout with NO per-round edge shuffle, and the
+    # state update join reuses nodes_deg's hash(node) layout likewise —
+    # the standard cached-invariant layout for distributed PageRank.
+    # edges_distinct=True skips the defensive dedup — at graph scale
+    # that is one full |edges| shuffle; callers whose edge derivation
+    # already dedups (e.g. a distinct directed set unioned with its
+    # disjoint reversal) should pass it.
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.repartition("a").persist()
+    nodes = e.select(F.col("a").alias("node")).union(e.select("b")).distinct()
     outdeg = e.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
     # The static outdeg rides ON the rank state (node, outdeg, pr_s), so
     # each round joins the edge list exactly ONCE — a second |edges|-wide
@@ -122,7 +137,8 @@ def pagerank(
     nodes_deg = (
         nodes.join(outdeg, nodes["node"] == outdeg["a"], "left")
         .select("node", "outdeg")
-        .localCheckpoint()
+        .repartition("node")
+        .persist()
     )
     state = nodes_deg.withColumn("pr_s", F.lit(factor).cast("long"))
     for _ in range(iterations):

@@ -126,5 +126,11 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges, src="src", dst="dst", iterations=3, damping=0.85)
+    # directed is already DISTINCT and the parity encoding (even src,
+    # odd dst) makes the reversed union disjoint from it — the edge set
+    # is globally distinct, so the operator's dedup shuffle is skipped.
+    ranks = pagerank(
+        edges, src="src", dst="dst", iterations=3, damping=0.85,
+        edges_distinct=True,
+    )
     return ranks.orderBy(F.desc("rank"), "node")
