@@ -726,3 +726,24 @@ def test_event_runs_share_one_user_exchange(spark):
     df = _q(spark, "event_type_runs")
     assert join_strategies(df) == []
     assert len(exchanges(df)) <= 4
+
+
+def test_containment_no_cartesian_single_pair_join(spark):
+    df = _q(spark, "ngram_containment_adjacent_docs")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+
+
+def test_lang_mismatch_collapse_then_tiny_rollup(spark):
+    """Language detection inherits through the clone-collapse broadcast;
+    the per-source rollup is one aggregate."""
+    df = _q(spark, "lang_mismatch_by_source")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+
+
+def test_above_avg_window_and_rollup_share_exchange(spark):
+    """The nation window and the nation rollup must ride ONE exchange —
+    the integer-exact threshold needs no second scan or self-join."""
+    df = _q(spark, "above_nation_avg_customers")
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert len(exchanges(df)) <= 2

@@ -228,3 +228,17 @@ def prefix_contained_flags(
         & (nxt != F.col(text_col))
         & (nxt.substr(F.lit(1), F.length(text_col)) == F.col(text_col)),
     )
+
+
+def ngram_containment(a: Column, b: Column, n: int = 2) -> Column:
+    """Word n-gram CONTAINMENT of ``a`` in ``b``: |A ∩ B| / |A|, rounded
+    to 6 decimals. The asymmetric complement of :func:`ngram_jaccard` —
+    a short doc fully embedded in a long one scores ~1.0 here while its
+    Jaccard stays low, which is exactly the truncation/quote-dedup case
+    (Broder's containment measure)."""
+    sa = _word_shingles(a, n)
+    sb = _word_shingles(b, n)
+    inter = F.size(F.array_intersect(sa, sb))
+    return F.round(
+        inter.cast("double") / F.greatest(F.size(sa), F.lit(1)).cast("double"), 6
+    )

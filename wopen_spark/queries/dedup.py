@@ -451,3 +451,40 @@ def prefix_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_clones", F.length("text").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ngram_containment_adjacent_docs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_duck_shingles(2)} AS shingles
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / greatest(len(a.shingles), 1)::DOUBLE, 6) AS containment
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    ORDER BY id_a
+    """,
+)
+def ngram_containment_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B|/|A| between consecutive doc ids —
+    catches a short doc quoted inside a longer one, which symmetric
+    Jaccard dilutes. Same bounded pair frame as the Jaccard query."""
+    from wopen_spark.operators.dedup import ngram_containment
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")
+    )
+    return (
+        d.join(b, "doc_id")
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+            ngram_containment(F.col("text"), F.col("text_b"), n=2).alias(
+                "containment"
+            ),
+        )
+        .orderBy("id_a")
+    )

@@ -366,3 +366,56 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "above_nation_avg_customers",
+    oracle="""
+    WITH c AS (
+      SELECT n.n_name AS nation,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    agg AS (
+      SELECT nation, COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM c GROUP BY 1
+    )
+    SELECT a.nation, a.n_customers,
+           COUNT(*) FILTER (WHERE c.cents * a.n_customers > a.s) AS n_above
+    FROM c JOIN agg a USING (nation)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers strictly above their nation's average balance — the
+    correlated-scalar-subquery shape, decided in EXACT integer
+    arithmetic: cents * n > sum_cents is the rational comparison
+    cents > sum/n with no division, so no engine ever rounds the
+    threshold. One window pass carries (n, sum) per nation and the
+    rollup reuses the same nation exchange."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("nation")
+    flagged = base.select(
+        "nation",
+        F.count(F.lit(1)).over(w).alias("n_customers"),
+        F.sum("cents").over(w).alias("s"),
+        "cents",
+    )
+    return (
+        flagged.groupBy("nation", "n_customers")
+        .agg(
+            F.sum(
+                F.when(F.col("cents") * F.col("n_customers") > F.col("s"), 1)
+                .otherwise(0)
+            ).alias("n_above")
+        )
+        .orderBy("nation")
+    )

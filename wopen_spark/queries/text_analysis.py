@@ -328,3 +328,53 @@ def top_quality_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "quality", "rnk")
         .orderBy("lang", "rnk", "doc_id")
     )
+
+
+@query(
+    "lang_mismatch_by_source",
+    oracle=f"""
+    WITH scores AS (
+      SELECT source, lang AS labeled_lang,
+           {_SCORE_EXPRS}
+      FROM documents
+    ),
+    best AS (
+      SELECT *, greatest({", ".join("s_" + lang for lang in _LANGS)}) AS best FROM scores
+    ),
+    det AS (
+      SELECT source, labeled_lang, {_LANG_CASE} AS detected_lang FROM best
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE detected_lang <> labeled_lang) AS n_mismatch,
+           CAST(COUNT(*) FILTER (WHERE detected_lang <> labeled_lang) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mismatch_rate
+    FROM det GROUP BY 1 ORDER BY 1
+    """,
+)
+def lang_mismatch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: per source, how often the n-gram language
+    detector disagrees with the stored lang label — the drift metric
+    that flags a mislabeled or code-mixed corpus slice before it
+    poisons per-language sampling. Detection runs once per DISTINCT
+    text (clone-collapse); the rollup is one tiny aggregate."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    det = _per_distinct_text(
+        d.select("source", "lang", "text"),
+        lambda t: t.select(
+            "text", language_id(F.col("text")).alias("detected_lang")
+        ),
+    )
+    mism = F.sum(
+        F.when(F.col("detected_lang") != F.col("lang"), 1).otherwise(0)
+    )
+    return (
+        det.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            mism.alias("n_mismatch"),
+            (mism.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mismatch_rate"
+            ),
+        )
+        .orderBy("source")
+    )
