@@ -747,3 +747,17 @@ def test_above_avg_window_and_rollup_share_exchange(spark):
     df = _q(spark, "above_nation_avg_customers")
     assert set(join_strategies(df)) == {"BroadcastHashJoin"}
     assert len(exchanges(df)) <= 2
+
+
+def test_fixed_size_sample_one_window_shuffle(spark):
+    df = _q(spark, "fixed_size_sample_per_lang")
+    assert join_strategies(df) == []
+    assert len(exchanges(df)) <= 2
+
+
+def test_minmax_scaling_one_window_shuffle(spark):
+    """Both extrema ride the same event_type window exchange; only the
+    presentation sort adds one more."""
+    df = _q(spark, "minmax_scaled_event_values")
+    assert join_strategies(df) == []
+    assert len(exchanges(df)) <= 2

@@ -1263,3 +1263,60 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type min-max normalization of event values — feature scaling in
+# exact cents: the (v - min) and (max - min) terms are long subtractions
+# and only the final divide is IEEE, identical on both engines. The
+# per-type extrema ride ONE window exchange; at 100 TB swap the window
+# for an aggregate + broadcast join (same arithmetic) if a single type
+# dominates a reducer.
+# ---------------------------------------------------------------------------
+@query(
+    "minmax_scaled_event_values",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type, cents,
+             MIN(cents) OVER (PARTITION BY event_type) AS mn,
+             MAX(cents) OVER (PARTITION BY event_type) AS mx
+      FROM c
+    )
+    SELECT event_id, event_type,
+           round(CASE WHEN mx > mn
+                 THEN CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+                 ELSE 0.5 END, 6) AS scaled
+    FROM w ORDER BY event_id
+    """,
+)
+def minmax_scaled_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type")
+    scaled = (
+        ev.withColumn("mn", F.min("cents").over(w))
+        .withColumn("mx", F.max("cents").over(w))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(
+                    F.col("mx") > F.col("mn"),
+                    (F.col("cents") - F.col("mn")).cast("double")
+                    / (F.col("mx") - F.col("mn")).cast("double"),
+                ).otherwise(0.5),
+                6,
+            ).alias("scaled"),
+        )
+    )
+    return scaled.orderBy("event_id")

@@ -184,3 +184,41 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_shared_grams")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fixed_size_sample_per_lang",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fs|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+)
+def fixed_size_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank docs inside each
+    language by a salted key hash and keep the first 20 — the
+    fixed-BUDGET counterpart to rate-based sampling
+    (stratified_sample_by_lang), used when an eval set must have a known
+    size per slice. Hash-ordered, so the same 20 docs come out of any
+    engine, partitioning, or rerun, and adding new docs only displaces
+    members whose hash falls behind — no rand() state anywhere. One
+    window shuffle on lang."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("fs|"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
