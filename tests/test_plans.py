@@ -761,3 +761,12 @@ def test_minmax_scaling_one_window_shuffle(spark):
     df = _q(spark, "minmax_scaled_event_values")
     assert join_strategies(df) == []
     assert len(exchanges(df)) <= 2
+
+
+def test_bloom_filter_broadcasts_to_probe(spark):
+    """The <=18-row bloom bitmap and the truth set both broadcast; the
+    corpus probe side never shuffles for a join."""
+    df = _q(spark, "bloom_membership_src0")
+    strategies = join_strategies(df)
+    assert set(strategies) == {"BroadcastHashJoin"}
+    assert "CartesianProduct" not in strategies

@@ -1340,3 +1340,141 @@ def minmax_scaled_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scaled.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership — the third mergeable-sketch family after KMV
+# (cardinality) and CMS (frequency): build an 18-word x 60-bit filter
+# (1080 bits, k=3 md5-derived positions) over source src0's document
+# fingerprints, then test every OTHER source's fingerprints against it
+# and report estimated vs true membership (false positives are the
+# sketch's documented error). 60-bit words because DuckDB's left shift
+# is overflow-CHECKED (1::BIGINT << 63 raises where Spark wraps), so
+# sticking below bit 60 keeps the bitmap arithmetic engine-identical.
+# Scale shape: the filter is <= 18 rows bit_or-aggregated in one pass
+# and BROADCAST to the probe side — membership testing never shuffles
+# the corpus.
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 1080
+_BLOOM_WORD = 60
+
+
+def _duck_bloom_pos(i: int, fp: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bl{i}|' || {fp}), 1, 8)) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "bloom_membership_src0",
+    oracle=f"""
+    WITH fps AS (
+      SELECT DISTINCT source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    pos AS (
+      SELECT source, fp, p FROM fps, LATERAL (
+        SELECT unnest([{", ".join(_duck_bloom_pos(i, "fp") for i in range(3))}]) AS p
+      )
+    ),
+    bloom AS (
+      SELECT p // {_BLOOM_WORD} AS j,
+             bit_or(1::BIGINT << (p % {_BLOOM_WORD})) AS word
+      FROM pos WHERE source = 'src0' GROUP BY 1
+    ),
+    probe AS (
+      SELECT f.source, f.fp,
+             COUNT(*) FILTER (
+               WHERE b.word IS NOT NULL
+                 AND (b.word & (1::BIGINT << (p.p % {_BLOOM_WORD}))) != 0
+             ) AS hits
+      FROM fps f
+      JOIN pos p ON f.source = p.source AND f.fp = p.fp
+      LEFT JOIN bloom b ON p.p // {_BLOOM_WORD} = b.j
+      WHERE f.source <> 'src0'
+      GROUP BY 1, 2
+    ),
+    truth AS (SELECT DISTINCT fp FROM fps WHERE source = 'src0')
+    SELECT probe.source,
+           COUNT(*) AS n_fps,
+           COUNT(*) FILTER (WHERE hits = 3) AS est_members,
+           COUNT(*) FILTER (WHERE t.fp IS NOT NULL) AS true_members,
+           COUNT(*) FILTER (WHERE hits = 3 AND t.fp IS NULL) AS false_positives
+    FROM probe LEFT JOIN truth t ON probe.fp = t.fp
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bloom_membership_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.functions.text import doc_fingerprint
+    from wopen_spark.queries.registry import _spread
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    fps = (
+        d.select("source", doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    pos_arr = F.array(
+        *[
+            F.conv(
+                F.md5(F.concat(F.lit(f"bl{i}|"), F.col("fp"))).substr(1, 8), 16, 10
+            ).cast("long")
+            % _BLOOM_BITS
+            for i in range(3)
+        ]
+    )
+    pos = fps.select("source", "fp", F.explode(pos_arr).alias("p"))
+    bloom = (
+        pos.filter(F.col("source") == "src0")
+        .groupBy((F.col("p") / _BLOOM_WORD).cast("long").alias("j"))
+        .agg(
+            # PySpark's shiftleft wrapper rejects a Column shift amount;
+            # the SQL expression form takes one fine
+            F.bit_or(F.expr(f"shiftleft(1L, cast(p % {_BLOOM_WORD} as int))")).alias(
+                "word"
+            )
+        )
+    )
+    probe = (
+        pos.filter(F.col("source") != "src0")
+        .join(
+            F.broadcast(bloom),
+            (F.col("p") / _BLOOM_WORD).cast("long") == F.col("j"),
+            "left",
+        )
+        .groupBy("source", "fp")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("word").isNotNull()
+                    & (
+                        F.col("word").bitwiseAND(
+                            F.expr(f"shiftleft(1L, cast(p % {_BLOOM_WORD} as int))")
+                        )
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("hits")
+        )
+    )
+    truth = (
+        fps.filter(F.col("source") == "src0")
+        .select(F.col("fp").alias("tfp"))
+        .distinct()
+    )
+    return (
+        probe.join(F.broadcast(truth), probe.fp == truth.tfp, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.when(F.col("hits") == 3, 1).otherwise(0)).alias("est_members"),
+            F.sum(F.when(F.col("tfp").isNotNull(), 1).otherwise(0)).alias(
+                "true_members"
+            ),
+            F.sum(
+                F.when((F.col("hits") == 3) & F.col("tfp").isNull(), 1).otherwise(0)
+            ).alias("false_positives"),
+        )
+        .orderBy("source")
+    )
