@@ -770,3 +770,13 @@ def test_bloom_filter_broadcasts_to_probe(spark):
     strategies = join_strategies(df)
     assert set(strategies) == {"BroadcastHashJoin"}
     assert "CartesianProduct" not in strategies
+
+
+def test_kmv_union_merges_compact_sketches(spark):
+    """The pairwise union estimate merges the <= k-row per-type sketches
+    (broadcast), never re-scanning raw events per pair; no cartesian
+    anywhere."""
+    df = _q(spark, "kmv_union_event_types")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies or "BroadcastNestedLoopJoin" in strategies

@@ -1478,3 +1478,145 @@ def bloom_membership_src0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch MERGE: the union-cardinality estimate for every pair of
+# event types, computed by merging the per-type min-k sketches — never
+# re-scanning raw events for a pair. min-k(A ∪ B) == min-k(min-k(A) ∪
+# min-k(B)) is the mergeability identity that makes KMV a distributed
+# sketch; the estimate and the exact union (inclusion-exclusion over
+# the distinct (type, user) contraction) are reported side by side.
+# All sketch arithmetic is integer/md5-exact, so the merged estimates
+# hash bit-equal across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "kmv_union_event_types",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+      ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, u.hv FROM
+        (SELECT DISTINCT event_type FROM sk) a
+        JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type
+        JOIN LATERAL (
+          SELECT DISTINCT hv FROM sk
+          WHERE sk.event_type IN (a.event_type, b.event_type)
+        ) u ON true
+    ),
+    msk AS (
+      SELECT type_a, type_b, MAX(hv) AS kth, COUNT(*) AS k_used FROM (
+        SELECT type_a, type_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+        FROM merged
+      ) WHERE rn <= {_KMV_K} GROUP BY 1, 2
+    ),
+    tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    pern AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS ni
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT m.type_a, m.type_b,
+           (pa.n + pb.n - COALESCE(i.ni, 0)) AS n_exact_union,
+           CASE WHEN m.k_used < {_KMV_K} THEN CAST(m.k_used AS DOUBLE)
+                ELSE round((m.k_used - 1) * {_KMV_SCALE!r} / m.kth, 6)
+           END AS kmv_union_estimate
+    FROM msk m
+    JOIN pern pa ON m.type_a = pa.event_type
+    JOIN pern pb ON m.type_b = pb.event_type
+    LEFT JOIN inter i ON m.type_a = i.type_a AND m.type_b = i.type_b
+    ORDER BY 1, 2
+    """,
+)
+def kmv_union_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.conv(
+            F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))).substr(
+                1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    ).select("event_type", "hv")
+    # merge: pair the COMPACT sketches (<= k rows per type) — both sides
+    # broadcastable regardless of corpus size
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("hv").alias("hv_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("hv").alias("hv_b"))
+    ta = sk.select(F.col("event_type").alias("type_a")).distinct()
+    tb = sk.select(F.col("event_type").alias("type_b")).distinct()
+    pairs = ta.join(F.broadcast(tb), ta.type_a < tb.type_b)
+    merged = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "hv")
+        .distinct()
+    )
+    wm = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    msk = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(F.max("hv").alias("kth"), F.count(F.lit(1)).alias("k_used"))
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    pern = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tub = tu.select(F.col("event_type").alias("tb2"), F.col("user_id").alias("uid2"))
+    inter = (
+        tu.join(
+            tub,
+            (tu.user_id == tub.uid2) & (tu.event_type < tub.tb2),
+        )
+        .groupBy(F.col("event_type").alias("ia"), F.col("tb2").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    pa = pern.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    pb = pern.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    est = F.when(
+        F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.round((F.col("k_used") - 1) * F.lit(_KMV_SCALE) / F.col("kth"), 6)
+    )
+    return (
+        msk.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .join(
+            F.broadcast(inter),
+            (msk.type_a == inter.ia) & (msk.type_b == inter.ib),
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))).alias(
+                "n_exact_union"
+            ),
+            est.alias("kmv_union_estimate"),
+        )
+        .orderBy("type_a", "type_b")
+    )
