@@ -503,3 +503,36 @@ def test_prefix_containment_complete_beyond_neighbors(spark):
         r.doc_id: r.is_prefix for r in prefix_contained_flags(df).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: False, 5: True, 6: False, 7: False}
+
+
+def test_table_merge_upsert_and_compact(spark, tmp_path):
+    """MERGE: new keys insert, matching keys replace, others survive;
+    compact() collapses the file count without changing rows."""
+    from wopen_spark.tables import Table
+
+    t = Table(spark, "crm", "merge_t", warehouse=str(tmp_path))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"]))
+    t.merge(spark.createDataFrame([(2, "B2"), (4, "d")], ["id", "v"]), key="id")
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # merge again to fan out files, then compact to one
+    t.merge(spark.createDataFrame([(5, "e")], ["id", "v"]), key="id")
+    before = t.compact(target_files=1)
+    assert before >= 1
+    after = sum(
+        1
+        for _, _, files in __import__("os").walk(t.path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert after == 1
+    got2 = {r.id: r.v for r in t.read().collect()}
+    assert got2 == {1: "a", 2: "B2", 3: "c", 4: "d", 5: "e"}
+
+
+def test_table_merge_into_empty_table(spark, tmp_path):
+    from wopen_spark.tables import Table
+
+    t = Table(spark, "crm", "merge_fresh", warehouse=str(tmp_path))
+    t.merge(spark.createDataFrame([(1, "x")], ["id", "v"]), key="id")
+    assert [r.v for r in t.read().collect()] == ["x"]

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +141,36 @@ class Table:
             .parquet(self.path)
         )
 
+    def merge(self, df: DataFrame, key: str | list[str]) -> None:
+        """Keyed upsert (MERGE): rows in ``df`` replace existing rows with
+        the same key; all other existing rows survive. Implemented as
+        anti-join + union + staged rewrite — the parquet-directory
+        equivalent of ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED
+        UPDATE WHEN NOT MATCHED INSERT``. At 100 TB run this per
+        partition (write_partition-style) or on an ACID table format;
+        rewriting a whole table for a small upsert is the anti-pattern
+        this method's partition-scoped siblings exist to avoid."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if not self.exists() or not self._has_data_files():
+            self.write(df)
+            return
+        current = self.read()
+        kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(df.select(*current.columns))
+        _swap_rewrite(self.spark, self.path, merged)
+
+    def compact(self, target_files: int = 1) -> int:
+        """Small-files compaction: rewrite the table into ``target_files``
+        parquet files and return the file count before compaction. The
+        read side of every engine pays per-file open/footer costs, so
+        periodic compaction after many small incremental writes is
+        standard table maintenance."""
+        before = 0
+        for _, _, files in os.walk(self.path):
+            before += sum(1 for f in files if f.endswith(".parquet"))
+        _swap_rewrite(self.spark, self.path, self.read().coalesce(target_files))
+        return before
+
     def partitions(self, partition_field: str) -> list[str]:
         """S5 partition-metadata scan (sql/get_partitions_custom_search.sql:1-4):
         list partition values without reading data files."""
@@ -188,3 +219,20 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def _swap_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Rewrite ``path`` with ``df`` via a staging directory + rename —
+    the local-FS stand-in for a transactional table-format commit. The
+    source must be fully materialized BEFORE the old directory goes
+    away (the plan lazily re-reads it), so the staging write happens
+    first and the swap is two renames. On an object store, use a
+    format-level ACID layer (Delta/Iceberg) instead of renames."""
+    staging = path + ".staging"
+    backup = path + ".old"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
