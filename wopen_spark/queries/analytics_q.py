@@ -1620,3 +1620,97 @@ def kmv_union_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of a sparse daily series — the resample().
+# interpolate() counterpart to the zero-fill and LOCF queries. Known
+# days carry exact cents; a missing day takes
+# prev + round((next-prev) * gap_pos / gap_len): one IEEE
+# multiply-divide rounded half-up over exact longs, identical in both
+# engines. Edge days (before the first / after the last known value)
+# stay NULL — interpolation, not extrapolation. The carry windows are
+# unpartitioned BUT the frame is the broadcast-joined day spine
+# (hundreds of rows), never the event stream — at 100 TB the heavy
+# aggregation happened before the window, on the grouped exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_revenue_interpolated",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 31 = 7
+      GROUP BY d
+    ),
+    days AS (
+      SELECT CAST(u AS DATE) AS day FROM (
+        SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                      (SELECT max(d) FROM daily),
+                                      INTERVAL 1 DAY)) AS u
+      )
+    ),
+    sp AS (
+      SELECT day, cents,
+             MAX(CASE WHEN cents IS NOT NULL THEN day END) OVER w_bwd AS pd,
+             last_value(cents IGNORE NULLS) OVER w_bwd AS pc,
+             MIN(CASE WHEN cents IS NOT NULL THEN day END) OVER w_fwd AS nd,
+             first_value(cents IGNORE NULLS) OVER w_fwd AS nc
+      FROM days LEFT JOIN daily ON day = d
+      WINDOW w_bwd AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_fwd AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+             WHEN pc IS NOT NULL AND nc IS NOT NULL THEN
+               CAST(pc + CAST(round(CAST(nc - pc AS DOUBLE)
+                    * (day - pd) / (nd - pd)) AS BIGINT) AS DOUBLE) / 100.0
+           END AS revenue
+    FROM sp ORDER BY day
+    """,
+)
+def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 31 == 7)
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    spine = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    sp = spine.join(F.broadcast(daily), spine.day == daily.d, "left")
+    w_bwd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    known_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    carried = sp.select(
+        "day",
+        "cents",
+        F.max(known_day).over(w_bwd).alias("pd"),
+        F.last("cents", ignorenulls=True).over(w_bwd).alias("pc"),
+        F.min(known_day).over(w_fwd).alias("nd"),
+        F.first("cents", ignorenulls=True).over(w_fwd).alias("nc"),
+    )
+    interp = F.col("pc") + F.round(
+        (F.col("nc") - F.col("pc")).cast("double")
+        * F.datediff(F.col("day"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd"))
+    ).cast("long")
+    return (
+        carried.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.when(
+                F.col("cents").isNotNull(), F.col("cents").cast("double") / 100.0
+            )
+            .when(
+                F.col("pc").isNotNull() & F.col("nc").isNotNull(),
+                interp.cast("double") / 100.0,
+            )
+            .alias("revenue"),
+        )
+        .orderBy("day")
+    )
