@@ -780,3 +780,14 @@ def test_kmv_union_merges_compact_sketches(spark):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies
     assert "BroadcastHashJoin" in strategies or "BroadcastNestedLoopJoin" in strategies
+
+
+def test_session_window_single_aggregate_no_window_pass(spark):
+    """Native session_window sessionizes inside the aggregate — no
+    window-function sort pass, no joins, one grouping exchange plus the
+    presentation sort."""
+    df = _q(spark, "session_window_stats")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert join_strategies(df) == []
+    assert "Window" not in plan
+    assert len(exchanges(df)) <= 3

@@ -460,3 +460,64 @@ def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_runs"))
         .orderBy("event_type", "run_len")
     )
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH us AS (
+      SELECT user_id, ts, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts, t, cents,
+             CASE WHEN LAG(t) OVER w IS NULL
+                    OR t - LAG(t) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM us
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, cents,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (dynamic gap-merged
+    grouping inside one aggregate — no window-function pass at all),
+    pinned against a lag-islands SQL re-derivation of its exact merge
+    rule: an event extends the session iff it starts strictly before
+    previous_ts + gap, so a gap of exactly 30min starts a NEW session.
+    Bounds stay TIMESTAMP_NTZ end to end (no LTZ cast, no session-tz
+    dependency); value sums ride exact cents. One shuffle on the
+    grouping key — the cheapest sessionization Spark offers because the
+    merge happens inside the aggregate operator, not a sort-window."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
