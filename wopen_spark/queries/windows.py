@@ -521,3 +521,47 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "sliding_hourly_event_stats",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT unnest([b30, b30 - INTERVAL 30 MINUTE]) AS window_start, cents
+      FROM b
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM w GROUP BY 1 ORDER BY 1
+    """,
+)
+def sliding_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native SLIDING window aggregate (1h windows every 30min —
+    each event lands in exactly two overlapping windows, expanded
+    map-side inside the operator, never via a self-join). The oracle
+    re-derives the same window set from 30-minute time buckets: the
+    epoch-aligned window starts covering t are bucket30(t) and
+    bucket30(t) - 30min. Bounds stay TIMESTAMP_NTZ; sums ride exact
+    cents; one grouping shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_cents",
+        )
+        .orderBy("window_start")
+    )
