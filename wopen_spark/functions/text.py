@@ -118,3 +118,29 @@ def doc_fingerprint(col: Column) -> Column:
     """
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(norm)
+
+
+# Lexicon-based sentiment (EDBT 2016 "Large Scale Sentiment Analysis on
+# Twitter with Spark" shape: broadcast polarity lexicons, per-doc token
+# matching, normalized polarity score). Words chosen to intersect the
+# testdata vocabulary so the operator exercises real hits.
+SENTIMENT_POS = ["fast", "big", "good", "best", "new"]
+SENTIMENT_NEG = ["slow", "small", "bad", "worst", "old"]
+
+
+def sentiment_score(col: Column) -> Column:
+    """Lexicon polarity in [-1, 1]: (pos - neg) / (pos + neg) over
+    whole-word hits, 0.0 when no polarity word occurs. One alternation
+    regex pass for both lexicons (the hit list is filtered per side),
+    entirely JVM-side — the distributed form of the classic
+    lexicon-matching sentiment pipeline."""
+    hits = _marker_hits(col, sorted(set(SENTIMENT_POS + SENTIMENT_NEG)))
+    pos = F.size(F.filter(hits, lambda x: x.isin(*SENTIMENT_POS)))
+    neg = F.size(F.filter(hits, lambda x: x.isin(*SENTIMENT_NEG)))
+    return F.round(
+        F.when(
+            (pos + neg) > 0,
+            (pos - neg).cast("double") / (pos + neg).cast("double"),
+        ).otherwise(0.0),
+        6,
+    )

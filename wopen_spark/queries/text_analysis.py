@@ -378,3 +378,62 @@ def lang_mismatch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_POS_SUM = " + ".join(_duck_word_count(w) for w in ["fast", "big", "good", "best", "new"])
+_NEG_SUM = " + ".join(_duck_word_count(w) for w in ["slow", "small", "bad", "worst", "old"])
+
+
+@query(
+    "doc_sentiment_scores",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             ({_POS_SUM}) AS pos, ({_NEG_SUM}) AS neg
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(CASE WHEN pos + neg > 0
+               THEN (pos - neg)::DOUBLE / (pos + neg)::DOUBLE
+               ELSE 0.0 END, 6) AS sentiment
+      FROM m
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE sentiment > 0) AS n_positive,
+           COUNT(*) FILTER (WHERE sentiment < 0) AS n_negative,
+           round(CAST(SUM(CAST(round(sentiment * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*), 6) AS mean_sentiment
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment rollup per source (EDBT 2016 Twitter-on-Spark
+    shape: broadcast lexicons, one regex alternation pass per doc,
+    normalized polarity). Scores compute once per DISTINCT text via
+    clone-collapse; the mean aggregates scaled-long score units so the
+    rollup is partitioning-independent."""
+    from wopen_spark.functions.text import sentiment_score
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    scored = _per_distinct_text(
+        d.select("source", "text"),
+        lambda t: t.select("text", sentiment_score(F.col("text")).alias("sentiment")),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("sentiment") > 0, 1).otherwise(0)).alias("n_positive"),
+            F.sum(F.when(F.col("sentiment") < 0, 1).otherwise(0)).alias("n_negative"),
+            F.round(
+                F.sum(F.round(F.col("sentiment") * 1000000).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sentiment"),
+        )
+        .orderBy("source")
+    )
