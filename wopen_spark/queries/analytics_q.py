@@ -1714,3 +1714,77 @@ def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index intersection — the OLAP bitmap-join acceleration: build a
+# 60-bit-word bitmap of user ids PER EVENT TYPE (bit_or aggregate over
+# word index), then intersect cohorts word-wise with AND + popcount —
+# |clickers ∩ purchasers| without ever joining raw user rows. The
+# bitmap tables are |user_space|/60 rows, the intersection is a tiny
+# equi-join over word indexes, and the result is pinned against the
+# exact INTERSECT count. 60-bit words keep shifts inside DuckDB's
+# overflow-checked range (see bloom_membership_src0).
+# ---------------------------------------------------------------------------
+@query(
+    "bitmap_intersect_clickers_purchasers",
+    oracle="""
+    WITH bm AS (
+      SELECT event_type, user_id // 60 AS j,
+             bit_or(1::BIGINT << (user_id % 60)) AS word
+      FROM (SELECT DISTINCT event_type, user_id FROM events
+            WHERE event_type IN ('click', 'purchase'))
+      GROUP BY 1, 2
+    ),
+    inter AS (
+      SELECT CAST(COALESCE(SUM(bit_count(c.word & p.word)), 0) AS BIGINT) AS n_bitmap
+      FROM (SELECT j, word FROM bm WHERE event_type = 'click') c
+      JOIN (SELECT j, word FROM bm WHERE event_type = 'purchase') p USING (j)
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_exact FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT n_bitmap, n_exact FROM inter, exact
+    """,
+)
+def bitmap_intersect_clickers_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    bm = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy(
+            "event_type", (F.col("user_id") / 60).cast("long").alias("j")
+        )
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(user_id % 60 as int))")).alias(
+                "word"
+            )
+        )
+    )
+    c = bm.filter(F.col("event_type") == "click").select("j", F.col("word").alias("cw"))
+    p = bm.filter(F.col("event_type") == "purchase").select(
+        F.col("j").alias("jp"), F.col("word").alias("pw")
+    )
+    inter = (
+        c.join(p, c.j == p.jp)
+        .agg(
+            F.coalesce(
+                F.sum(F.bit_count(F.col("cw").bitwiseAND(F.col("pw")))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_bitmap")
+        )
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clickers.intersect(purchasers)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return inter.join(F.broadcast(exact))
