@@ -791,3 +791,13 @@ def test_session_window_single_aggregate_no_window_pass(spark):
     assert join_strategies(df) == []
     assert "Window" not in plan
     assert len(exchanges(df)) <= 3
+
+
+def test_similar_users_prune_before_pairing(spark):
+    """Candidate pairing joins only on RARE trigrams (broadcast rare
+    set) — the pair explosion is bounded by rare-bucket sizes, and no
+    cartesian appears anywhere in the plan."""
+    df = _q(spark, "similar_user_paths")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies

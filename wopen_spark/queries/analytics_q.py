@@ -1788,3 +1788,124 @@ def bitmap_intersect_clickers_purchasers(spark: SparkSession, sf_dir: str) -> Da
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     return inter.join(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Top-k similar users by session-path profile — distributed top-k
+# similarity search with SELECTIVE-FEATURE pruning (the REPOSE/prefix-
+# filter idea: candidates must share a RARE feature, so the pair space
+# is bounded by rare-feature bucket sizes, never |users|²). Profile =
+# the user's distinct session trigrams; rare = trigrams whose user
+# count times 50 is at most the profiled-user count (integer-exact
+# threshold, scale-relative). Exact Jaccard then scores only the
+# candidates, and the top-20 ordering ties break on the user ids.
+# ---------------------------------------------------------------------------
+@query(
+    "similar_user_paths",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    ),
+    tri AS (
+      SELECT DISTINCT user_id,
+             event_type || '>' || LEAD(event_type, 1) OVER w || '>' || LEAD(event_type, 2) OVER w AS tg
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    ),
+    tri2 AS (SELECT user_id, tg FROM tri WHERE tg IS NOT NULL),
+    sets AS (SELECT user_id, list(tg ORDER BY tg) AS tgs FROM tri2 GROUP BY 1),
+    nu AS (SELECT COUNT(*) AS n_users FROM sets),
+    df AS (SELECT tg, COUNT(*) AS dfc FROM tri2 GROUP BY 1),
+    rare AS (SELECT tg FROM df, nu WHERE dfc * 50 <= n_users),
+    cand AS (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM tri2 a JOIN rare r ON a.tg = r.tg
+      JOIN tri2 b ON b.tg = r.tg AND a.user_id < b.user_id
+    )
+    SELECT c.ua, c.ub,
+           round(len(list_intersect(sa.tgs, sb.tgs))::DOUBLE
+                 / len(list_distinct(list_concat(sa.tgs, sb.tgs)))::DOUBLE, 6)
+             AS jaccard
+    FROM cand c
+    JOIN sets sa ON c.ua = sa.user_id
+    JOIN sets sb ON c.ub = sb.user_id
+    ORDER BY jaccard DESC, ua, ub
+    LIMIT 20
+    """,
+)
+def similar_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wrun)
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = (
+        sess.select(
+            "user_id",
+            F.concat_ws(
+                ">",
+                F.col("event_type"),
+                F.lead("event_type", 1).over(w2),
+                F.lead("event_type", 2).over(w2),
+            ).alias("tg"),
+            F.lead("event_type", 2).over(w2).alias("_s3"),
+        )
+        .filter(F.col("_s3").isNotNull())
+        .select("user_id", "tg")
+        .distinct()
+    )
+    sets = tri.groupBy("user_id").agg(F.array_sort(F.collect_list("tg")).alias("tgs"))
+    n_users = sets.agg(F.count(F.lit(1)).alias("n_users"))
+    df_ = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("dfc"))
+    rare = (
+        df_.join(F.broadcast(n_users))
+        .filter(F.col("dfc") * 50 <= F.col("n_users"))
+        .select("tg")
+    )
+    a = tri.join(F.broadcast(rare), "tg").select(
+        "tg", F.col("user_id").alias("ua")
+    )
+    b = tri.join(F.broadcast(rare), "tg").select(
+        F.col("tg").alias("tgb"), F.col("user_id").alias("ub")
+    )
+    cand = (
+        a.join(b, (a.tg == b.tgb) & (a.ua < b.ub))
+        .select("ua", "ub")
+        .distinct()
+    )
+    sa = sets.select(F.col("user_id").alias("ua"), F.col("tgs").alias("tgs_a"))
+    sb = sets.select(F.col("user_id").alias("ub"), F.col("tgs").alias("tgs_b"))
+    jac = F.round(
+        F.size(F.array_intersect("tgs_a", "tgs_b")).cast("double")
+        / F.size(F.array_union("tgs_a", "tgs_b")).cast("double"),
+        6,
+    )
+    return (
+        cand.join(sa, "ua")
+        .join(sb, "ub")
+        .select("ua", "ub", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "ua", "ub")
+        .limit(20)
+    )
