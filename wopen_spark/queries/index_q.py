@@ -333,3 +333,91 @@ def phrase_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution GOLDEN RECORD: the keep decision with a
+# survivorship RULE — per near-dup cluster, the longest text wins (tie
+# -> min doc_id), the richer-record heuristic master-data pipelines use
+# instead of min-id. Same blocking -> clustering machinery as
+# near_dup_keep_corpus (LSH candidates over exact-dedup reps,
+# connected components on the distinct-text graph); only the per-
+# component argmax differs, and it runs on the tiny rep table.
+# ---------------------------------------------------------------------------
+@query(
+    "entity_golden_records",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({DUCK_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    rep_comp AS (
+      SELECT a AS rep_id, MIN(b) AS component FROM reach GROUP BY a
+    ),
+    {DUCK_LSH_REPS},
+    labeled AS (
+      SELECT rm.doc_id AS rep_id, rm.text,
+             coalesce(rc.component, rm.doc_id) AS comp
+      FROM reps rm LEFT JOIN rep_comp rc ON rc.rep_id = rm.doc_id
+    ),
+    surv AS (
+      SELECT comp, rep_id AS survivor_id FROM (
+        SELECT comp, rep_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY comp ORDER BY length(text) DESC, rep_id
+               ) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id, s.survivor_id,
+           CAST(d.doc_id = s.survivor_id AS BIGINT) AS is_survivor
+    FROM documents d
+    JOIN reps rm USING (text)
+    JOIN labeled l ON l.rep_id = rm.doc_id
+    JOIN surv s ON s.comp = l.comp
+    ORDER BY d.doc_id
+    """,
+)
+def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = _lsh_reps(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = (
+        reps.withColumnRenamed("doc_id", "rep_id")
+        .join(
+            F.broadcast(comps.withColumnRenamed("node", "rep_id")),
+            "rep_id",
+            "left",
+        )
+        .withColumn("comp", F.coalesce(F.col("component"), F.col("rep_id")))
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc(F.length("text")), F.asc("rep_id")
+    )
+    surv = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("rep_id").alias("survivor_id"))
+    )
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return (
+        d.join(F.broadcast(labeled.select("rep_id", "text", "comp")), "text")
+        .join(F.broadcast(surv), "comp")
+        .select(
+            "doc_id",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).cast("long").alias(
+                "is_survivor"
+            ),
+        )
+        .orderBy("doc_id")
+    )
