@@ -1909,3 +1909,176 @@ def similar_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "ua", "ub")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: clip event values at the per-type exact p05/p95 before
+# aggregating — the robust-mean preprocessing that keeps a fat tail
+# from dominating a feature. Interpolated percentiles over exact cents
+# are IEEE-identical on both engines (halving/adding longs below 2^53);
+# the clipped mean aggregates scaled-long units. One percentile pass,
+# bounds broadcast back, one rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_event_values",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             quantile_cont(cents, 0.05) AS lo,
+             quantile_cont(cents, 0.95) AS hi
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, COUNT(*) AS n_events,
+           round(b.lo, 6) AS p05_cents, round(b.hi, 6) AS p95_cents,
+           COUNT(*) FILTER (WHERE c.cents < b.lo OR c.cents > b.hi) AS n_clipped,
+           round(CAST(SUM(CAST(round(GREATEST(LEAST(CAST(c.cents AS DOUBLE), b.hi), b.lo) * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / COUNT(*) / 100.0, 6) AS winsorized_mean
+    FROM c JOIN b USING (event_type)
+    GROUP BY 1, b.lo, b.hi ORDER BY 1
+    """,
+)
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    b = ev.groupBy("event_type").agg(
+        F.percentile("cents", 0.05).alias("lo"),
+        F.percentile("cents", 0.95).alias("hi"),
+    )
+    clipped = F.greatest(
+        F.least(F.col("cents").cast("double"), F.col("hi")), F.col("lo")
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clipped"),
+            (
+                F.round(
+                    F.sum(F.round(clipped * 100).cast("long")).cast("double")
+                    / 100.0
+                    / F.count(F.lit(1))
+                    / 100.0,
+                    6,
+                )
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("lo"), 6).alias("p05_cents"),
+            F.round(F.col("hi"), 6).alias("p95_cents"),
+            "n_clipped",
+            "winsorized_mean",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits. event_order_audit counts, per user, adjacent
+# time-ordered pairs whose event_id goes BACKWARDS — the out-of-order
+# ingestion signal a streaming pipeline watches. fk_integrity_audit
+# counts orphans for each foreign-key relationship via anti-join
+# aggregates (dims broadcast; facts never shuffle for a join).
+# ---------------------------------------------------------------------------
+@query(
+    "event_order_audit",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE prev_id IS NOT NULL AND event_id < prev_id)
+             AS n_inversions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_id
+      FROM events
+    ) GROUP BY 1 HAVING n_inversions > 0 OR user_id % 100 = 0
+    ORDER BY 1
+    """,
+)
+def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev_id").isNotNull()
+                    & (F.col("event_id") < F.col("prev_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_inversions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter((F.col("n_inversions") > 0) | (F.col("user_id") % 100 == 0))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS relationship,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS n_orphans,
+           (SELECT COUNT(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)),
+           (SELECT COUNT(*) FROM supplier)
+    ORDER BY relationship
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(rel: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+        orphans = fact.join(
+            F.broadcast(dim.select(pk)), fact[fk] == F.col(pk), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        return (
+            orphans.join(F.broadcast(total))
+            .select(
+                F.lit(rel).alias("relationship"), "n_orphans", "n_rows"
+            )
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        )
+        .unionByName(
+            audit("supplier.s_nationkey -> nation", s, "s_nationkey", n, "n_nationkey")
+        )
+        .orderBy("relationship")
+    )
