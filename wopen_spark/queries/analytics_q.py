@@ -2082,3 +2082,119 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relationship")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth — lag over the monthly aggregate with
+# the ratio in exact cents (single IEEE divide, rounded): the standard
+# period-over-period report. The window runs over |months| rows, far
+# after the one fact aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "monthly_revenue_mom",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           round(CASE WHEN LAG(cents) OVER (ORDER BY month) > 0
+             THEN (CAST(cents AS DOUBLE) - CAST(LAG(cents) OVER (ORDER BY month) AS DOUBLE))
+                  / CAST(LAG(cents) OVER (ORDER BY month) AS DOUBLE)
+             END, 6) AS mom_growth
+    FROM m ORDER BY month
+    """,
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return (
+        m.select(
+            "month",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.when(
+                    prev > 0,
+                    (F.col("cents").cast("double") - prev.cast("double"))
+                    / prev.cast("double"),
+                ),
+                6,
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto 80/95) classification of suppliers by revenue share —
+# class membership decided in EXACT integer arithmetic: cumulative
+# cents * 100 <= total * 80 means "within the top 80%", so no double
+# rounding can ever flip a supplier across the class boundary on one
+# engine but not the other. One fact aggregate, one cumulative window
+# over |suppliers| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_abc_classes",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT suppkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cents) OVER () AS total
+      FROM s
+    )
+    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS class_revenue
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    w_cum = Window.orderBy(F.desc("cents"), "suppkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    c = s.select(
+        "suppkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        c.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.sum("cents").cast("double") / 100.0).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
