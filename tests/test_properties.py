@@ -151,3 +151,95 @@ def test_per_distinct_equals_direct_compute(spark):
     assert sorted(map(tuple, collapsed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+_wordy = st.lists(
+    st.sampled_from(["fast", "slow", "big", "data", "key", "row", "the", "a"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+def _ref_shingles(text: str, n: int) -> set[str]:
+    ws = text.lower().split()
+    return {" ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 0))}
+
+
+@SET
+@given(st.lists(st.tuples(_wordy, _wordy), min_size=1, max_size=40))
+def test_containment_and_jaccard_match_set_math(spark, pairs):
+    """ngram_containment == |A∩B|/|A| and ngram_jaccard == |A∩B|/|A∪B|
+    over distinct word-bigram sets, per the plain-Python set algebra;
+    both collapse to 0.0 on empty shingle sets."""
+    from wopen_spark.operators.dedup import ngram_containment, ngram_jaccard
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], ["i", "a", "b"]
+    )
+    got = {
+        r.i: (r.c, r.j)
+        for r in df.select(
+            "i",
+            ngram_containment(F.col("a"), F.col("b"), n=2).alias("c"),
+            ngram_jaccard(F.col("a"), F.col("b"), n=2).alias("j"),
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = _ref_shingles(a, 2), _ref_shingles(b, 2)
+        want_c = round(len(sa & sb) / len(sa), 6) if sa else 0.0
+        want_j = round(len(sa & sb) / len(sa | sb), 6) if (sa or sb) else 0.0
+        assert abs(got[i][0] - want_c) < 1e-9, (a, b)
+        assert abs(got[i][1] - want_j) < 1e-9, (a, b)
+
+
+@SET
+@given(st.lists(_wordy, min_size=1, max_size=40))
+def test_sentiment_bounds_and_reference_math(spark, texts):
+    """sentiment_score == (pos-neg)/(pos+neg) over whole-word lexicon
+    hits, 0.0 with no hits, always within [-1, 1]."""
+    import re
+
+    from wopen_spark.functions.text import (
+        SENTIMENT_NEG,
+        SENTIMENT_POS,
+        sentiment_score,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "t"])
+    got = {
+        r.i: r.s
+        for r in df.select(
+            "i", sentiment_score(F.col("t")).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        pos = sum(len(re.findall(rf"\b{w}\b", t)) for w in SENTIMENT_POS)
+        neg = sum(len(re.findall(rf"\b{w}\b", t)) for w in SENTIMENT_NEG)
+        want = round((pos - neg) / (pos + neg), 6) if pos + neg else 0.0
+        assert abs(got[i] - want) < 1e-9, t
+        assert -1.0 <= got[i] <= 1.0
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=8),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_prefix_flags_match_quadratic_check(spark, texts):
+    """prefix_contained_flags agrees with the O(n²) definition: a row is
+    flagged iff its text is a strict prefix of ANY other row's text —
+    the sorted-successor shortcut must lose nothing."""
+    from wopen_spark.operators.dedup import prefix_contained_flags
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: r.is_prefix
+        for r in prefix_contained_flags(df, "text", "doc_id").collect()
+    }
+    for i, t in enumerate(texts):
+        want = any(u != t and u.startswith(t) for u in texts)
+        assert got[i] == want, (t, texts)
