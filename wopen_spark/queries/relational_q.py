@@ -419,3 +419,46 @@ def above_nation_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "ship_lag_percentiles",
+    oracle="""
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority, COUNT(*) AS n_lines,
+           round(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+           round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days
+    FROM lag GROUP BY 1 ORDER BY 1
+    """,
+)
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority — the fulfilment
+    SLA report. The lag is integer days, so the interpolated exact
+    percentiles are IEEE-identical across engines (halving/summing
+    integers below 2^53); the orders side of the fact-fact join carries
+    only (orderkey, priority, date)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.percentile("lag_days", 0.5), 6).alias("p50_days"),
+            F.round(F.percentile("lag_days", 0.9), 6).alias("p90_days"),
+            F.max("lag_days").cast("long").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
