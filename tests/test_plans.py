@@ -801,3 +801,17 @@ def test_similar_users_prune_before_pairing(spark):
     strategies = join_strategies(df)
     assert "CartesianProduct" not in strategies
     assert "BroadcastHashJoin" in strategies
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["fixed_size_sample_per_lang", "top_quality_docs_per_lang", "top3_orders_per_priority"],
+)
+def test_topk_windows_get_group_limit_pushdown(spark, name):
+    """rank()/row_number() <= k filters must plan a WindowGroupLimit —
+    Spark's map-side per-group top-k pruning. Without it, one giant
+    group (a dominant language at 100 TB) fully sorts on one reducer;
+    with it, each map task forwards at most k rows per group."""
+    df = _q(spark, name)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
