@@ -2198,3 +2198,91 @@ def supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand co-occurrence COSINE similarity — the item-item similarity a
+# co-basket recommender ranks by: cos(a,b) = n_ab / sqrt(n_a * n_b)
+# over order-level occurrence counts. Numerators come from the same
+# map-side pair expansion as brand_cooccurrence; denominators are the
+# tiny per-brand order counts broadcast back; sqrt of an exact integer
+# product is correctly rounded IEEE on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_cooccurrence_cosine",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_b AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE)
+                 / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 6) AS cosine
+    FROM pairs p
+    JOIN n_b na ON p.brand_a = na.p_brand
+    JOIN n_b nb ON p.brand_b = nb.p_brand
+    ORDER BY cosine DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+)
+def brand_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_b = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    sets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("bs"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("bs"),
+                                i + 2,
+                                F.greatest(F.size("bs") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("brand_a"), y.alias("brand_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = n_b.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
+    nb = n_b.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "brand_a", "brand_b")
+        .limit(25)
+    )

@@ -134,3 +134,78 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_distinct=True,
     )
     return ranks.orderBy(F.desc("rank"), "node")
+
+
+# ---------------------------------------------------------------------------
+# Triangle count over the LSH candidate graph — the third graph
+# analytic after components and PageRank. Canonical edges (a < b) make
+# each triangle count exactly once: wedge (a<b<c) from edges (a,b)+
+# (b,c), closed by edge (a,c). Scale shape: two joins over the SPARSE
+# candidate edge list (bounded by LSH bucket sizes), never the corpus;
+# the wedge join keys on the shared middle vertex.
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({DUCK_LSH_PAIRS}),
+    wedges AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM pairs e1 JOIN pairs e2 ON e1.id_b = e2.id_a
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT COUNT(*) FROM pairs) AS n_edges
+    FROM wedges w JOIN pairs e3 ON w.a = e3.id_a AND w.c = e3.id_b
+    """,
+)
+def near_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.queries.dedup import _lsh_reps
+
+    pairs = minhash_lsh_candidates(
+        _lsh_reps(spark, sf_dir), id_col="doc_id", text_col="text",
+        n_hashes=8, n_bands=4,
+    ).localCheckpoint()  # reused three times: compute the LSH pipeline once
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    wedges = e1.join(e2, e1.b == e2.b2).select("a", "b", "c")
+    e3 = pairs.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = wedges.join(
+        e3, (wedges.a == e3.a3) & (wedges.c == e3.c3)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.join(F.broadcast(n_edges))
+
+
+# ---------------------------------------------------------------------------
+# Graph evolution: NEW trade edges per week — each (customer, supplier)
+# pair attributed to the week it first traded. The first-seen reduction
+# is a MIN aggregate on the contracted pair set (one fact shuffle);
+# weeks truncate to Monday identically on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "new_trade_edges_per_week",
+    oracle="""
+    WITH first_seen AS (
+      SELECT o.o_custkey AS ck, l.l_suppkey AS sk,
+             MIN(date_trunc('week', CAST(o.o_orderdate AS DATE))) AS wk
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week, COUNT(*) AS n_new_edges
+    FROM first_seen GROUP BY 1 ORDER BY 1
+    """,
+)
+def new_trade_edges_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    first_seen = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.min(F.date_trunc("week", F.to_date("o_orderdate"))).alias("wk"))
+    )
+    return (
+        first_seen.groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_new_edges"))
+        .orderBy("week")
+    )
