@@ -2286,3 +2286,120 @@ def brand_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion rate with Wilson 95% interval per market segment — the
+# statistically honest way to compare segment conversion when counts
+# differ by orders of magnitude. The Wilson bounds use only +,-,*,/ and
+# sqrt (all correctly-rounded IEEE), with z=1.96 a shared literal, so
+# both engines produce bit-identical intervals from the exact integer
+# counts. Users attribute to segments via the broadcast customer dim.
+# ---------------------------------------------------------------------------
+@query(
+    "segment_conversion_wilson",
+    oracle="""
+    WITH active AS (SELECT DISTINCT user_id FROM events),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, a.user_id,
+             CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM active a
+      JOIN customer c ON a.user_id = c.c_custkey
+      LEFT JOIN buyers b ON a.user_id = b.user_id
+    ),
+    agg AS (
+      SELECT segment, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS x
+      FROM seg GROUP BY 1
+    )
+    SELECT segment, n, x,
+           round((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+           round((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                  + 1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+    FROM agg ORDER BY segment
+    """,
+)
+def segment_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    active = ev.select("user_id").distinct()
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("buyer_id"))
+        .distinct()
+    )
+    seg = (
+        active.join(F.broadcast(c), active.user_id == c.c_custkey)
+        .join(F.broadcast(buyers), active.user_id == buyers.buyer_id, "left")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("buyer_id").isNotNull(), 1).otherwise(0).alias("converted"),
+        )
+    )
+    agg = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    center = p + z2 / (2 * F.col("n"))
+    margin = 1.96 * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return agg.select(
+        "segment",
+        "n",
+        "x",
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Time-to-second-purchase: per user, the gap between the first and
+# second purchase; reported as exact-second percentiles — the repeat-
+# behaviour latency metric. The per-user reduction is a top-2 window
+# (WindowGroupLimit prunes map-side); gaps are integer seconds.
+# ---------------------------------------------------------------------------
+@query(
+    "second_purchase_latency",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gap AS (
+      SELECT a.user_id,
+             floor(epoch(b.ts))::BIGINT - floor(epoch(a.ts))::BIGINT AS gap_sec
+      FROM p a JOIN p b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 2
+    )
+    SELECT COUNT(*) AS n_repeat_users,
+           round(quantile_cont(gap_sec, 0.5), 6) AS p50_sec,
+           round(quantile_cont(gap_sec, 0.9), 6) AS p90_sec
+    FROM gap
+    """,
+)
+def second_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    first = ranked.filter(F.col("rn") == 1).select("user_id", F.col("ts").alias("t1"))
+    second = ranked.filter(F.col("rn") == 2).select(
+        F.col("user_id").alias("uid2"), F.col("ts").alias("t2")
+    )
+    gap = first.join(second, first.user_id == second.uid2).select(
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1")).alias("gap_sec")
+    )
+    return gap.agg(
+        F.count(F.lit(1)).alias("n_repeat_users"),
+        F.round(F.percentile("gap_sec", 0.5), 6).alias("p50_sec"),
+        F.round(F.percentile("gap_sec", 0.9), 6).alias("p90_sec"),
+    )
