@@ -156,3 +156,41 @@ def streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         available_now_stream_static_join(spark, sf_dir, ckpt)
         .orderBy("segment")
     )
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, make_timestamp(epoch_ns(ts) // 1000)) AS b30,
+             event_type, value
+      FROM events
+    ),
+    w AS (
+      SELECT unnest([b30, b30 - INTERVAL 30 MINUTE]) AS window_start,
+             event_type, value
+      FROM b
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1h every 30min) in Structured
+    Streaming: each event expands into its two covering windows inside
+    the streaming aggregate, state bounded by the watermark horizon.
+    AvailableNow over the static file must equal the batch bucket
+    derivation the oracle states (window starts covering t are
+    bucket30(t) and bucket30(t) - 30min)."""
+    ckpt = tempfile.mkdtemp(prefix="wopen_stream_ckpt_")
+    out = available_now_aggregate(
+        spark,
+        sf_dir,
+        ckpt,
+        window="1 hour",
+        slide="30 minutes",
+        query_name="wopen_sliding_counts",
+    )
+    return out.orderBy("window_start", "event_type")

@@ -67,14 +67,20 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts(
-    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with a late-data watermark —
-    partial aggregation happens per micro-batch; state is bounded by the
-    watermark horizon."""
+    """Event-time windowed counts with a late-data watermark — tumbling
+    by default, SLIDING when ``slide`` is given (each event expands into
+    its covering windows map-side; state is windows-per-horizon, still
+    bounded by the watermark). Partial aggregation happens per
+    micro-batch."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
@@ -116,23 +122,25 @@ def available_now_aggregate(
     sf_dir: str,
     checkpoint_dir: str,
     window: str = "1 hour",
+    slide: str | None = None,
+    query_name: str = "wopen_windowed_counts",
 ) -> DataFrame:
     """Run the windowed aggregate over everything not yet processed, then
     stop (AvailableNow) — the engine's replacement for the reference's
     cron + partition-ledger loop. Returns the result of this run from the
     in-memory sink."""
-    agg = windowed_counts(event_stream(spark, sf_dir), window=window)
+    agg = windowed_counts(event_stream(spark, sf_dir), window=window, slide=slide)
     with _state_partitions(spark, None):
         q = (
             agg.writeStream.format("memory")
-            .queryName("wopen_windowed_counts")
+            .queryName(query_name)
             .outputMode("complete")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(120)
-    return spark.table("wopen_windowed_counts")
+    return spark.table(query_name)
 
 
 def available_now_interval_join(
