@@ -2403,3 +2403,67 @@ def second_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_sec", 0.5), 6).alias("p50_sec"),
         F.round(F.percentile("gap_sec", 0.9), 6).alias("p90_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over daily revenue — the day where the
+# cumulative deviation from the global mean peaks. Multiplying the
+# classic statistic through by n makes it INTEGER-exact:
+# score(t) = n * cumsum(t) - t * total  (all longs), so the argmax day
+# is engine- and partitioning-independent with no mean rounding
+# anywhere. The daily aggregate is the only fact-scale shuffle; the
+# cumulative window runs over |days| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT day, cents,
+             SUM(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(cents) OVER () AS total,
+             COUNT(*) OVER () AS n
+      FROM d
+    ),
+    scored AS (
+      SELECT day, n * cum - t * total AS score FROM c
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS changepoint_day,
+           CAST(abs(score) AS BIGINT) AS abs_score
+    FROM scored
+    ORDER BY abs(score) DESC, day
+    LIMIT 1
+    """,
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = d.select(
+        "day",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.sum("cents").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    scored = c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+        (F.col("n") * F.col("cum") - F.col("t") * F.col("total")).alias("score"),
+    )
+    return (
+        scored.select(
+            "changepoint_day", F.abs(F.col("score")).cast("long").alias("abs_score")
+        )
+        .orderBy(F.desc("abs_score"), "changepoint_day")
+        .limit(1)
+    )
