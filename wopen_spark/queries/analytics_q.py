@@ -2467,3 +2467,78 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_score"), "changepoint_day")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of order values — the inequality summary over the
+# revenue distribution, from the sorted-rank formula
+# G = 2·Σ(i·x_i) / (n·Σx) - (n+1)/n with x ascending. Both Σ terms are
+# exact long sums (rank times cents), so the single final division is
+# the only floating step and is identical on both engines. The rank is
+# a global window over the CONTRACTED per-order values — at 100 TB,
+# swap in a distributed rank (sort + zipWithIndex-style offsets) for
+# the same arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "order_value_gini",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY round(o_totalprice * 100), o_orderkey) AS i
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_orders,
+           round(2.0 * CAST(SUM(i * cents) AS DOUBLE)
+                 / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM x
+    """,
+)
+def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = o.withColumn(
+        "i", F.row_number().over(Window.orderBy("cents", "o_orderkey"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("cents")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diurnal profile: events per hour-of-day per type — the load-shape
+# report behind capacity planning and bot detection. One aggregate
+# shuffle on the tiny (type, hour) key space.
+# ---------------------------------------------------------------------------
+@query(
+    "hourly_profile_event_types",
+    oracle="""
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def hourly_profile_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
