@@ -2542,3 +2542,106 @@ def hourly_profile_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding of brand against line revenue — the ML
+# categorical encoding that avoids self-leakage: each line's feature is
+# the mean revenue of its brand EXCLUDING itself, (sum - x) / (n - 1).
+# Numerator and n stay exact longs (the window carries per-brand sums),
+# the one divide is engine-identical, and singleton brands emit NULL
+# (no peers to average). One broadcast dim join + one brand window.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_loo_target_encoding",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_orderkey % 50 = 0
+    ),
+    w AS (
+      SELECT l_orderkey, l_linenumber, p_brand, cents,
+             SUM(cents) OVER (PARTITION BY p_brand) AS s,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM li
+    )
+    SELECT l_orderkey, l_linenumber, p_brand,
+           round(CASE WHEN n > 1
+             THEN CAST(s - cents AS DOUBLE) / (n - 1) / 100.0 END, 6) AS loo_mean
+    FROM w ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def brand_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_brand",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        base.withColumn("s", F.sum("cents").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_brand",
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    (F.col("s") - F.col("cents")).cast("double")
+                    / (F.col("n") - 1)
+                    / 100.0,
+                ),
+                6,
+            ).alias("loo_mean"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-feature extraction: per event, the previous two values of the
+# same user — the window form every sequence-model feature pipeline
+# uses. Exact cents; one user window; output restricted to a
+# deterministic user slice to keep the gate frame bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "event_lag_features",
+    oracle="""
+    SELECT event_id, user_id, cents, lag1_cents, lag2_cents FROM (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             LAG(CAST(round(value * 100) AS BIGINT), 1) OVER w AS lag1_cents,
+             LAG(CAST(round(value * 100) AS BIGINT), 2) OVER w AS lag2_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE user_id % 50 = 0
+    ORDER BY event_id
+    """,
+)
+def event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("lag1_cents", F.lag("cents", 1).over(w))
+        .withColumn("lag2_cents", F.lag("cents", 2).over(w))
+        .filter(F.col("user_id") % 50 == 0)
+        .select("event_id", "user_id", "cents", "lag1_cents", "lag2_cents")
+        .orderBy("event_id")
+    )
