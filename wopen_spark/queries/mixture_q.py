@@ -512,3 +512,85 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("splits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation: split a 1M-token training budget across
+# sources proportional to sqrt-damped size (the temperature-2 mixture),
+# CAPPED by each source's available tokens, with the capped surplus
+# redistributed once across uncapped sources — one deterministic
+# waterfilling round, all in integer arithmetic (floor divisions on
+# scaled longs), so the allocation is bit-identical everywhere.
+# Available tokens approximate as n_chars / 4 (the usual chars-per-
+# token heuristic), summed exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "token_budget_allocation",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(CAST(n_chars AS BIGINT)) // 4 AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, avail,
+             CAST(round(sqrt(CAST(avail AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM per_src
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+    first_pass AS (
+      SELECT source, avail, w,
+             LEAST(avail, CAST((1000000 * w) // tw AS BIGINT)) AS alloc1,
+             CAST((1000000 * w) // tw AS BIGINT) > avail AS capped
+      FROM wts, tot
+    ),
+    leftover AS (
+      SELECT CAST(1000000 - SUM(alloc1) AS BIGINT) AS rem,
+             CAST(SUM(CASE WHEN NOT capped THEN w ELSE 0 END) AS BIGINT) AS open_w
+      FROM first_pass
+    )
+    SELECT f.source, f.avail, f.alloc1 +
+           CASE WHEN NOT f.capped AND l.open_w > 0
+                THEN CAST((l.rem * f.w) // l.open_w AS BIGINT) ELSE 0 END
+             AS alloc_tokens
+    FROM first_pass f, leftover l
+    ORDER BY f.source
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        (F.sum(F.col("n_chars").cast("long")) / 4).cast("long").alias("avail")
+    )
+    wts = per_src.withColumn(
+        "w",
+        F.round(F.sqrt(F.col("avail").cast("double")) * 1000000).cast("long"),
+    )
+    tot = wts.agg(F.sum("w").cast("long").alias("tw"))
+    fp = (
+        wts.join(F.broadcast(tot))
+        .withColumn("fair", ((F.lit(1000000) * F.col("w")) / F.col("tw")).cast("long"))
+        .withColumn("alloc1", F.least(F.col("avail"), F.col("fair")))
+        .withColumn("capped", F.col("fair") > F.col("avail"))
+    )
+    leftover = fp.agg(
+        (F.lit(1000000) - F.sum("alloc1")).cast("long").alias("rem"),
+        F.sum(F.when(~F.col("capped"), F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("open_w"),
+    )
+    return (
+        fp.join(F.broadcast(leftover))
+        .select(
+            "source",
+            "avail",
+            (
+                F.col("alloc1")
+                + F.when(
+                    (~F.col("capped")) & (F.col("open_w") > 0),
+                    F.expr("(rem * w) div open_w"),
+                ).otherwise(0)
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
