@@ -488,3 +488,91 @@ def ngram_containment_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("id_a")
     )
+
+
+@query(
+    "dedup_cascade_funnel",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({DUCK_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    rep_comp AS (
+      SELECT a AS rep_id, MIN(b) AS component FROM reach GROUP BY a
+    ),
+    {DUCK_LSH_REPS},
+    survivors AS (
+      SELECT COUNT(DISTINCT coalesce(rc.component, rm.doc_id)) AS n_eligible
+      FROM reps rm LEFT JOIN rep_comp rc ON rc.rep_id = rm.doc_id
+    ),
+    short_reps AS (
+      SELECT COUNT(*) AS n_short FROM (
+        SELECT DISTINCT text FROM documents
+        WHERE len(regexp_extract_all(text, '\\S+')) < 3
+      )
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+           (SELECT COUNT(DISTINCT text) FROM documents) AS n_after_exact,
+           (SELECT COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+            FROM documents) AS n_after_normalized,
+           s.n_eligible + sr.n_short AS n_after_neardup
+    FROM survivors s, short_reps sr
+    """,
+)
+def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline summary a curator reads first: corpus size
+    after each stage — byte-exact dedup, normalized-text dedup, and
+    transitive near-dup clustering (LSH candidates -> connected
+    components over exact reps; docs too short to shingle pass
+    through). Each stage is the count its operator family would keep;
+    the whole report is one row built from contracted aggregates."""
+    from wopen_spark.functions.text import doc_fingerprint
+    from wopen_spark.operators.graph import connected_components
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    n_total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    n_exact = d.agg(F.count_distinct("text").alias("n_after_exact"))
+    n_norm = d.agg(
+        F.count_distinct(doc_fingerprint(F.col("text"))).alias("n_after_normalized")
+    )
+    reps = _lsh_reps(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    eligible = (
+        reps.withColumnRenamed("doc_id", "rep_id")
+        .join(
+            F.broadcast(comps.withColumnRenamed("node", "rep_id")),
+            "rep_id",
+            "left",
+        )
+        .agg(
+            F.count_distinct(
+                F.coalesce(F.col("component"), F.col("rep_id"))
+            ).alias("n_eligible")
+        )
+    )
+    short = (
+        d.filter(F.regexp_count(F.col("text"), F.lit(r"\S+")) < 3)
+        .agg(F.count_distinct("text").alias("n_short"))
+    )
+    return (
+        n_total.join(F.broadcast(n_exact))
+        .join(F.broadcast(n_norm))
+        .join(F.broadcast(eligible))
+        .join(F.broadcast(short))
+        .select(
+            "n_total",
+            "n_after_exact",
+            "n_after_normalized",
+            (F.col("n_eligible") + F.col("n_short")).alias("n_after_neardup"),
+        )
+    )
