@@ -576,3 +576,41 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_eligible") + F.col("n_short")).alias("n_after_neardup"),
         )
     )
+
+
+@query(
+    "simhash_hamming_adjacent",
+    oracle=f"""
+    WITH fps AS (
+      {_duck_simhash(16)}
+    )
+    SELECT CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+           COUNT(*) AS n_pairs
+    FROM fps a JOIN fps b ON b.doc_id = a.doc_id + 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def simhash_hamming_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash VERIFICATION stage: Hamming distance between
+    fingerprints (XOR + popcount), histogrammed over the bounded
+    adjacent-id pair frame. Near-dups sit in the low-distance buckets —
+    this is the distance computation a banded SimHash index runs on its
+    bucket collisions. Fingerprints compute once per DISTINCT text."""
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    fps = _per_distinct_text(
+        d, lambda t: t.select("text", simhash(F.col("text"), bits=16).alias("fp"))
+    ).select("doc_id", "fp")
+    b = fps.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("fp").alias("fp_b")
+    )
+    return (
+        fps.join(b, "doc_id")
+        .select(
+            F.bit_count(
+                F.col("fp").bitwiseXOR(F.col("fp_b"))
+            ).cast("long").alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )

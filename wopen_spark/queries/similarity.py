@@ -849,3 +849,68 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH n2 AS (
+      SELECT vec_id, label,
+             CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000000) AS BIGINT)) AS BIGINT)
+               AS norm2_s
+      FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+      GROUP BY 1, 2
+    ),
+    nv AS (
+      SELECT label, norm2_s,
+             CAST(round(sqrt(CAST(norm2_s AS DOUBLE) / 1000000000000.0) * 1000000) AS BIGINT)
+               AS norm_s
+      FROM n2
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           COUNT(*) FILTER (WHERE norm2_s = 0) AS n_zero,
+           CAST(MIN(norm_s) AS DOUBLE) / 1000000.0 AS min_norm,
+           CAST(MAX(norm_s) AS DOUBLE) / 1000000.0 AS max_norm,
+           round(CAST(SUM(norm_s) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_norm
+    FROM nv GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus QA: per-label vector-norm distribution and
+    zero-vector count — degenerate (zero or wildly-scaled) vectors
+    poison cosine retrieval silently, so this audit runs before any
+    index build. Element squares accumulate in a scaled-long domain;
+    each vector's norm snaps to a scaled long (sqrt is correctly-
+    rounded IEEE), so min/max/mean are partitioning-independent. One
+    posexplode aggregate + one per-label rollup."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.explode("embedding").alias("x")
+    ).select("vec_id", "label", F.col("x").cast("double").alias("x"))
+    n2 = ex.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.round(F.col("x") * F.col("x") * 1000000000000).cast("long")
+        ).alias("norm2_s")
+    )
+    nv = n2.select(
+        "label",
+        "norm2_s",
+        F.round(
+            F.sqrt(F.col("norm2_s").cast("double") / 1000000000000.0) * 1000000
+        )
+        .cast("long")
+        .alias("norm_s"),
+    )
+    return (
+        nv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("norm2_s") == 0, 1).otherwise(0)).alias("n_zero"),
+            (F.min("norm_s").cast("double") / 1000000.0).alias("min_norm"),
+            (F.max("norm_s").cast("double") / 1000000.0).alias("max_norm"),
+            F.round(
+                F.sum("norm_s").cast("double") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
