@@ -222,3 +222,89 @@ def fixed_size_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "contrastive_negatives",
+    oracle="""
+    WITH anchors AS (
+      SELECT doc_id AS anchor_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 100 = 0
+    ),
+    pool AS (
+      SELECT doc_id AS cand_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_c
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('pool|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 50 = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, p.cand_id,
+             md5('neg|' || CAST(a.anchor_id AS VARCHAR) || '|' || CAST(p.cand_id AS VARCHAR)) AS h
+      FROM anchors a JOIN pool p ON a.fp <> p.fp_c
+    )
+    SELECT anchor_id, cand_id, rnk FROM (
+      SELECT anchor_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY h, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3 ORDER BY anchor_id, rnk
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc gets 3 negatives drawn by salted-hash order from a
+    hash-thinned candidate POOL (~2% of the corpus, broadcastable at
+    any scale), excluding content-identical docs via the normalized
+    fingerprint. Every choice is md5-ordered — reproducible on any
+    engine, partitioning, or rerun, which is what makes training-data
+    sampling auditable. The anchor x pool product is bounded by the
+    pool rate, never |corpus|²; WindowGroupLimit prunes the per-anchor
+    top-3 map-side."""
+    from pyspark.sql import Window
+
+    from wopen_spark.functions.text import doc_fingerprint
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    anchors = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            doc_fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+    pool_bucket = (
+        F.conv(
+            F.md5(F.concat(F.lit("pool|"), F.col("doc_id").cast("string"))).substr(
+                1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 50
+    )
+    pool = (
+        d.filter(pool_bucket == 0)
+        .select(
+            F.col("doc_id").alias("cand_id"),
+            doc_fingerprint(F.col("text")).alias("fp_c"),
+        )
+    )
+    scored = anchors.join(F.broadcast(pool), F.col("fp") != F.col("fp_c")).select(
+        "anchor_id",
+        "cand_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit("neg"),
+                F.col("anchor_id").cast("string"),
+                F.col("cand_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("anchor_id", "cand_id", "rnk")
+        .orderBy("anchor_id", "rnk")
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wopen_spark.queries.registry import _per_distinct_text, _spread, _t, query
+from wopen_spark.queries.registry import ORACLES, QUERIES, _per_distinct_text, _spread, _t, query
 
 _QUERY_TERMS = ["spark", "sort", "stream"]
 _K1, _B = 1.2, 0.75
@@ -187,3 +187,79 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long") % 100
     return d.filter(bucket < 20).select("doc_id", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Retrieve-then-rerank: the two-stage RAG serving pattern — BM25 recall
+# (stage 1, cheap, corpus-wide) feeding a candidate frame into an
+# Arrow-batched reranker (stage 2, expensive, 20 rows). The rerank
+# kernel here is a deterministic md5 stand-in running through the SAME
+# mapInPandas plumbing a cross-encoder would use (cf. the multimodal
+# decoders): batch shape, schema, and ordering contract are real, the
+# model call is swappable. Scale shape: stage 2 cost is O(k), never
+# corpus-shaped.
+# ---------------------------------------------------------------------------
+@query(
+    "rerank_bm25_results",
+    oracle=None,  # composed below after bm25_search registers
+)
+def rerank_bm25_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    base = QUERIES["bm25_search"](spark, sf_dir)
+
+    def rerank(batches):
+        for pdf in batches:
+            scores = [
+                int(hashlib.md5(f"rr|{d}".encode()).hexdigest()[:8], 16)
+                for d in pdf["doc_id"]
+            ]
+            out = pdf.copy()
+            out["rr_score"] = pd.Series(scores, index=pdf.index, dtype="int64")
+            yield out
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("bm25", T.DoubleType()),
+            T.StructField("rr_score", T.LongType()),
+        ]
+    )
+    from pyspark.sql import Window
+
+    scored = base.mapInPandas(rerank, schema=schema)
+    w = Window.orderBy(F.desc("rr_score"), "doc_id")
+    return (
+        scored.withColumn("rr_rank", F.row_number().over(w))
+        .select("doc_id", "bm25", "rr_rank")
+        .orderBy("rr_rank")
+    )
+
+
+# register the composed oracle: the bm25 top-20 as a subquery, reranked
+# by the identical md5-derived score
+ORACLES["rerank_bm25_results"] = f"""
+    WITH base AS ({{bm25}}),
+    rr AS (
+      SELECT doc_id, bm25,
+             CAST(('0x' || substr(md5('rr|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS rr_score
+      FROM base
+    )
+    SELECT doc_id, bm25,
+           ROW_NUMBER() OVER (ORDER BY rr_score DESC, doc_id) AS rr_rank
+    FROM rr ORDER BY rr_rank
+"""
+
+
+def _wire_rerank_oracle() -> None:
+    ORACLES["rerank_bm25_results"] = ORACLES["rerank_bm25_results"].format(
+        bm25=ORACLES["bm25_search"]
+    )
+
+
+_wire_rerank_oracle()
