@@ -152,3 +152,96 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, pct in _LANG_RATES.items():
         rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
     return d.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "sft_pair_formatting",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    split AS (
+      SELECT doc_id,
+             array_to_string(ws[1:len(ws) // 2], ' ') AS prompt,
+             array_to_string(ws[len(ws) // 2 + 1:len(ws)], ' ') AS completion,
+             CAST(len(ws) // 2 AS BIGINT) AS n_prompt_tokens,
+             CAST(len(ws) - len(ws) // 2 AS BIGINT) AS n_completion_tokens
+      FROM base
+    )
+    SELECT doc_id, n_prompt_tokens, n_completion_tokens,
+           md5(prompt) AS prompt_md5, md5(completion) AS completion_md5
+    FROM split ORDER BY doc_id
+    """,
+)
+def sft_pair_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair prep: split each sampled doc at its token
+    midpoint into (prompt, completion) halves — the continuation-style
+    SFT formatting — and emit the md5 of each side so the exact rendered
+    strings (joins, separators, boundaries) are value-pinned, not just
+    the counts. Pure array ops per row; zero shuffles before the
+    presentation sort."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    ws = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    half = (F.size(ws) / 2).cast("int")
+    base = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        half.alias("h"),
+    )
+    prompt = F.array_join(F.slice(F.col("ws"), 1, F.col("h")), " ")
+    completion = F.array_join(
+        F.slice(
+            F.col("ws"),
+            F.col("h") + 1,
+            F.greatest(F.size("ws") - F.col("h"), F.lit(0)),
+        ),
+        " ",
+    )
+    return base.select(
+        "doc_id",
+        F.col("h").cast("long").alias("n_prompt_tokens"),
+        (F.size("ws") - F.col("h")).cast("long").alias("n_completion_tokens"),
+        F.md5(prompt).alias("prompt_md5"),
+        F.md5(completion).alias("completion_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "context_budget_overflow",
+    oracle="""
+    WITH t AS (
+      SELECT source, len(regexp_extract_all(text, '\\S+')) AS n_tok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE n_tok > 32) AS over_32,
+           COUNT(*) FILTER (WHERE n_tok > 48) AS over_48,
+           COUNT(*) FILTER (WHERE n_tok > 64) AS over_64
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def context_budget_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source exceeds the training context budgets —
+    the first number that decides between truncation, chunking, and
+    drop policies. Token counting runs once per DISTINCT text via
+    clone-collapse; budgets sized to the testdata's token range."""
+    from wopen_spark.queries.registry import _per_distinct_text
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    counted = _per_distinct_text(
+        d.select("source", "text"),
+        lambda t: t.select(
+            "text", F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_tok")
+        ),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_tok") > 32, 1).otherwise(0)).alias("over_32"),
+            F.sum(F.when(F.col("n_tok") > 48, 1).otherwise(0)).alias("over_48"),
+            F.sum(F.when(F.col("n_tok") > 64, 1).otherwise(0)).alias("over_64"),
+        )
+        .orderBy("source")
+    )
