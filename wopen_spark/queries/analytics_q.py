@@ -2645,3 +2645,161 @@ def event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "cents", "lag1_cents", "lag2_cents")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts + row
+# probabilities): per user-adjacent pair, how often type A is followed
+# by type B. Counts are exact; the row-normalized probability is one
+# division over broadcast row totals. The lag rides one user window;
+# the matrix is |types|² rows.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH steps AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    m AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM steps WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM m GROUP BY 1)
+    SELECT m.prev_type, m.next_type, m.n,
+           round(CAST(m.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
+    FROM m JOIN tot t USING (prev_type)
+    ORDER BY m.prev_type, m.next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    m = steps.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = m.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return (
+        m.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quintiles per customer —
+# the classic CRM scoring. Each dimension ranks with NTILE(5) over a
+# fully deterministic order (exact days/counts/cents, custkey
+# tie-break), so every customer's segment string is engine-identical.
+# Summary rows keep the gate frame tiny while the scoring itself runs
+# per customer.
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2002-01-01') AS rec_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT ck,
+             NTILE(5) OVER (ORDER BY rec_days, ck) AS r,
+             NTILE(5) OVER (ORDER BY freq DESC, ck) AS f,
+             NTILE(5) OVER (ORDER BY cents DESC, ck) AS m
+      FROM base
+    )
+    SELECT r || '-' || f || '-' || m AS rfm, COUNT(*) AS n_customers
+    FROM scored GROUP BY 1 ORDER BY n_customers DESC, rfm
+    LIMIT 30
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("rec_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    scored = base.select(
+        "ck",
+        F.ntile(5).over(Window.orderBy("rec_days", "ck")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), "ck")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("cents"), "ck")).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat_ws(
+                "-",
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("rfm")
+        )
+        .groupBy("rfm")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "rfm")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quarterly revenue share within each year (the 100%-stacked seasonal
+# view) — conditional aggregation over exact cents with the share as
+# one engine-identical division.
+# ---------------------------------------------------------------------------
+@query(
+    "quarterly_revenue_share",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT yr, CAST(SUM(cents) AS BIGINT) AS total FROM q GROUP BY 1)
+    SELECT q.yr, q.qtr,
+           CAST(q.cents AS DOUBLE) / 100.0 AS revenue,
+           round(CAST(q.cents AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM q JOIN t USING (yr)
+    ORDER BY q.yr, q.qtr
+    """,
+)
+def quarterly_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    t = q.groupBy("yr").agg(F.sum("cents").cast("long").alias("total"))
+    return (
+        q.join(F.broadcast(t), "yr")
+        .select(
+            "yr",
+            "qtr",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("yr", "qtr")
+    )

@@ -614,3 +614,65 @@ def simhash_hamming_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@query(
+    "lsh_recall_eval",
+    oracle=f"""
+    WITH {DUCK_LSH_REPS},
+    sub AS (SELECT doc_id, text FROM reps WHERE doc_id < 300),
+    sh AS (
+      SELECT doc_id, {_duck_shingles(3)} AS shingles
+      FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM sub)
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) * 2
+            >= len(list_distinct(list_concat(a.shingles, b.shingles)))
+    ),
+    cand AS (
+      SELECT id_a, id_b FROM ({DUCK_LSH_PAIRS})
+      WHERE id_a < 300 AND id_b < 300
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth t JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+    """,
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall audit: on a bounded slice of the rep corpus, compare
+    the banded candidate set against BRUTE-FORCE ground truth (3-shingle
+    Jaccard >= 0.5, decided with the integer cross-multiplication
+    2·|∩| >= |∪| — no ratio rounding). This is the banding-parameter
+    tuning loop (bands/rows trade recall vs candidates) made a
+    first-class query; the brute-force side exists only on the audit
+    slice, never the corpus."""
+    reps = _lsh_reps(spark, sf_dir)
+    sub = reps.filter(F.col("doc_id") < 300)
+    sh = sub.select(
+        "doc_id", _word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.size(F.array_intersect("sa", "sb")) * 2
+            >= F.size(F.array_union("sa", "sb"))
+        )
+        .select("id_a", "id_b")
+    )
+    cand = (
+        minhash_lsh_candidates(
+            reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4
+        )
+        .filter((F.col("id_a") < 300) & (F.col("id_b") < 300))
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return n_truth.join(F.broadcast(n_cand)).join(F.broadcast(n_hits))
