@@ -2504,11 +2504,16 @@ def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = o.withColumn(
         "i", F.row_number().over(Window.orderBy("cents", "o_orderkey"))
     )
+    # Σ(i·cents) exceeds the long range past ~1e6 rows (i ~ n, so the
+    # sum grows ~n²·cents); accumulate in decimal(38,0) — exact like
+    # DuckDB's HUGEINT widening — and convert once to double.
     return ranked.agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(
             2.0
-            * F.sum(F.col("i") * F.col("cents")).cast("double")
+            * F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).cast(
+                "double"
+            )
             / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,
