@@ -945,42 +945,28 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs are generated MAP-SIDE from each order's sorted brand set
-    (collect_set dedups in the same shuffle that groups the order), so
-    the whole query is ONE fact shuffle + a 625-key aggregate — the
-    orderkey SELF-JOIN this replaces shuffled the contracted fact two
-    more times. Locally the ObjectHashAggregate building the sets eats
-    the saving (sf10 wall ~flat); the win is SHUFFLE VOLUME — one fact
-    exchange instead of three — which is what binds on a network-bound
-    cluster. Equivalent because the join counted exactly one row per
-    (order, unordered brand pair)."""
+    """Counted as one row per (order, unordered brand pair) via the
+    orderkey self-join over the distinct-contracted fact. A map-side
+    set-expansion variant (collect_set + higher-order pair explode) was
+    tried and reverted: it halves shuffle volume but the
+    ObjectHashAggregate building 15M per-order sets cost 2-4x the wall
+    time at sf10 — the hash self-join stays inside codegen."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    sets = (
+    ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
     )
-    pairs = sets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("bs"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("bs"), i + 2, F.greatest(F.size("bs") - i - 1, F.lit(0))
-                        ),
-                        lambda y: F.struct(
-                            x.alias("brand_a"), y.alias("brand_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("pr")
+    b = ob.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
     )
     return (
-        pairs.select("pr.brand_a", "pr.brand_b")
-        .groupBy("brand_a", "brand_b")
+        ob.join(
+            b,
+            (ob.l_orderkey == b.ok2) & (ob.p_brand < b.brand_b),
+        )
+        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(25)
@@ -2241,31 +2227,12 @@ def brand_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_b = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    sets = ob.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    b = ob.select(
+        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
     )
     pairs = (
-        sets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("bs"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("bs"),
-                                i + 2,
-                                F.greatest(F.size("bs") - i - 1, F.lit(0)),
-                            ),
-                            lambda y: F.struct(
-                                x.alias("brand_a"), y.alias("brand_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("pr")
-        )
-        .select("pr.brand_a", "pr.brand_b")
-        .groupBy("brand_a", "brand_b")
+        ob.join(b, (ob.l_orderkey == b.ok2) & (ob.p_brand < b.brand_b))
+        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     na = n_b.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
