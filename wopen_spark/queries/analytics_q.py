@@ -2775,3 +2775,103 @@ def quarterly_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "qtr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order line-count dispersion — the variance/mean ratio that tests
+# whether lines-per-order behaves Poisson (index ~1) or clumped (>1).
+# All moments are exact integer sums over the contracted per-order
+# counts; the two divisions at the end are engine-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "order_linecount_dispersion",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_orders,
+           round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS mean_lines,
+           round((CAST(SUM(k * k) AS DOUBLE) - CAST(SUM(k) AS DOUBLE) * SUM(k) / COUNT(*))
+                 / (COUNT(*) - 1), 6) AS var_lines,
+           round(((CAST(SUM(k * k) AS DOUBLE) - CAST(SUM(k) AS DOUBLE) * SUM(k) / COUNT(*))
+                  / (COUNT(*) - 1))
+                 / (CAST(SUM(k) AS DOUBLE) / COUNT(*)), 6) AS dispersion_index
+    FROM c
+    """,
+)
+def order_linecount_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    n = F.count(F.lit(1))
+    sk = F.sum("k").cast("double")
+    skk = F.sum(F.col("k") * F.col("k")).cast("double")
+    mean = sk / n
+    var = (skk - sk * F.sum("k") / n) / (n - 1)
+    return c.agg(
+        n.alias("n_orders"),
+        F.round(mean, 6).alias("mean_lines"),
+        F.round(var, 6).alias("var_lines"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily revenue — Pearson over consecutive-day
+# pairs, the persistence check behind any forecasting choice. Pairs
+# come from a lag window on the daily aggregate; all five moments ride
+# exact scaled-long sums (cents ~1e9/day and squared products stay
+# within decimal(38)), with one final IEEE expression shared by both
+# engines.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_revenue_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT cents AS y,
+             LAG(cents) OVER (ORDER BY day) AS x
+      FROM d
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+      FROM pairs WHERE x IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS lag1_autocorr
+    FROM m
+    """,
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    pairs = d.select(
+        F.col("cents").alias("y"),
+        F.lag("cents").over(Window.orderBy("day")).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double")
+    sxy = F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return pairs.agg(
+        n.cast("long").alias("n_pairs"),
+        F.round(corr, 6).alias("lag1_autocorr"),
+    )

@@ -437,3 +437,77 @@ def doc_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "token_lift_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+'))) AS w
+      FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1),
+    n_docs AS (SELECT COUNT(*) AS nd FROM documents),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_ab
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20
+    )
+    SELECT p.w1, p.w2, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) * nd.nd
+                 / (CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w
+    CROSS JOIN n_docs nd
+    ORDER BY lift DESC, w1, w2
+    LIMIT 25
+    """,
+)
+def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token association by LIFT — p(a,b)/(p(a)p(b)) rendered as the
+    exact ratio n_ab·N / (n_a·n_b), so no log/PMI libm dependency
+    crosses engines. Document-level co-presence (distinct tokens per
+    doc) with a min-support cut BEFORE the ranking; the unigram counts
+    broadcast back. The doc-keyed token self-join is bounded by
+    tokens-per-doc, never vocabulary²."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), F.lit(0)
+                )
+            )
+        ).alias("w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    b = toks.select(F.col("doc_id").alias("d2"), F.col("w").alias("w2"))
+    pairs = (
+        toks.join(b, (toks.doc_id == b.d2) & (toks.w < b.w2))
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("nd")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(25)
+    )
