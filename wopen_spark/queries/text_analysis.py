@@ -467,13 +467,17 @@ def doc_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token association by LIFT — p(a,b)/(p(a)p(b)) rendered as the
     exact ratio n_ab·N / (n_a·n_b), so no log/PMI libm dependency
-    crosses engines. Document-level co-presence (distinct tokens per
-    doc) with a min-support cut BEFORE the ranking; the unigram counts
-    broadcast back. The doc-keyed token self-join is bounded by
-    tokens-per-doc, never vocabulary²."""
+    crosses engines. Document-level co-presence with a min-support cut
+    BEFORE the ranking; unigram counts broadcast back. Clone-weighted:
+    the token self-join runs per DISTINCT text (keyed on md5(text))
+    with the clone multiplicity as an exact weight — on the ~100x-
+    replicated large SFs that removes ~99% of the pair rows, and the
+    join stays bounded by tokens-per-distinct-text."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id",
+    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("wt"))
+    toks = groups.select(
+        F.md5("text").alias("tid"),
+        "wt",
         F.explode(
             F.array_distinct(
                 F.regexp_extract_all(
@@ -482,13 +486,13 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    uni = toks.groupBy("w").agg(F.sum("wt").alias("n"))
     nd = d.agg(F.count(F.lit(1)).alias("nd"))
-    b = toks.select(F.col("doc_id").alias("d2"), F.col("w").alias("w2"))
+    b = toks.select(F.col("tid").alias("t2"), F.col("w").alias("w2"))
     pairs = (
-        toks.join(b, (toks.doc_id == b.d2) & (toks.w < b.w2))
+        toks.join(b, (toks.tid == b.t2) & (toks.w < b.w2))
         .groupBy(F.col("w").alias("w1"), "w2")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .agg(F.sum("wt").alias("n_ab"))
         .filter(F.col("n_ab") >= 20)
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
