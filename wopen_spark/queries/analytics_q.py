@@ -2875,3 +2875,170 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_pairs"),
         F.round(corr, 6).alias("lag1_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-5 brands with an OTHER rollup — the BI presentation shape: rank
+# once over the contracted brand aggregate, fold the tail into one
+# bucket, and re-aggregate. The fold key comes from a broadcast of the
+# 5-row top list, so the fact never shuffles twice.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_top5_with_other",
+    oracle="""
+    WITH b AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    top5 AS (
+      SELECT brand FROM b ORDER BY cents DESC, brand LIMIT 5
+    )
+    SELECT CASE WHEN t.brand IS NOT NULL THEN b.brand ELSE 'OTHER' END AS brand,
+           CAST(SUM(b.cents) AS DOUBLE) / 100.0 AS revenue
+    FROM b LEFT JOIN top5 t ON b.brand = t.brand
+    GROUP BY 1 ORDER BY revenue DESC, brand
+    """,
+)
+def brand_top5_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    top5 = b.orderBy(F.desc("cents"), "brand").limit(5).select(
+        F.col("brand").alias("tb")
+    )
+    return (
+        b.join(F.broadcast(top5), b.brand == F.col("tb"), "left")
+        .groupBy(
+            F.when(F.col("tb").isNotNull(), F.col("brand"))
+            .otherwise("OTHER")
+            .alias("brand")
+        )
+        .agg((F.sum("cents").cast("double") / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent: each nation's share of its region's customer
+# balance — the two-level drilldown ratio, with both levels aggregated
+# once and the shares decided by one identical division.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_share_of_region",
+    oracle="""
+    WITH n AS (
+      SELECT r.r_name AS region, nt.n_name AS nation,
+             CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM customer c
+      JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      JOIN region r ON nt.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(cents AS DOUBLE) / 100.0 AS balance,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region
+    FROM n ORDER BY region, nation
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    nt = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .join(F.broadcast(r), nt.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return base.select(
+        "region",
+        "nation",
+        (F.col("cents").cast("double") / 100.0).alias("balance"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Bot-like user screen: many events AND machine-regular timing — the
+# composite filter an abuse pipeline applies before any model. Gap
+# variance comes from exact second-sums (decimal for the squared
+# moment); the cut selects the most-regular ~1% of heavy users
+# (threshold sized to the synthetic cadence), decided by identical
+# IEEE arithmetic on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "bot_like_users",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             floor(epoch(ts))::BIGINT
+               - floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT
+               AS gap
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, COUNT(*) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sg,
+             CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DOUBLE) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps + 1 AS n_events,
+           round((sgg - CAST(sg AS DOUBLE) * sg / n_gaps) / (n_gaps - 1), 6)
+             AS gap_variance
+    FROM m
+    WHERE n_gaps >= 19
+      AND (sgg - CAST(sg AS DOUBLE) * sg / n_gaps) / (n_gaps - 1)
+          < 850000000.0
+    ORDER BY user_id
+    """,
+)
+def bot_like_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+            "gap"
+        ),
+    ).filter(F.col("gap").isNotNull())
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+        .cast("double")
+        .alias("sgg"),
+    )
+    var = (
+        F.col("sgg") - F.col("sg").cast("double") * F.col("sg") / F.col("n_gaps")
+    ) / (F.col("n_gaps") - 1)
+    return (
+        m.filter((F.col("n_gaps") >= 19) & (var < 850000000.0))
+        .select(
+            "user_id",
+            (F.col("n_gaps") + 1).alias("n_events"),
+            F.round(var, 6).alias("gap_variance"),
+        )
+        .orderBy("user_id")
+    )
