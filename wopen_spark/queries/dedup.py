@@ -676,3 +676,45 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits")
     )
     return n_truth.join(F.broadcast(n_cand)).join(F.broadcast(n_hits))
+
+
+@query(
+    "cross_source_near_dups",
+    oracle=f"""
+    WITH pairs AS ({DUCK_LSH_PAIRS}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(sa.source, sb.source) AS src_a,
+           GREATEST(sa.source, sb.source) AS src_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN src sa ON p.id_a = sa.doc_id
+    JOIN src sb ON p.id_b = sb.doc_id
+    WHERE sa.source <> sb.source
+    GROUP BY 1, 2 ORDER BY n_pairs DESC, src_a, src_b
+    """,
+)
+def cross_source_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source PAIRS share near-duplicate content — the
+    contamination matrix that tells a curator where scrape overlap
+    lives (same-source dups are routine; cross-source dups change
+    mixture weights). LSH candidate pairs join the doc->source map
+    (broadcast) and roll up to the unordered source pair."""
+    pairs = minhash_lsh_candidates(
+        _lsh_reps(spark, sf_dir), id_col="doc_id", text_col="text",
+        n_hashes=8, n_bands=4,
+    )
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("s_a") != F.col("s_b"))
+        .groupBy(
+            F.least("s_a", "s_b").alias("src_a"),
+            F.greatest("s_a", "s_b").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "src_a", "src_b")
+    )

@@ -462,3 +462,39 @@ def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "order_status_mix_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           round(CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                 / COUNT(*), 6) AS f_share
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_status_mix_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status composition per year — the lifecycle mix report
+    (conditional aggregation over one scan; the F-share ratio is one
+    engine-identical division)."""
+    o = _t(spark, sf_dir, "orders")
+    nf = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            nf.alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+                "n_o"
+            ),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias(
+                "n_p"
+            ),
+            F.round(nf.cast("double") / F.count(F.lit(1)), 6).alias("f_share"),
+        )
+        .orderBy("yr")
+    )
