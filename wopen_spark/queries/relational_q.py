@@ -498,3 +498,39 @@ def order_status_mix_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "dead_stock_parts_by_brand",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_parts,
+           COUNT(*) FILTER (WHERE l.l_partkey IS NULL) AS never_ordered,
+           round(CAST(COUNT(*) FILTER (WHERE l.l_partkey IS NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS dead_share
+    FROM part p
+    LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+      ON p.p_partkey = l.l_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dead_stock_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage: parts that never appear in the fact, per brand
+    — the dead-stock sweep. The fact contracts to DISTINCT partkeys
+    before the join, so the dimension-side outer join sees |parts|
+    rows, not |lineitem|."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ordered = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    dead = F.sum(F.when(F.col("l_partkey").isNull(), 1).otherwise(0))
+    return (
+        p.join(ordered, p.p_partkey == ordered.l_partkey, "left")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dead.alias("never_ordered"),
+            F.round(dead.cast("double") / F.count(F.lit(1)), 6).alias(
+                "dead_share"
+            ),
+        )
+        .orderBy("brand")
+    )

@@ -914,3 +914,96 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "semantic_outlier_vectors",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT dim,
+             CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS c
+      FROM ex GROUP BY 1
+    ),
+    dots AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(round(e.x * c.c * 1000000000000) AS BIGINT)) AS BIGINT) AS dot_s,
+             CAST(SUM(CAST(round(e.x * e.x * 1000000000000) AS BIGINT)) AS BIGINT) AS nv_s
+      FROM ex e JOIN cent c USING (dim)
+      GROUP BY 1
+    ),
+    cn AS (
+      SELECT CAST(SUM(CAST(round(c * c * 1000000000000) AS BIGINT)) AS BIGINT) AS nc_s
+      FROM cent
+    ),
+    scored AS (
+      SELECT vec_id,
+             round((CAST(dot_s AS DOUBLE) / 1000000000000.0)
+               / (sqrt(CAST(nv_s AS DOUBLE) / 1000000000000.0)
+                  * sqrt(CAST(nc_s AS DOUBLE) / 1000000000000.0)), 6) AS cos_to_centroid
+      FROM dots, cn
+    )
+    SELECT vec_id, cos_to_centroid FROM scored
+    ORDER BY cos_to_centroid, vec_id LIMIT 15
+    """,
+)
+def semantic_outlier_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier screen: the 15 vectors least aligned with the
+    GLOBAL corpus centroid — the embedding-space counterpart of quality
+    filtering (mislabeled/garbage embeddings sit far from the mass).
+    The centroid is |dims| rows broadcast back onto the exploded
+    corpus; every sum rides a scaled-long domain so the ranking is
+    partitioning-independent, and the final cosine is one shared IEEE
+    expression."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("x").cast("double").alias("x")
+    )
+    cent = (
+        ex.groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("x") * 1000000).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "dim", (F.col("s").cast("double") / 1000000.0 / F.col("n")).alias("c")
+        )
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("c") * 1000000000000).cast("long")
+            ).alias("dot_s"),
+            F.sum(
+                F.round(F.col("x") * F.col("x") * 1000000000000).cast("long")
+            ).alias("nv_s"),
+        )
+    )
+    cn = cent.agg(
+        F.sum(F.round(F.col("c") * F.col("c") * 1000000000000).cast("long")).alias(
+            "nc_s"
+        )
+    )
+    return (
+        dots.join(F.broadcast(cn))
+        .select(
+            "vec_id",
+            F.round(
+                (F.col("dot_s").cast("double") / 1000000000000.0)
+                / (
+                    F.sqrt(F.col("nv_s").cast("double") / 1000000000000.0)
+                    * F.sqrt(F.col("nc_s").cast("double") / 1000000000000.0)
+                ),
+                6,
+            ).alias("cos_to_centroid"),
+        )
+        .orderBy("cos_to_centroid", "vec_id")
+        .limit(15)
+    )
