@@ -3042,3 +3042,108 @@ def bot_like_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Whale analysis: users decile-ranked by total spend, spend share per
+# decile — the revenue-concentration view. NTILE orders by exact cents
+# with the user id as tie-break (fully deterministic), and the share is
+# one division over exact sums.
+# ---------------------------------------------------------------------------
+@query(
+    "user_spend_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id, cents,
+             NTILE(10) OVER (ORDER BY cents DESC, user_id) AS decile
+      FROM u
+    ),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM u)
+    SELECT decile, COUNT(*) AS n_users,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS spend,
+           round(CAST(SUM(cents) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM d, t GROUP BY 1, t.total ORDER BY 1
+    """,
+)
+def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    d = u.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("cents"), "user_id"))
+    )
+    t = u.agg(F.sum("cents").cast("long").alias("total"))
+    return (
+        d.join(F.broadcast(t))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            (F.sum("cents").cast("double") / 100.0).alias("spend"),
+            F.round(
+                F.sum("cents").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .select("decile", "n_users", "spend", "share")
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per part type —
+# HHI = Σ share_i² computed as Σ cents_i² / total² so both the
+# numerator (decimal-accumulated squares of exact cents) and the
+# denominator are exact before the single division. HHI > 0.25 is the
+# usual "concentrated market" flag; per-type revenue contracts to
+# (type, supplier) rows first.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_hhi_by_type",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_type AS type, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT type, COUNT(*) AS n_suppliers,
+           round(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+                 / (CAST(SUM(cents) AS DOUBLE) * SUM(cents)), 6) AS hhi
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def supplier_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("type"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    return (
+        s.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast(
+                    "double"
+                )
+                / (F.sum("cents").cast("double") * F.sum("cents")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("type")
+    )
