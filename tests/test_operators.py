@@ -536,3 +536,133 @@ def test_table_merge_into_empty_table(spark, tmp_path):
     t = Table(spark, "crm", "merge_fresh", warehouse=str(tmp_path))
     t.merge(spark.createDataFrame([(1, "x")], ["id", "v"]), key="id")
     assert [r.v for r in t.read().collect()] == ["x"]
+
+
+def _partition_file_state(part_dir):
+    """(relpath -> (size, sha256)) of every parquet file under part_dir."""
+    import hashlib
+    import os
+
+    state = {}
+    for root, _, files in os.walk(part_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    digest = hashlib.sha256(fh.read()).hexdigest()
+                state[os.path.relpath(p, part_dir)] = (os.path.getsize(p), digest)
+    return state
+
+
+def _make_partitioned_table(spark, tmp_path, name):
+    import json
+
+    from wopen_spark.tables import Table
+
+    schema_path = str(tmp_path / f"{name}_schema.json")
+    with open(schema_path, "w") as f:
+        json.dump(
+            [{"name": "id", "type": "INTEGER"}, {"name": "v", "type": "STRING"}], f
+        )
+    t = Table(spark, "crm", name, warehouse=str(tmp_path))
+    t.create_partitioned(schema_path, "dt")
+    for day, rows in [
+        ("2024-01-01", [(1, "a"), (2, "b")]),
+        ("2024-01-02", [(3, "c")]),
+        ("2024-01-03", [(4, "d"), (5, "e")]),
+    ]:
+        t.write_partition(day, "dt", spark.createDataFrame(rows, ["id", "v"]))
+    return t
+
+
+def test_merge_partition_touches_only_target_partition(spark, tmp_path):
+    """VERDICT r4 #2: upsert into 1 of 3 partitions; the other 2 partitions'
+    parquet files must be byte-identical afterwards (never read/rewritten),
+    and the partition listing must be unchanged."""
+    import os
+
+    t = _make_partitioned_table(spark, tmp_path, "mp_t")
+    before_p2 = _partition_file_state(os.path.join(t.path, "dt=2024-01-02"))
+    before_p3 = _partition_file_state(os.path.join(t.path, "dt=2024-01-03"))
+    assert before_p2 and before_p3
+
+    t.merge_partition(
+        "2024-01-01",
+        "dt",
+        spark.createDataFrame([(2, "B2"), (6, "f")], ["id", "v"]),
+        key="id",
+    )
+    got = {
+        r.id: r.v
+        for r in t.read().filter("dt = date'2024-01-01'").collect()
+    }
+    assert got == {1: "a", 2: "B2", 6: "f"}
+    assert _partition_file_state(os.path.join(t.path, "dt=2024-01-02")) == before_p2
+    assert _partition_file_state(os.path.join(t.path, "dt=2024-01-03")) == before_p3
+    assert t.partitions("dt") == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # untouched partitions still read back intact
+    assert t.read().count() == 6
+
+
+def test_merge_partition_new_partition_and_audit_abort(spark, tmp_path):
+    """merge_partition into a missing partition creates it; a source with
+    duplicate keys fails the write-audit-publish audit and leaves the live
+    partition untouched."""
+    import os
+
+    import pytest
+
+    t = _make_partitioned_table(spark, tmp_path, "mp_audit")
+    t.merge_partition(
+        "2024-01-04", "dt", spark.createDataFrame([(9, "z")], ["id", "v"]), key="id"
+    )
+    assert "2024-01-04" in t.partitions("dt")
+
+    live_before = _partition_file_state(os.path.join(t.path, "dt=2024-01-01"))
+    dup = spark.createDataFrame([(7, "x"), (7, "y")], ["id", "v"])
+    with pytest.raises(ValueError, match="merge audit"):
+        t.merge_partition("2024-01-01", "dt", dup, key="id")
+    assert _partition_file_state(os.path.join(t.path, "dt=2024-01-01")) == live_before
+    assert not os.path.exists(os.path.join(t.path, "dt=2024-01-01.staging"))
+
+
+def test_merge_and_compact_preserve_partition_layout(spark, tmp_path):
+    """ADVICE r4: whole-table merge/compact on a partitioned table must keep
+    the hive layout (field=value dirs), the schema sidecar, and the
+    partitions() listing — not silently flatten the table."""
+    import os
+
+    t = _make_partitioned_table(spark, tmp_path, "mp_layout")
+    t.merge(
+        spark.createDataFrame(
+            [(3, "C3", "2024-01-02")], ["id", "v", "dt"]
+        ).selectExpr("id", "v", "cast(dt as date) dt"),
+        key="id",
+    )
+    assert t.partitions("dt") == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert os.path.exists(os.path.join(t.path, "_wopen_schema.json"))
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "C3", 4: "d", 5: "e"}
+
+    t.compact(target_files=1)
+    assert t.partitions("dt") == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert {r.id: r.v for r in t.read().collect()} == got
+    # spark can still read it (no mixed flat+hive layout)
+    assert t.read().count() == 5
+
+
+def test_prefix_contained_flags_empty_text(spark):
+    """ADVICE r4: '' is a strict prefix of every non-empty text, but lands
+    alone in its first-char window partition — the indicator join must flag
+    it; a corpus of ONLY empty text must not."""
+    from wopen_spark.operators.dedup import prefix_contained_flags
+
+    df = spark.createDataFrame([(1, ""), (2, "abc")], ["doc_id", "text"])
+    got = {r.doc_id: r.is_prefix for r in prefix_contained_flags(df).collect()}
+    assert got == {1: True, 2: False}
+
+    only_empty = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    got2 = {
+        r.doc_id: r.is_prefix for r in prefix_contained_flags(only_empty).collect()
+    }
+    assert got2 == {1: False}

@@ -215,6 +215,13 @@ def prefix_contained_flags(
 
     Input rows must have distinct ``text_col`` values (contract clones
     first); returns the input columns plus ``is_prefix`` boolean.
+
+    Empty-string edge: "" lands alone in its first-char partition, so the
+    lead() never sees a successor even though "" strictly prefixes every
+    non-empty text. A 1-row broadcast indicator (any non-empty text
+    exists?) closes that blind spot; both branches consume the same
+    upstream exchange, so the extra pass is over the post-shuffle rows,
+    not a rescan of the source.
     """
     from pyspark.sql import Window
 
@@ -222,11 +229,26 @@ def prefix_contained_flags(
         text_col, order_col
     )
     nxt = F.lead(text_col).over(w)
-    return df.withColumn(
+    flagged = df.withColumn(
         "is_prefix",
         nxt.isNotNull()
         & (nxt != F.col(text_col))
         & (nxt.substr(F.lit(1), F.length(text_col)) == F.col(text_col)),
+    )
+    ind = df.agg(
+        F.coalesce(F.max(F.length(text_col)) > 0, F.lit(False)).alias(
+            "__any_nonempty"
+        )
+    )
+    return (
+        flagged.join(F.broadcast(ind))
+        .withColumn(
+            "is_prefix",
+            F.when(
+                F.length(text_col) == 0, F.col("__any_nonempty")
+            ).otherwise(F.col("is_prefix")),
+        )
+        .drop("__any_nonempty")
     )
 
 

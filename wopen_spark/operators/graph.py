@@ -78,6 +78,10 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # labels is materialized (the convergence collect ran its checkpoint),
+    # so it no longer depends on sym — release the cached edge list instead
+    # of leaking it into executor storage for the rest of the session
+    sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
@@ -167,6 +171,12 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+    # materialize the final state (runs the whole lazily-checkpointed loop
+    # once — the same work the caller's first action would do), then release
+    # the cached invariants so repeated calls don't leak storage memory
+    state = state.localCheckpoint()
+    e.unpersist()
+    nodes_deg.unpersist()
     return state.select(
         "node", (F.col("pr_s").cast("double") / factor).alias("rank")
     )

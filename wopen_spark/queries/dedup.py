@@ -423,8 +423,10 @@ def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_clones, length(text) AS n_chars
     FROM nbr
-    WHERE nxt IS NOT NULL AND nxt <> text
-      AND substr(nxt, 1, length(text)) = text
+    WHERE (nxt IS NOT NULL AND nxt <> text
+           AND substr(nxt, 1, length(text)) = text)
+       OR (length(text) = 0
+           AND (SELECT count(*) FROM reps WHERE length(text) > 0) > 0)
     ORDER BY doc_id
     """,
 )

@@ -559,8 +559,11 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # exact integer div (not /-then-cast): at sf10+ the summed chars exceed
+    # double's 53-bit integer precision, so a double divide can truncate to
+    # a different long than the oracle's exact `//`
     per_src = d.groupBy("source").agg(
-        (F.sum(F.col("n_chars").cast("long")) / 4).cast("long").alias("avail")
+        F.expr("sum(cast(n_chars as bigint)) div 4").alias("avail")
     )
     wts = per_src.withColumn(
         "w",
@@ -569,7 +572,7 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = wts.agg(F.sum("w").cast("long").alias("tw"))
     fp = (
         wts.join(F.broadcast(tot))
-        .withColumn("fair", ((F.lit(1000000) * F.col("w")) / F.col("tw")).cast("long"))
+        .withColumn("fair", F.expr("(1000000 * w) div tw"))
         .withColumn("alloc1", F.least(F.col("avail"), F.col("fair")))
         .withColumn("capped", F.col("fair") > F.col("avail"))
     )
