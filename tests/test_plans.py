@@ -466,13 +466,53 @@ def test_histogram_bounds_broadcast(spark):
     ],
 )
 def test_clone_collapse_inherit_join_is_broadcast(spark, name):
-    """Every clone-collapsed query must inherit computed columns through
-    a BROADCAST join — a SortMergeJoin here would shuffle the full-width
-    rows and erase the collapse's benefit at scale."""
-    strategies = join_strategies(_q(spark, name))
+    """Small case of the clone-collapse contract: the rejoin carries no
+    forced hint, so when the distinct side is genuinely small AQE's
+    runtime size check must convert it to a broadcast hash join in the
+    FINAL plan — no residual full sort-merge of the corpus rows."""
+    from wopen_spark.plans import executed_join_strategies
+
+    strategies = executed_join_strategies(_q(spark, name))
     assert "BroadcastHashJoin" in strategies, (name, strategies)
     assert "SortMergeJoin" not in strategies, (name, strategies)
     assert "CartesianProduct" not in strategies, (name, strategies)
+
+
+def test_clone_collapse_survives_no_broadcast(spark):
+    """Large case of the clone-collapse contract (r4 verdict #1): when the
+    distinct side does NOT fit any broadcast threshold — the 100 TB
+    mostly-unique corpus, simulated by disabling both static and adaptive
+    broadcast — the fingerprint-keyed rejoin must resolve to a shuffled
+    join (SortMergeJoin/ShuffledHashJoin) and still return identical
+    rows, instead of force-broadcasting the corpus into an OOM."""
+    from wopen_spark.queries import QUERIES
+
+    baseline = {
+        (r.p_partkey, r.slug)
+        for r in QUERIES["slug_normalize_parts"](spark, SF_SMOKE).collect()
+    }
+    before_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    before_adaptive = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["slug_normalize_parts"](spark, SF_SMOKE)
+        strategies = join_strategies(df)
+        assert any(
+            s in ("SortMergeJoin", "ShuffledHashJoin") for s in strategies
+        ), strategies
+        assert "BroadcastNestedLoopJoin" not in strategies
+        assert "CartesianProduct" not in strategies
+        got = {(r.p_partkey, r.slug) for r in df.collect()}
+        assert got == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before_static)
+        if before_adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", before_adaptive
+            )
 
 
 def test_nation_year_profit_star_broadcasts_all_dims(spark):

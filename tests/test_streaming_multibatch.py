@@ -1,0 +1,220 @@
+"""Multi-batch streaming evidence (r4 verdict #3).
+
+Every streaming query in the gate runs AvailableNow over ONE static file =
+one micro-batch, which never exercises cross-batch state. Here the same
+events are split into a 3-file time-sequenced source directory and the
+stream reads it with maxFilesPerTrigger=1, so AvailableNow runs >= 3
+micro-batches: stream-stream join state survives batch boundaries, the
+sessionizer's carried-open-session merge path actually runs, and the
+watermark advances between batches. The reconciled union of per-batch
+output must equal the single-batch (= batch-oracle-matched) answer.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _events_batch(spark):
+    from wopen_spark.queries.registry import _t
+
+    # mirror event_stream: expose ts as session-TZ TimestampType whether
+    # the file stores TIMESTAMP(NANOS) or TIMESTAMP_NTZ
+    return _t(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+@pytest.fixture(scope="module")
+def sequenced_src(spark, tmp_path_factory):
+    """events split into 3 time-ordered parquet files with ascending
+    mtimes, so FileStreamSource picks them up oldest-first — an in-order
+    arrival sequence (no late data beyond the watermark)."""
+    base = tmp_path_factory.mktemp("seq_events")
+    src = os.path.join(str(base), "src")
+    os.makedirs(src)
+    ev = _events_batch(spark).withColumn("ts_us", F.unix_micros("ts"))
+    # put the first cut in the MIDDLE of a real click->purchase pair so the
+    # stream-stream join provably has to hold state across the boundary
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_us").alias("p_us")
+    )
+    pair = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + 600_000_000),
+        )
+        .orderBy("c_us", "p_us", "user_id")
+        .limit(1)
+        .collect()
+    )
+    assert pair, "smoke data must contain a click->purchase pair"
+    q1 = (pair[0].c_us + pair[0].p_us) // 2
+    (q2,) = ev.approxQuantile("ts_us", [2 / 3], 0.0)
+    ts_max = ev.agg(F.max("ts_us")).collect()[0][0]
+    if q2 <= q1:
+        q2 = (q1 + ts_max) // 2
+    assert q1 < q2 < ts_max
+    slices = [
+        ev.filter(F.col("ts_us") <= q1),
+        ev.filter((F.col("ts_us") > q1) & (F.col("ts_us") <= q2)),
+        ev.filter(F.col("ts_us") > q2),
+    ]
+    for i, sl in enumerate(slices):
+        stage = os.path.join(str(base), f"stage{i}")
+        sl.drop("ts_us").coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(src, f"batch{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return {"path": src, "schema": ev.drop("ts_us").schema, "cuts": (q1, q2)}
+
+
+def _factory(spark, sequenced_src, max_files=1):
+    def make():
+        reader = spark.readStream.schema(sequenced_src["schema"])
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        return reader.parquet(sequenced_src["path"])
+
+    return make
+
+
+def _n_batches(ckpt: str) -> int:
+    offsets = os.path.join(ckpt, "offsets")
+    return len([f for f in os.listdir(offsets) if not f.startswith(".")])
+
+
+def test_interval_join_across_micro_batches(spark, tmp_path, sequenced_src):
+    """Stream-stream interval join over 3 micro-batches: clicks buffered as
+    join state in batch N must still match purchases arriving in batch N+1
+    (within the 600 s window), and the appended union must equal the batch
+    interval join exactly."""
+    from wopen_spark.streaming.pipeline import available_now_interval_join
+
+    ckpt = str(tmp_path / "ckpt_join")
+    out = available_now_interval_join(
+        spark,
+        SF_SMOKE,
+        ckpt,
+        window_s=600,
+        stream_factory=_factory(spark, sequenced_src),
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_us) for r in out.collect()
+    }
+    assert _n_batches(ckpt) >= 3
+
+    ev = _events_batch(spark)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id, r.gap_us)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 600 seconds")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
+        )
+        .collect()
+    }
+    assert expected, "smoke data must produce at least one click->purchase pair"
+    # cross-batch evidence: some pair's click and purchase fall in
+    # different source files (the join state crossed a batch boundary)
+    q1, _ = sequenced_src["cuts"]
+    crossing = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 600 seconds"))
+            & (F.unix_micros("cts") <= q1)
+            & (F.unix_micros("pts") > q1),
+        ).collect()
+    }
+    assert got == expected
+    assert crossing, "no pair spans the first batch boundary — test is weak"
+
+
+def test_sessionization_state_survives_micro_batches(
+    spark, tmp_path, sequenced_src
+):
+    """Stateful sessionization over 3 micro-batches: the carried open
+    session must merge with the next batch's events (or close and emit).
+    Reconciling emissions per (user, session_start) to their final state
+    must reproduce the single-batch answer (itself oracle-matched in the
+    gate) exactly — including which sessions are closed."""
+    from wopen_spark.streaming.stateful import sessionize_available_now
+
+    def run(ckpt, max_files):
+        out = sessionize_available_now(
+            spark,
+            SF_SMOKE,
+            ckpt,
+            gap_seconds=1800,
+            stream_factory=_factory(spark, sequenced_src, max_files=max_files),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id", "session_start").orderBy(
+            F.desc("n_events"), F.desc("closed"), F.desc("session_end")
+        )
+        final = (
+            out.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        return {
+            (
+                r.user_id,
+                r.session_start,
+                r.session_end,
+                r.n_events,
+                round(r.total_value, 2),
+                r.closed,
+            )
+            for r in final.collect()
+        }
+
+    ckpt_multi = str(tmp_path / "ckpt_sess_multi")
+    ckpt_single = str(tmp_path / "ckpt_sess_single")
+    multi = run(ckpt_multi, max_files=1)
+    assert _n_batches(ckpt_multi) >= 3
+    single = run(ckpt_single, max_files=0)
+    assert _n_batches(ckpt_single) == 1
+    assert multi == single
+    # the merge path was really exercised: some session spans the first
+    # batch-boundary cut (started at-or-before it, ended after it)
+    q1, _ = sequenced_src["cuts"]
+    spanning = [
+        s
+        for s in multi
+        if int(s[1].timestamp() * 1_000_000) <= q1
+        and int(s[2].timestamp() * 1_000_000) > q1
+    ]
+    assert spanning, "no session spans the batch boundary — test is weak"

@@ -2,6 +2,7 @@
 
 from wopen_spark.plans.inspect import (
     exchanges,
+    executed_join_strategies,
     executed_plan_string,
     join_strategies,
     plan_string,
@@ -11,6 +12,7 @@ from wopen_spark.plans.inspect import (
 
 __all__ = [
     "exchanges",
+    "executed_join_strategies",
     "executed_plan_string",
     "join_strategies",
     "plan_string",

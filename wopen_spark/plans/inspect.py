@@ -48,14 +48,23 @@ def scan_schemas(df: DataFrame) -> list[str]:
     return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan_string(df))]
 
 
+_JOIN_RE = (
+    r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)\b"
+)
+
+
 def join_strategies(df: DataFrame) -> list[str]:
     """Physical join operators in plan order (BroadcastHashJoin,
     SortMergeJoin, ShuffledHashJoin, BroadcastNestedLoopJoin...)."""
-    return re.findall(
-        r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-        r"BroadcastNestedLoopJoin|CartesianProduct)\b",
-        plan_string(df),
-    )
+    return re.findall(_JOIN_RE, plan_string(df))
+
+
+def executed_join_strategies(df: DataFrame) -> list[str]:
+    """Join operators in the AQE-FINAL plan (runs the query). Use for
+    joins whose strategy is decided at runtime — e.g. an unhinted join
+    AQE converts to broadcast once it sees the small side's true size."""
+    return re.findall(_JOIN_RE, executed_plan_string(df))
 
 
 def exchanges(df: DataFrame) -> list[str]:

@@ -549,10 +549,14 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4
     )
     comps = connected_components(pairs, src="id_a", dst="id_b")
+    # no broadcast hint: comps is proportional to the candidate graph —
+    # small at every tested SF (AQE converts to broadcast at runtime) but
+    # corpus-proportional in the worst case, where a forced broadcast
+    # would OOM; the doc_id-keyed join stays narrow either way
     eligible = (
         reps.withColumnRenamed("doc_id", "rep_id")
         .join(
-            F.broadcast(comps.withColumnRenamed("node", "rep_id")),
+            comps.withColumnRenamed("node", "rep_id"),
             "rep_id",
             "left",
         )
@@ -700,7 +704,8 @@ def cross_source_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination matrix that tells a curator where scrape overlap
     lives (same-source dups are routine; cross-source dups change
     mixture weights). LSH candidate pairs join the doc->source map
-    (broadcast) and roll up to the unordered source pair."""
+    (AQE-sized, never force-broadcast) and roll up to the unordered
+    source pair."""
     pairs = minhash_lsh_candidates(
         _lsh_reps(spark, sf_dir), id_col="doc_id", text_col="text",
         n_hashes=8, n_bands=4,
@@ -709,9 +714,12 @@ def cross_source_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b"))
+    # the doc_id->source map is corpus-sized — never force-broadcast it;
+    # AQE broadcasts whichever side is actually small at runtime, and at
+    # 100 TB this resolves to a narrow (doc_id, source) shuffled join
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(F.col("s_a") != F.col("s_b"))
         .groupBy(
             F.least("s_a", "s_b").alias("src_a"),

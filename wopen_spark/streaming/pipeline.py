@@ -149,6 +149,7 @@ def available_now_interval_join(
     checkpoint_dir: str,
     window_s: int = 600,
     watermark: str = "2 hours",
+    stream_factory=None,
 ) -> DataFrame:
     """Stream-stream inner join with a time-interval condition: each click
     joined to the same user's purchases within ``window_s`` seconds after
@@ -159,9 +160,14 @@ def available_now_interval_join(
     state (unbounded stream-stream state is the 100 TB trap). AvailableNow
     over the static file is one micro-batch, so the append-mode output
     must equal the batch interval join the oracle states.
+
+    ``stream_factory`` overrides the source (tests feed a 3-file sequenced
+    directory with maxFilesPerTrigger=1 to exercise cross-batch join state
+    and watermark-driven eviction over >1 micro-batch).
     """
+    make = stream_factory or (lambda: event_stream(spark, sf_dir))
     clicks = (
-        event_stream(spark, sf_dir)
+        make()
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -171,7 +177,7 @@ def available_now_interval_join(
         .withWatermark("click_ts", watermark)
     )
     purchases = (
-        event_stream(spark, sf_dir)
+        make()
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

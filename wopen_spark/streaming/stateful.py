@@ -139,13 +139,19 @@ def sessionize(
 
 
 def sessionize_available_now(
-    spark, sf_dir: str, checkpoint_dir: str, gap_seconds: int = 1800
+    spark, sf_dir: str, checkpoint_dir: str, gap_seconds: int = 1800,
+    stream_factory=None,
 ) -> DataFrame:
     """Run the stateful sessionizer over the events file stream with
-    Trigger.AvailableNow and return the emitted sessions."""
+    Trigger.AvailableNow and return the emitted sessions.
+
+    ``stream_factory`` overrides the source (tests feed a sequenced
+    multi-file directory so sessions spanning micro-batch boundaries
+    exercise the carried-state merge path)."""
     from wopen_spark.streaming.pipeline import _state_partitions, event_stream
 
-    ev = event_stream(spark, sf_dir).select("user_id", "ts", "value")
+    make = stream_factory or (lambda: event_stream(spark, sf_dir))
+    ev = make().select("user_id", "ts", "value")
     sessions = sessionize(ev, gap_seconds=gap_seconds)
     with _state_partitions(spark, None):
         q = (
