@@ -137,39 +137,47 @@ def http_enrich(
 # sentinel exactly.
 
 
-def fbid_transport_factory() -> Transport:
+def fbid_transport_factory(
+    base_url: str = "https://findmyfbid.example/", timeout_s: float = 5.0
+) -> Transport:
     """E1 get_fbid (get_similarity.py:44-51): POST url -> numeric FB id,
     '0' on any error.
 
-    NOTE: ``findmyfbid.example`` is a PLACEHOLDER domain — the service the
-    reference called (findmyfbid.com) is defunct. Wire a live resolver
-    here before production use; tests inject fake transports."""
+    NOTE: the default ``findmyfbid.example`` is a PLACEHOLDER domain — the
+    service the reference called (findmyfbid.com) is defunct. Pass a live
+    resolver's ``base_url`` before production use; the transport
+    integration test points it at a local http.server."""
     import urllib.parse
     import urllib.request
 
     def call(fb_url: str) -> str:
         data = urllib.parse.urlencode({"url": fb_url}).encode()
-        with urllib.request.urlopen(
-            "https://findmyfbid.example/", data=data, timeout=5
-        ) as resp:
+        with urllib.request.urlopen(base_url, data=data, timeout=timeout_s) as resp:
             return resp.read().decode().strip()
 
     return call
 
 
-def redirect_transport_factory() -> Transport:
-    """E2 get_URL (get_similarity.py:53-60): GET facebook.com/<id> following
+def redirect_transport_factory(
+    base_url: str = "https://facebook.com", timeout_s: float = 5.0
+) -> Transport:
+    """E2 get_URL (get_similarity.py:53-60): GET <base>/<id> following
     redirects, return the final URL, '' on error."""
     import urllib.request
 
     def call(fb_id: str) -> str:
-        with urllib.request.urlopen(f"https://facebook.com/{fb_id}", timeout=5) as resp:
+        with urllib.request.urlopen(
+            f"{base_url}/{fb_id}", timeout=timeout_s
+        ) as resp:
             return resp.geturl()
 
     return call
 
 
-def geocode_transport_factory() -> Transport:
+def geocode_transport_factory(
+    base_url: str = "https://nominatim.openstreetmap.org/search",
+    timeout_s: float = 3.0,
+) -> Transport:
     """E3 get_coordinates (assos_validation_retreatment.py:32-39): Nominatim
     geocode -> 'lat,lon', '' on error/timeout (3 s in the reference)."""
     import json
@@ -178,9 +186,7 @@ def geocode_transport_factory() -> Transport:
 
     def call(address: str) -> str:
         q = urllib.parse.urlencode({"q": address, "format": "json", "limit": 1})
-        with urllib.request.urlopen(
-            f"https://nominatim.openstreetmap.org/search?{q}", timeout=3
-        ) as resp:
+        with urllib.request.urlopen(f"{base_url}?{q}", timeout=timeout_s) as resp:
             hits = json.loads(resp.read().decode())
             return f"{hits[0]['lat']},{hits[0]['lon']}" if hits else ""
 

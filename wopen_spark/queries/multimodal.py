@@ -141,3 +141,87 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_from_documents(spark, sf_dir)
     return audio_features(media, window_ms=250, decoder="fake").orderBy("media_id")
+
+
+@query(
+    "media_real_png_roundtrip",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS h
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(list_aggregate(list_transform(range(0, 16),
+             i -> CAST(('0x' || substr(h, i*6 + 1, 2)) AS BIGINT)), 'sum') AS BIGINT) AS sum_r,
+           CAST(list_aggregate(list_transform(range(0, 16),
+             i -> CAST(('0x' || substr(h, i*6 + 3, 2)) AS BIGINT)), 'sum') AS BIGINT) AS sum_g,
+           CAST(list_aggregate(list_transform(range(0, 16),
+             i -> CAST(('0x' || substr(h, i*6 + 5, 2)) AS BIGINT)), 'sum') AS BIGINT) AS sum_b,
+           h AS pixels_hex
+    FROM px ORDER BY media_id
+    """,
+)
+def media_real_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode in the correctness gate (r4 verdict #5): every other
+    media oracle sees only the deterministic fake decoder; this one
+    exercises the pure-stdlib PNG codec (media_codecs.png_decode —
+    zlib+struct over RFC 2083, no PIL required). Per document a 4x4 RGB
+    PNG is encoded from 48 md5-derived pixel bytes, decoded back through
+    png_decode, and the DECODED pixels' hex must equal the md5-derived
+    source byte-for-byte — plus IHDR-parsed dimensions and integer
+    channel sums DuckDB recomputes from the same hex."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+
+    from pyspark.sql import types as T
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("pixels_hex", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        from wopen_spark.media_codecs import png_decode, png_encode
+
+        for pdf in batches:
+            ids, ws, hs, rs, gs, bs, hexes = [], [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = (text or "").encode("utf-8")
+                raw = b"".join(
+                    hashlib.md5(t + s).digest() for s in (b"", b"a", b"b")
+                )
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3)
+                arr = png_decode(png_encode(px))
+                ids.append(int(doc_id))
+                hs.append(int(arr.shape[0]))
+                ws.append(int(arr.shape[1]))
+                rs.append(int(arr[:, :, 0].sum()))
+                gs.append(int(arr[:, :, 1].sum()))
+                bs.append(int(arr[:, :, 2].sum()))
+                hexes.append(arr.tobytes().hex())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": rs,
+                    "sum_g": gs,
+                    "sum_b": bs,
+                    "pixels_hex": hexes,
+                }
+            )
+
+    return d.mapInPandas(run, schema).orderBy("media_id")

@@ -1,0 +1,105 @@
+"""SQL-front-door queries (r4 verdict #7): each is ``spark.sql`` text over
+the views ``sql_frontdoor.register_frontdoor`` registers — the engine's
+dedup/LSH operators driven ENTIRELY from SQL, mirroring the reference's
+``sql/*.sql`` entry points (/root/reference/sql/get_custom_search_data.sql).
+The DuckDB oracles re-derive the operator views from the same md5
+primitives, so these pin both the SQL surface and the view semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wopen_spark.queries.dedup import DUCK_LSH_PAIRS
+from wopen_spark.queries.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    from wopen_spark.sql_frontdoor import register_frontdoor
+
+    register_frontdoor(spark, sf_dir)
+    return spark.sql(text)
+
+
+@query(
+    "sql_dedup_clusters",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS n_clones,
+           MIN(doc_id) AS keeper
+    FROM documents
+    GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+)
+def sql_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup clusters queried from pure SQL over the
+    doc_fingerprints operator view — one fingerprint-keyed shuffle, and
+    (by construction) the SAME answer a DataFrame user gets from
+    doc_fingerprint_dedup: both engine surfaces agree value-for-value."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT fingerprint, COUNT(*) AS n_clones, MIN(doc_id) AS keeper
+        FROM doc_fingerprints
+        GROUP BY fingerprint
+        ORDER BY fingerprint
+        """,
+    )
+
+
+@query(
+    "sql_lsh_candidate_pairs",
+    oracle=f"""
+    {DUCK_LSH_PAIRS}
+    ORDER BY id_a, id_b
+    """,
+)
+def sql_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash+LSH banding operator consumed as a plain SQL relation:
+    SELECT over the lsh_candidate_pairs view. The banded self-join,
+    clone-collapse reps, and short-doc guard all live in the view's
+    logical plan."""
+    return _sql(
+        spark,
+        sf_dir,
+        "SELECT id_a, id_b FROM lsh_candidate_pairs ORDER BY id_a, id_b",
+    )
+
+
+@query(
+    "sql_near_dup_source_profile",
+    oracle=f"""
+    WITH pairs AS ({DUCK_LSH_PAIRS}),
+    ids AS (
+      SELECT id_a AS doc_id FROM pairs
+      UNION
+      SELECT id_b FROM pairs
+    )
+    SELECT d.source AS source, COUNT(*) AS n_dup_docs
+    FROM ids JOIN documents d ON d.doc_id = ids.doc_id
+    GROUP BY d.source
+    ORDER BY source
+    """,
+)
+def sql_near_dup_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-only composite: the LSH operator view joined back to a base
+    table — which corpus slices contribute near-duplicate docs. Proves
+    operator views compose with ordinary tables in one Catalyst plan
+    (the doc_id join prunes documents to (doc_id, source))."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT d.source AS source, COUNT(*) AS n_dup_docs
+        FROM (
+          SELECT id_a AS doc_id FROM lsh_candidate_pairs
+          UNION
+          SELECT id_b FROM lsh_candidate_pairs
+        ) p
+        JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY d.source
+        ORDER BY source
+        """,
+    )
