@@ -218,3 +218,56 @@ def test_sessionization_state_survives_micro_batches(
         and int(s[2].timestamp() * 1_000_000) > q1
     ]
     assert spanning, "no session spans the batch boundary — test is weak"
+
+
+def test_live_rate_source_windowed_aggregate(spark, tmp_path):
+    """LIVE streaming source (r4 'what's missing' #2): the built-in rate
+    source generates rows continuously — unlike AvailableNow-over-a-file
+    there is no finite input, so this exercises a genuinely unbounded
+    micro-batch loop. A processing-time trigger runs several batches of a
+    watermarked 1-second windowed count into a memory sink; the rate
+    source emits exactly `rowsPerSecond` sequential values, so completed
+    windows must each hold that many rows."""
+    import time
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .option("numPartitions", 2)
+        .load()
+    )
+    agg = (
+        stream.withWatermark("timestamp", "0 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_v"))
+        .select(F.col("w.start").alias("ws"), "n", "max_v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wopen_rate_smoke")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        batches = 0
+        while time.time() < deadline:
+            time.sleep(1)
+            progress = q.recentProgress
+            batches = len(progress)
+            rows = spark.table("wopen_rate_smoke").collect()
+            # stop once several micro-batches ran and >=3 full windows exist
+            if batches >= 3 and len(rows) >= 4:
+                break
+        assert q.isActive and q.exception() is None
+        assert batches >= 3, "expected multiple live micro-batches"
+    finally:
+        q.stop()
+    rows = sorted(spark.table("wopen_rate_smoke").collect(), key=lambda r: r.ws)
+    # every window except the (possibly partial) first and last holds
+    # exactly rowsPerSecond rows, and values are contiguous per second
+    interior = rows[1:-1]
+    assert interior, "need at least one completed interior window"
+    assert all(r.n == 50 for r in interior), [(r.ws, r.n) for r in interior]

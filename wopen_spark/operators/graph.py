@@ -56,13 +56,17 @@ def connected_components(
     # round instead of an old-vs-new join
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
+        # shuffle_hash, not sort-merge: SMJ would SORT the |edges| side
+        # every round (the persisted layout saves the exchange, never the
+        # sort). The hash build side is the node-proportional labels
+        # partition — bounded per task by the node-keyed partitioning.
         neigh = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(labels.hint("shuffle_hash"), sym["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
         labels = (
-            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            labels.join(neigh.hint("shuffle_hash"), labels["node"] == neigh["a"], "left")
             .select(
                 F.col("node"),
                 F.least(
@@ -146,8 +150,13 @@ def pagerank(
     )
     state = nodes_deg.withColumn("pr_s", F.lit(factor).cast("long"))
     for _ in range(iterations):
+        # shuffle_hash on the node-proportional state side: a sort-merge
+        # join here would SORT the |edges| side every round — the
+        # persisted hash(a) layout avoids the exchange but NOT the sort,
+        # and that sort dominated the sf10 wall clock (~94 s isolated).
+        # The hash build is |nodes|/tasks entries per task — bounded.
         contrib = (
-            e.join(state, e["a"] == state["node"])
+            e.join(state.hint("shuffle_hash"), e["a"] == state["node"])
             .select(
                 F.col("b"),
                 F.round(F.col("pr_s").cast("double") / F.col("outdeg"))
@@ -158,7 +167,9 @@ def pagerank(
             .agg(F.sum("c").alias("csum"))
         )
         state = (
-            nodes_deg.join(contrib, nodes_deg["node"] == contrib["b"], "left")
+            nodes_deg.join(
+                contrib.hint("shuffle_hash"), nodes_deg["node"] == contrib["b"], "left"
+            )
             .select(
                 "node",
                 "outdeg",

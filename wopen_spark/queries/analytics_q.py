@@ -951,13 +951,7 @@ def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tried and reverted: it halves shuffle volume but the
     ObjectHashAggregate building 15M per-order sets cost 2-4x the wall
     time at sf10 — the hash self-join stays inside codegen."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    ob = _order_brands(spark, sf_dir)
     b = ob.select(
         F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
     )
@@ -970,6 +964,27 @@ def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(25)
+    )
+
+
+def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (order, brand) fact, laid out for the self-join: the
+    explicit repartition on l_orderkey satisfies BOTH the dedup aggregate
+    (orderkey is a subset of its grouping keys) and the orderkey
+    self-join on each side — so the whole co-occurrence pipeline runs on
+    ONE exchange of the fact instead of a (orderkey, brand) dedup
+    exchange plus a fresh orderkey exchange per join side. The self-join
+    stays sort-merge: a shuffled-hash build of the full fact partition
+    (both sides are |fact|-sized) exceeded the per-task memory grant at
+    sf10/32 threads — SMJ's spill-safe sort is the right trade when
+    neither side is small."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "p_brand"])
     )
 
 
@@ -2219,13 +2234,7 @@ def supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    ob = _order_brands(spark, sf_dir)
     n_b = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
     b = ob.select(
         F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")

@@ -115,8 +115,11 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.pagerank for the determinism contract)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # shuffle_hash on the smaller orders side: sort-merge would sort BOTH
+    # facts (15M + 60M rows at sf10) just to join on a key the very next
+    # distinct re-hashes anyway
     directed = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
