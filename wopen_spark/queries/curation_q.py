@@ -177,10 +177,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tid")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+    # per_tid (docs sharing grams with the benchmark) is usually tiny but
+    # adversarially corpus-proportional — no forced broadcast; the join
+    # is md5-keyed either way
     return (
         d.filter(F.col("source") != "src0")
         .select("doc_id", F.md5(F.col("text")).alias("tid"))
-        .join(F.broadcast(per_tid), "tid")
+        .join(per_tid, "tid")
         .select("doc_id", "n_shared_grams")
         .orderBy("doc_id")
     )

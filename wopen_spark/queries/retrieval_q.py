@@ -58,9 +58,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explode runs over distinct texts; docs inherit their text's
     score through a broadcast join before the global top-20."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("w"))
+    # per-distinct-text frames are keyed on the md5 fingerprint, never the
+    # raw (multi-KB) text, and the doc-proportional scored side carries NO
+    # forced broadcast — on a mostly-unique 100 TB corpus "docs matching a
+    # query term" can be corpus-sized; AQE broadcasts it when it is small
+    groups = d.groupBy("text").agg(F.count(F.lit(1)).alias("w")).withColumn(
+        "tid", F.md5("text")
+    )
     toks = groups.select(
-        "text",
+        "tid",
         "w",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
@@ -68,11 +74,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = (
         toks.filter(F.col("token").isin(_QUERY_TERMS))
-        .groupBy("text", "token")
+        .groupBy("tid", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("w").alias("w"))
     )
     dl = groups.select(
-        "text",
+        "tid",
         "w",
         F.regexp_count(F.lower(F.col("text")), F.lit(r"\S+")).alias("dl"),
     )
@@ -89,15 +95,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(idf), "token")
-        .join(dl.select("text", "dl"), "text")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("text")
+        tf.join(F.broadcast(idf), "token")  # bounded by the query terms
+        .join(dl.select("tid", "dl"), "tid")
+        .crossJoin(F.broadcast(stats))  # one row
+        .groupBy("tid")
         .agg(F.sum(term).alias("score"))
     )
     return (
-        d.select("doc_id", "text")
-        .join(F.broadcast(scored), "text")
+        d.select("doc_id", F.md5("text").alias("tid"))
+        .join(scored, "tid")
         .select("doc_id", F.round(F.col("score"), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)

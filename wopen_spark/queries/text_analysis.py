@@ -497,9 +497,12 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    # unigram counts are vocabulary-sized — unbounded on web text, so no
+    # forced broadcast (AQE converts when the vocab is actually small);
+    # only the one-row n_docs keeps its hint
     return (
-        pairs.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
         .join(F.broadcast(nd))
         .select(
             "w1",
