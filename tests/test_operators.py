@@ -651,6 +651,26 @@ def test_merge_and_compact_preserve_partition_layout(spark, tmp_path):
     assert t.read().count() == 5
 
 
+def test_per_distinct_null_key_matches_raw_key_join(spark):
+    """The fingerprint-keyed clone-collapse rejoin must keep raw-key equi
+    join semantics exactly: null keys drop (inner join), everything else
+    inherits its distinct key's computed columns."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.queries.registry import _per_distinct
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a")], ["id", "k"]
+    )
+    build = lambda t: t.select("k", F.upper("k").alias("u"))  # noqa: E731
+    got = {(r.id, r.k, r.u) for r in _per_distinct(df, ["k"], build).collect()}
+    raw = {
+        (r.id, r.k, r.u)
+        for r in df.join(build(df.select("k").distinct()), ["k"]).collect()
+    }
+    assert got == raw == {(1, "a", "A"), (3, "b", "B"), (4, "a", "A")}
+
+
 def test_prefix_contained_flags_empty_text(spark):
     """ADVICE r4: '' is a strict prefix of every non-empty text, but lands
     alone in its first-char window partition — the indicator join must flag

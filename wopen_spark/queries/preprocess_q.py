@@ -245,3 +245,95 @@ def context_budget_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard assignment — the export step that turns a
+# curated corpus into N equally-loaded shard files. A global ROW_NUMBER
+# shuffle-sort is the naive design (single-partition window at scale);
+# the scale-right one is a HASH bucket: md5 of the doc id is uniform, so
+# shards balance to within sampling noise with ZERO global sort — one
+# aggregate shuffle on 64 keys. Deterministic across runs/engines by
+# construction (same ids -> same shards).
+# ---------------------------------------------------------------------------
+@query(
+    "training_shard_assignment",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS shard,
+             doc_id, n_chars
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) // 4 AS BIGINT) AS approx_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(cast(n_chars as bigint)) div 4").alias("approx_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ledger dedup — the daily-ingest shape: dedup a NEW batch
+# against the fingerprints of everything ALREADY INGESTED, without
+# re-deduping the whole corpus. One anti join keyed on the md5
+# fingerprint: the ledger side is read-only (at scale, a bucketed
+# fingerprint table so the join is shuffle-free on re-ingest), the new
+# batch is partition-sized. Composes with Table.merge_partition for the
+# end-to-end idempotent ingest.
+# ---------------------------------------------------------------------------
+@query(
+    "incremental_dedup_new_source",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents
+    )
+    SELECT n.doc_id, n.h AS fingerprint
+    FROM fp n
+    WHERE n.source = 'src19'
+      AND NOT EXISTS (
+        SELECT 1 FROM fp old WHERE old.source <> 'src19' AND old.h = n.h
+      )
+    ORDER BY n.doc_id
+    """,
+)
+def incremental_dedup_new_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.functions.text import doc_fingerprint
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    fp = d.select(
+        "doc_id", "source", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    new = fp.filter(F.col("source") == "src19")
+    ledger = fp.filter(F.col("source") != "src19").select("fingerprint").distinct()
+    return (
+        new.join(ledger, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
