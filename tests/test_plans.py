@@ -466,31 +466,29 @@ def test_histogram_bounds_broadcast(spark):
     ],
 )
 def test_clone_collapse_inherit_join_is_broadcast(spark, name):
-    """Small case of the clone-collapse contract: the rejoin carries no
-    forced hint, so when the distinct side is genuinely small AQE's
-    runtime size check must convert it to a broadcast hash join in the
-    FINAL plan — no residual full sort-merge of the corpus rows."""
-    from wopen_spark.plans import executed_join_strategies
-
-    strategies = executed_join_strategies(_q(spark, name))
+    """Small case of the clone-collapse contract: below the runtime size
+    gate the rejoin must be a broadcast hash join — the corpus side never
+    shuffles, no residual sort-merge."""
+    strategies = join_strategies(_q(spark, name))
     assert "BroadcastHashJoin" in strategies, (name, strategies)
     assert "SortMergeJoin" not in strategies, (name, strategies)
     assert "CartesianProduct" not in strategies, (name, strategies)
 
 
-def test_clone_collapse_survives_no_broadcast(spark):
+def test_clone_collapse_survives_no_broadcast(spark, monkeypatch):
     """Large case of the clone-collapse contract (r4 verdict #1): when the
-    distinct side does NOT fit any broadcast threshold — the 100 TB
-    mostly-unique corpus, simulated by disabling both static and adaptive
-    broadcast — the fingerprint-keyed rejoin must resolve to a shuffled
-    join (SortMergeJoin/ShuffledHashJoin) and still return identical
-    rows, instead of force-broadcasting the corpus into an OOM."""
-    from wopen_spark.queries import QUERIES
+    distinct side exceeds the size gate — the 100 TB mostly-unique corpus,
+    simulated by zeroing the gate AND disabling broadcast thresholds — the
+    fingerprint-keyed rejoin must resolve to a shuffled join
+    (SortMergeJoin/ShuffledHashJoin) and still return identical rows,
+    instead of force-broadcasting the corpus into an OOM."""
+    from wopen_spark.queries import QUERIES, registry
 
     baseline = {
         (r.p_partkey, r.slug)
         for r in QUERIES["slug_normalize_parts"](spark, SF_SMOKE).collect()
     }
+    monkeypatch.setattr(registry, "_PER_DISTINCT_BROADCAST_MAX_ROWS", -1)
     before_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     before_adaptive = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
