@@ -651,6 +651,32 @@ def test_merge_and_compact_preserve_partition_layout(spark, tmp_path):
     assert t.read().count() == 5
 
 
+def test_concurrent_merges_serialize_and_both_land(spark, tmp_path):
+    """Concurrent-writer story: two threads upserting the same table at
+    once must serialize on the table lock — both upserts land, no staged
+    swap clobbers the other's commit."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from wopen_spark.tables import Table
+
+    t = Table(spark, "crm", "conc_t", warehouse=str(tmp_path))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+
+    def upsert(rows):
+        t.merge(spark.createDataFrame(rows, ["id", "v"]), key="id")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(upsert, [(3, "c"), (1, "A1")])
+        f2 = pool.submit(upsert, [(4, "d"), (2, "B2")])
+        f1.result(timeout=120)
+        f2.result(timeout=120)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {1: "A1", 2: "B2", 3: "c", 4: "d"}
+    import os
+
+    assert not os.path.exists(t.path + ".lock")
+
+
 def test_per_distinct_null_key_matches_raw_key_join(spark):
     """The fingerprint-keyed clone-collapse rejoin must keep raw-key equi
     join semantics exactly: null keys drop (inner join), everything else

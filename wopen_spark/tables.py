@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -141,6 +142,17 @@ class Table:
             .parquet(self.path)
         )
 
+    def _lock(self) -> "_TableLock":
+        """Mutual exclusion for mutating operations (merge /
+        merge_partition / compact): concurrent writers on the same table
+        serialize instead of clobbering each other's staged swaps. POSIX
+        O_EXCL lockfile — correct for single-node and shared-POSIX-FS
+        writers (this engine's deployment surface); on an object store,
+        use a table format with a transaction log (Delta/Iceberg), not
+        rename-based commits at all."""
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        return _TableLock(self.path + ".lock")
+
     def _partition_field(self) -> str | None:
         """Detect a hive partition layout from the directory names
         (``field=value`` subdirs). None for flat tables."""
@@ -163,15 +175,16 @@ class Table:
         table for a small upsert is O(table), the anti-pattern the
         partition-scoped sibling exists to avoid."""
         keys = [key] if isinstance(key, str) else list(key)
-        if not self.exists() or not self._has_data_files():
-            self.write(df)
-            return
-        current = self.read()
-        kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(df.select(*current.columns))
-        _swap_rewrite(
-            self.spark, self.path, merged, partition_by=self._partition_field()
-        )
+        with self._lock():
+            if not self.exists() or not self._has_data_files():
+                self.write(df)
+                return
+            current = self.read()
+            kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(df.select(*current.columns))
+            _swap_rewrite(
+                self.spark, self.path, merged, partition_by=self._partition_field()
+            )
 
     def merge_partition(
         self,
@@ -197,26 +210,31 @@ class Table:
         keys = [key] if isinstance(key, str) else list(key)
         part_path = os.path.join(self.path, f"{partition_field}={partition_date}")
         new_rows = df.drop(partition_field)  # hive layout: dir carries it
-        if not os.path.isdir(part_path):
-            new_rows.write.mode("overwrite").parquet(part_path)
-            return
-        current = self.spark.read.parquet(part_path)
-        kept = current.join(new_rows.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(new_rows.select(*current.columns))
+        with self._lock():
+            if not os.path.isdir(part_path):
+                new_rows.write.mode("overwrite").parquet(part_path)
+                return
+            current = self.spark.read.parquet(part_path)
+            kept = current.join(
+                new_rows.select(*keys).distinct(), keys, "left_anti"
+            )
+            merged = kept.unionByName(new_rows.select(*current.columns))
 
-        def _audit(staged: DataFrame) -> None:
-            total, distinct = staged.agg(
-                F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
-            ).collect()[0]
-            if total == 0:
-                raise ValueError(f"merge audit: staged partition {partition_date} is empty")
-            if total != distinct:
-                raise ValueError(
-                    f"merge audit: duplicate keys in staged partition "
-                    f"{partition_date} ({total} rows, {distinct} distinct keys)"
-                )
+            def _audit(staged: DataFrame) -> None:
+                total, distinct = staged.agg(
+                    F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+                ).collect()[0]
+                if total == 0:
+                    raise ValueError(
+                        f"merge audit: staged partition {partition_date} is empty"
+                    )
+                if total != distinct:
+                    raise ValueError(
+                        f"merge audit: duplicate keys in staged partition "
+                        f"{partition_date} ({total} rows, {distinct} distinct keys)"
+                    )
 
-        _swap_rewrite(self.spark, part_path, merged, audit=_audit)
+            _swap_rewrite(self.spark, part_path, merged, audit=_audit)
 
     def compact(self, target_files: int = 1) -> int:
         """Small-files compaction: rewrite the table into ``target_files``
@@ -225,14 +243,15 @@ class Table:
         before compaction. The read side of every engine pays per-file
         open/footer costs, so periodic compaction after many small
         incremental writes is standard table maintenance."""
-        before = 0
-        for _, _, files in os.walk(self.path):
-            before += sum(1 for f in files if f.endswith(".parquet"))
-        pf = self._partition_field()
-        df = self.read()
-        df = df.repartition(target_files, pf) if pf else df.coalesce(target_files)
-        _swap_rewrite(self.spark, self.path, df, partition_by=pf)
-        return before
+        with self._lock():
+            before = 0
+            for _, _, files in os.walk(self.path):
+                before += sum(1 for f in files if f.endswith(".parquet"))
+            pf = self._partition_field()
+            df = self.read()
+            df = df.repartition(target_files, pf) if pf else df.coalesce(target_files)
+            _swap_rewrite(self.spark, self.path, df, partition_by=pf)
+            return before
 
     def partitions(self, partition_field: str) -> list[str]:
         """S5 partition-metadata scan (sql/get_partitions_custom_search.sql:1-4):
@@ -282,6 +301,46 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+class _TableLock:
+    """POSIX O_EXCL lockfile with stale-lock reclamation: a writer that
+    died mid-commit leaves a lockfile whose mtime stops advancing; any
+    waiter older than ``stale_s`` reclaims it. Reentrancy is not needed —
+    mutating Table methods never nest."""
+
+    def __init__(self, lock_path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
+        self.lock_path = lock_path
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+
+    def __enter__(self) -> "_TableLock":
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(self.lock_path) > self.stale_s:
+                        os.unlink(self.lock_path)
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released — retry immediately
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire table lock {self.lock_path} within "
+                        f"{self.timeout_s}s (held by another writer?)"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
 
 
 def _swap_rewrite(
