@@ -140,7 +140,8 @@ def png_encode(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Blob -> (h, w, ch) uint8. PIL if importable, else stdlib PNG."""
+    """Blob -> (h, w, ch) uint8. PIL if importable, else stdlib PNG or
+    stdlib baseline JPEG (wopen_spark.jpeg_codec)."""
     try:
         from PIL import Image  # noqa: PLC0415 — optional, worker-side
 
@@ -150,22 +151,40 @@ def decode_image(data: bytes) -> np.ndarray:
         pass
     if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return png_decode(data)
+    if data[:2] == b"\xff\xd8":
+        from wopen_spark.jpeg_codec import jpeg_decode  # noqa: PLC0415
+
+        arr = jpeg_decode(data)
+        return arr[:, :, None] if arr.ndim == 2 else arr
     raise NotImplementedError(
-        "only PNG decodes without PIL; install Pillow for JPEG/WebP/..."
+        "only PNG and baseline JPEG decode without PIL; install Pillow "
+        "for WebP/GIF/progressive JPEG/..."
     )
 
 
 def encode_image(pixels: np.ndarray, fmt: str = "png") -> bytes:
-    if fmt.lower() != "png":
+    fmt_l = fmt.lower()
+    if fmt_l == "png":
+        return png_encode(pixels)
+    if fmt_l in ("jpeg", "jpg"):
         try:
             from PIL import Image  # noqa: PLC0415
 
             buf = io.BytesIO()
-            Image.fromarray(pixels).save(buf, format=fmt.upper())
+            Image.fromarray(pixels).save(buf, format="JPEG")
             return buf.getvalue()
-        except ImportError as e:
-            raise NotImplementedError(f"encoding {fmt} needs PIL") from e
-    return png_encode(pixels)
+        except ImportError:
+            from wopen_spark.jpeg_codec import jpeg_encode  # noqa: PLC0415
+
+            return jpeg_encode(pixels)
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        buf = io.BytesIO()
+        Image.fromarray(pixels).save(buf, format=fmt.upper())
+        return buf.getvalue()
+    except ImportError as e:
+        raise NotImplementedError(f"encoding {fmt} needs PIL") from e
 
 
 def mean_luma(pixels: np.ndarray) -> float:
@@ -214,7 +233,8 @@ def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
 
 def resize_image(data: bytes, new_w: int, new_h: int) -> bytes:
     """Decode + resize + re-encode. PIL path uses bilinear and keeps the
-    source format; stdlib path is nearest-neighbor PNG."""
+    source format; stdlib path is nearest-neighbor, re-encoded in the
+    source format (PNG stays PNG, JPEG stays JPEG)."""
     try:
         from PIL import Image  # noqa: PLC0415
 
@@ -224,6 +244,10 @@ def resize_image(data: bytes, new_w: int, new_h: int) -> bytes:
         img.resize((new_w, new_h)).save(buf, format=fmt)
         return buf.getvalue()
     except ImportError:
+        if data[:2] == b"\xff\xd8":
+            from wopen_spark.jpeg_codec import jpeg_decode, jpeg_encode  # noqa: PLC0415
+
+            return jpeg_encode(resize_nearest(jpeg_decode(data), new_w, new_h))
         return png_encode(resize_nearest(png_decode(data), new_w, new_h))
 
 

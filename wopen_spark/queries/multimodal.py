@@ -225,3 +225,73 @@ def media_real_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(run, schema).orderBy("media_id")
+
+
+@query(
+    "media_real_jpeg_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) AS r,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS BIGINT) AS g,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS BIGINT) AS b,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           true AS jpeg_ok
+    FROM documents ORDER BY media_id
+    """,
+)
+def media_real_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG codec in the gate (no PIL): per document a 16x16
+    constant-color RGB image (color = first md5 bytes of the text) is
+    encoded by the pure-stdlib encoder and decoded back by the
+    pure-stdlib decoder, worker-side under mapInPandas. JPEG is lossy so
+    the decoded bytes aren't SQL-rederivable; instead the engine emits a
+    self-checking property — shape preserved AND max per-pixel error <= 2
+    (a constant image is DC-only, so quantization error is bounded by
+    rounding) — and the oracle pins it true for EVERY row: one failed
+    decode anywhere in the corpus flips the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import types as T
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("r", T.LongType()),
+            T.StructField("g", T.LongType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("jpeg_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+
+        from wopen_spark.jpeg_codec import jpeg_decode, jpeg_encode
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "r", "g", "b", "width", "height", "jpeg_ok")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                dig = hashlib.md5((text or "").encode("utf-8")).digest()
+                r, g, b = dig[0], dig[1], dig[2]
+                img = np.empty((16, 16, 3), dtype=np.uint8)
+                img[..., 0], img[..., 1], img[..., 2] = r, g, b
+                dec = jpeg_decode(jpeg_encode(img, quality=90))
+                ok = (
+                    dec.shape == (16, 16, 3)
+                    and int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+                )
+                rows["media_id"].append(int(doc_id))
+                rows["r"].append(int(r))
+                rows["g"].append(int(g))
+                rows["b"].append(int(b))
+                rows["width"].append(dec.shape[1])
+                rows["height"].append(dec.shape[0])
+                rows["jpeg_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema).orderBy("media_id")
