@@ -316,18 +316,39 @@ def sample_frames(
 
         for pdf in batches:
             if decoder == "real":
-                # video is the one modality with no stdlib fallback: frame
-                # extraction needs a container demuxer + codec (PyAV/ffmpeg)
-                try:
-                    import av  # noqa: F401, PLC0415
-                except ImportError as e:
-                    raise NotImplementedError(
-                        "video frame sampling needs PyAV/ffmpeg; none present"
-                    ) from e
-                raise NotImplementedError(
-                    "PyAV frame extraction not wired yet; decoder='fake' covers "
-                    "the plumbing"
-                )
+                # MJPEG-in-AVI demuxes with the pure-stdlib RIFF walker and
+                # per-frame JPEG payloads are emitted WITHOUT decoding them
+                # (downstream decodes only kept frames); other containers
+                # (MP4/H.264...) genuinely need PyAV/ffmpeg
+                from wopen_spark.avi_codec import mjpeg_frame_blobs
+
+                buf = []
+                for mid, content in zip(pdf[id_col], pdf["content"]):
+                    blob = bytes(content or b"")
+                    if blob[:4] != b"RIFF":
+                        try:
+                            import av  # noqa: F401, PLC0415
+                        except ImportError as e:
+                            raise NotImplementedError(
+                                "only MJPEG-AVI demuxes without PyAV/ffmpeg; "
+                                "MP4/H.264 need a real codec library"
+                            ) from e
+                        raise NotImplementedError(
+                            "PyAV frame extraction not wired; use MJPEG-AVI"
+                        )
+                    fps, jpegs = mjpeg_frame_blobs(blob)
+                    duration_ms = len(jpegs) * 1000.0 / fps
+                    i = 0
+                    while i * every_ms < duration_ms:
+                        src = min(int(i * every_ms * fps / 1000.0), len(jpegs) - 1)
+                        buf.append((mid, i, i * every_ms, jpegs[src]))
+                        i += 1
+                    if len(buf) >= max_out:
+                        yield flush(buf)
+                        buf = []
+                if buf:
+                    yield flush(buf)
+                continue
             buf: list[tuple] = []
             # plain zip loop: iterrows() materializes a Series per row and
             # dominated the stage wall-clock (measured ~10x)
