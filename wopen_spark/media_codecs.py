@@ -4,15 +4,17 @@
 
 - **Images**: prefer PIL when importable (any format, SIMD-fast); fall
   back to a minimal pure-stdlib PNG codec (zlib + struct over the public
-  PNG spec, RFC 2083) so ``decoder="real"`` works even in codec-less
-  containers like this one. Supported fallback surface: 8-bit depth,
-  color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced —
-  the shapes a data pipeline's thumbnails/fixtures actually use.
+  PNG spec, RFC 2083) or the pure-stdlib baseline JPEG codec
+  (``wopen_spark.jpeg_codec``, ITU-T T.81) so ``decoder="real"`` works
+  even in codec-less containers like this one. PNG fallback surface:
+  8-bit depth, color types 0/2/4/6, non-interlaced; JPEG fallback:
+  baseline sequential, any sampling factors, restart markers.
 - **Audio**: prefer soundfile when importable; fall back to stdlib
   ``wave`` for PCM WAV (8/16/32-bit).
-- Anything else (JPEG without PIL, MP3 without soundfile, any video)
-  raises ``NotImplementedError`` naming the missing library — the decode
-  is genuinely impossible without a codec.
+- **Video**: MJPEG-in-AVI demuxes via ``wopen_spark.avi_codec``.
+- Anything else (WebP/progressive JPEG without PIL, MP3 without
+  soundfile, MP4/H.264 without PyAV) raises ``NotImplementedError``
+  naming the missing library — those decodes genuinely need a codec.
 
 Everything returns numpy arrays; the callers are Arrow-batched
 ``mapInPandas`` kernels, so these functions run worker-side on batches

@@ -18,9 +18,11 @@ Decoders: ``decoder="fake"`` produces a deterministic synthetic decode
 (seeded by the bytes' md5) — the oracle-matched path, since DuckDB can
 re-derive it in SQL. ``decoder="real"`` decodes actual media via
 ``media_codecs``: PIL / soundfile when importable, with pure-stdlib
-fallbacks (PNG via zlib+struct, PCM WAV via wave) so images and audio
-decode even in this codec-less container. Video frame extraction has no
-stdlib fallback and raises NotImplementedError unless PyAV is present.
+fallbacks (PNG via zlib+struct, baseline JPEG via ``jpeg_codec``, PCM
+WAV via wave, MJPEG-AVI video via ``avi_codec``) so all three
+modalities decode even in this codec-less container. Other video
+containers (MP4/H.264...) still raise NotImplementedError unless PyAV
+is present.
 """
 
 from __future__ import annotations
