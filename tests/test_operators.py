@@ -651,6 +651,65 @@ def test_merge_and_compact_preserve_partition_layout(spark, tmp_path):
     assert t.read().count() == 5
 
 
+def test_bucketed_ranking_matches_global_window(spark):
+    """bucketed_row_number / bucketed_ntile must equal the
+    single-partition Window answers row-for-row, including tie-breaks
+    and the first-r-tiles-get-one-extra NTILE split."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wopen_spark.operators.ranking import bucketed_ntile, bucketed_row_number
+
+    rows = [
+        (i, grp, (i * 37) % 23)  # duplicate values across ids -> ties
+        for i in range(1, 101)
+        for grp in ("a", "b")
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+
+    got_rn = {
+        (r.grp, r.id): r.i
+        for r in bucketed_row_number(
+            df, F.expr("v div 5"), ["v", "id"], ["grp"], out="i"
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want_rn = {
+        (r.grp, r.id): r.i
+        for r in df.withColumn("i", F.row_number().over(w)).collect()
+    }
+    assert got_rn == want_rn
+
+    for k in (3, 4, 7, 150):  # 150 > n exercises the q=0 degenerate case
+        got_nt = {
+            (r.grp, r.id): r.tile
+            for r in bucketed_ntile(
+                df, k, F.expr("v div 5"), ["v", "id"], ["grp"], out="tile"
+            ).collect()
+        }
+        want_nt = {
+            (r.grp, r.id): r.tile
+            for r in df.withColumn("tile", F.ntile(k).over(w)).collect()
+        }
+        assert got_nt == want_nt, f"k={k}"
+
+    # global (no partition cols) path
+    got_g = {
+        r.id: r.i
+        for r in bucketed_row_number(
+            df.filter("grp = 'a'"), F.expr("v div 5"), ["v", "id"], out="i"
+        ).collect()
+    }
+    wg = Window.orderBy("v", "id")
+    want_g = {
+        r.id: r.i
+        for r in df.filter("grp = 'a'")
+        .withColumn("i", F.row_number().over(wg))
+        .collect()
+    }
+    assert got_g == want_g
+
+
 def test_concurrent_merges_serialize_and_both_land(spark, tmp_path):
     """Concurrent-writer story: two threads upserting the same table at
     once must serialize on the table lock — both upserts land, no staged

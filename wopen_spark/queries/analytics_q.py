@@ -2471,14 +2471,19 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Gini needs every order's GLOBAL value rank; a bare
+    Window.orderBy row_number funnels the whole fact through ONE task
+    (37 s at sf10, a non-starter at 100 TB). bucketed_row_number
+    two-phases it: $10k value-range buckets rank in parallel, a tiny
+    prefix-sum of per-bucket counts restores exact global ranks."""
+    from wopen_spark.operators.ranking import bucketed_row_number
 
     o = _t(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderkey",
     )
-    ranked = o.withColumn(
-        "i", F.row_number().over(Window.orderBy("cents", "o_orderkey"))
+    ranked = bucketed_row_number(
+        o, F.expr("cents div 1000000"), ["cents", "o_orderkey"], out="i"
     )
     # Σ(i·cents) exceeds the long range past ~1e6 rows (i ~ n, so the
     # sum grows ~n²·cents); accumulate in decimal(38,0) — exact like

@@ -334,13 +334,26 @@ def supplier_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning by priority alone caps parallelism at 5 tasks of
+    |orders|/5 rows each (~19 s at sf10); bucketed_ntile sub-buckets each
+    priority by $10k value ranges, ranks the sub-buckets in parallel,
+    and reassembles the EXACT SQL NTILE from broadcast offsets."""
+    from wopen_spark.operators.ranking import bucketed_ntile
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    tiled = bucketed_ntile(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        4,
+        F.expr("cast(round(o_totalprice * 100) as bigint) div 1000000"),
+        ["o_totalprice", "o_orderkey"],
+        partition_cols=["o_orderpriority"],
+        out="quartile",
+    )
     return (
-        o.select(
+        tiled.select(
             "o_orderpriority",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-            F.ntile(4).over(w).alias("quartile"),
+            "quartile",
         )
         .groupBy("o_orderpriority", "quartile")
         .agg(
