@@ -2716,7 +2716,13 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Three exact global quintiles over the customer roster — each via
+    bucketed_ntile (two-phase, parallel across value-range buckets)
+    instead of three single-task global windows. DESC dimensions bucket
+    on the NEGATED value: integer division by a positive constant is
+    order-preserving regardless of rounding, so the bucket stays
+    monotone along the sort."""
+    from wopen_spark.operators.ranking import bucketed_ntile
 
     o = _t(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
@@ -2726,11 +2732,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
-    scored = base.select(
-        "ck",
-        F.ntile(5).over(Window.orderBy("rec_days", "ck")).alias("r"),
-        F.ntile(5).over(Window.orderBy(F.desc("freq"), "ck")).alias("f"),
-        F.ntile(5).over(Window.orderBy(F.desc("cents"), "ck")).alias("m"),
+    scored = bucketed_ntile(
+        base, 5, F.expr("rec_days div 32"), ["rec_days", "ck"], out="r"
+    )
+    scored = bucketed_ntile(
+        scored, 5, F.expr("(-freq) div 4"), [F.desc("freq"), "ck"], out="f"
+    )
+    scored = bucketed_ntile(
+        scored,
+        5,
+        F.expr("(-cents) div 10000000"),
+        [F.desc("cents"), "ck"],
+        out="m",
     )
     return (
         scored.select(
@@ -3085,14 +3098,21 @@ def bot_like_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Exact global deciles via bucketed_ntile — the user roster is
+    dimension-sized today but unbounded in principle; no single-task
+    global window (see operators/ranking.py)."""
+    from wopen_spark.operators.ranking import bucketed_ntile
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     u = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    d = u.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("cents"), "user_id"))
+    d = bucketed_ntile(
+        u,
+        10,
+        F.expr("(-cents) div 10000"),  # $100 spend bands
+        [F.desc("cents"), "user_id"],
+        out="decile",
     )
     t = u.agg(F.sum("cents").cast("long").alias("total"))
     return (
