@@ -228,6 +228,93 @@ def media_real_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_real_wav_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(0, 160), i ->
+               (CAST(('0x' || substr(md5(text || 'w' || CAST(i // 16 AS VARCHAR)),
+                                     (i % 16) * 2 + 1, 2)) AS BIGINT) - 128)
+               * 256.0 / 32768.0) AS smp
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, smp,
+             list_transform(range(0, 4), k ->
+               sqrt(list_aggregate(list_transform(smp[k*40+1 : k*40+40],
+                                                  x -> x * x), 'sum') / 40.0)
+             ) AS wrms
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           CAST(20 AS BIGINT) AS duration_ms,
+           CAST(4 AS INT) AS n_windows,
+           round(sqrt(list_aggregate(list_transform(smp, x -> x * x), 'sum')
+                      / 160.0), 6) AS rms,
+           CAST(list_indexof(wrms, list_max(wrms)) - 1 AS INT) AS peak_window
+    FROM w ORDER BY media_id
+    """,
+)
+def media_real_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the gate (no soundfile): per document 160
+    int16 samples are derived from md5 bytes, written as an 8 kHz PCM
+    WAV with the stdlib ``wave`` writer, and decoded back through
+    media_codecs.audio_window_stats (stdlib ``wave`` reader) — duration,
+    window count, full-clip RMS, and the loudest 5 ms window must match
+    DuckDB's re-derivation from the same md5 bytes. int16/32768 is
+    exactly representable, so the only cross-engine wiggle is summation
+    order — absorbed by round-6 like the percentile queries."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import types as T
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_windows", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak_window", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import hashlib
+        import io
+        import wave
+
+        from wopen_spark.media_codecs import audio_window_stats
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "duration_ms", "n_windows", "rms", "peak_window")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = (text or "").encode("utf-8")
+                raw = b"".join(
+                    hashlib.md5(t + f"w{g}".encode()).digest() for g in range(10)
+                )
+                pcm = b"".join(
+                    int((b - 128) * 256).to_bytes(2, "little", signed=True)
+                    for b in raw
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(pcm)
+                dur, n, rms, peak = audio_window_stats(buf.getvalue(), 5)
+                rows["media_id"].append(int(doc_id))
+                rows["duration_ms"].append(int(dur))
+                rows["n_windows"].append(int(n))
+                rows["rms"].append(round(rms, 6))
+                rows["peak_window"].append(int(peak))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(run, schema).orderBy("media_id")
+
+
+@query(
     "media_real_jpeg_roundtrip",
     oracle="""
     SELECT doc_id AS media_id,
