@@ -1105,10 +1105,9 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rolling 7-day active users (WAU per day) — the product-analytics
 # staple whose naive form (distinct over a sliding window) re-scans the
 # fact per day. Scale shape: contract the fact to DISTINCT (day, user)
-# once, then fan each pair out to the <=7 days it supports via a range
-# join against the day spine (generated from aggregated bounds,
-# broadcast), and count distinct per day. The shuffle is |pairs| x 7,
-# never |events| x window.
+# once, then EXPLODE each pair map-side into the <=7 window-end days it
+# supports, and count distinct per day. The shuffle is |pairs| x 7,
+# never |events| x window, and no nested-loop range join appears.
 # ---------------------------------------------------------------------------
 @query(
     "rolling_7d_active_users",
