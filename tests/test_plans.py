@@ -853,3 +853,30 @@ def test_topk_windows_get_group_limit_pushdown(spark, name):
     df = _q(spark, name)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_brand_cooccurrence_bitmask_no_self_join(spark):
+    """The co-occurrence pair expansion must come from the per-order
+    brand-bitmask histogram, NOT an orderkey self-join of the fact: no
+    SortMergeJoin (the fact never joins itself), every join broadcast
+    (the 25-row brand dim), and bit_or's map-side partial combine is
+    the only fact-sized shuffle."""
+    df = _q(spark, "brand_cooccurrence")
+    strategies = join_strategies(df)
+    assert "SortMergeJoin" not in strategies, strategies
+    assert set(strategies) <= {"BroadcastHashJoin"}, strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in plan
+
+
+def test_brand_cosine_reuses_fact_exchange(spark):
+    """Cosine needs both pair numerators and per-brand denominators from
+    the same mask histogram — the fact-sized orderkey exchange must be
+    computed ONCE and reused (ReusedExchange), not rebuilt per branch:
+    at 100 TB a second fact scan+shuffle doubles the dominant cost."""
+    from wopen_spark.plans import executed_plan_string
+
+    df = _q(spark, "brand_cooccurrence_cosine")
+    assert "SortMergeJoin" not in join_strategies(df)
+    plan = executed_plan_string(df)
+    assert "ReusedExchange" in plan

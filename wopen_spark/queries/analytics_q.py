@@ -6,7 +6,7 @@ their accuracy contract is unit-tested against exact answers instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wopen_spark.queries.registry import _spread, _t, query
@@ -923,10 +923,15 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Market-basket brand co-occurrence: brand pairs appearing in the same
-# order, by support. The fact dedups to DISTINCT (order, brand) BEFORE
-# the self-join — the standard frequent-itemset contraction — and the
-# join keys on the uniform orderkey, so candidates are bounded by
-# brands-per-order (tiny), never |lineitem|^2.
+# order, by support. The brand universe is tiny (25 values, <=64 by
+# contract), so each order's brand SET packs into one long bitmask:
+# lineitem maps to (orderkey, 1<<bit) and a single bit_or groupBy
+# replaces BOTH the (order, brand) distinct AND the orderkey self-join.
+# bit_or is a declarative aggregate — map-side partial combine collapses
+# duplicate (order, brand) hits before the shuffle, and the whole path
+# stays inside whole-stage codegen (no ObjectHashAggregate sets, no
+# sort-merge of a |fact|-sized side against itself). Pairs then explode
+# from the MASK HISTOGRAM (distinct masks << orders), never the fact.
 # ---------------------------------------------------------------------------
 @query(
     "brand_cooccurrence",
@@ -945,47 +950,83 @@ def chisq_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Counted as one row per (order, unordered brand pair) via the
-    orderkey self-join over the distinct-contracted fact. A map-side
-    set-expansion variant (collect_set + higher-order pair explode) was
-    tried and reverted: it halves shuffle volume but the
-    ObjectHashAggregate building 15M per-order sets cost 2-4x the wall
-    time at sf10 — the hash self-join stays inside codegen."""
-    ob = _order_brands(spark, sf_dir)
-    b = ob.select(
-        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
-    )
+    """Pairs come from the per-order brand bitmask histogram: explode
+    the set bits of each distinct mask (i < j) and sum the mask's order
+    count. Two earlier formulations were measured and rejected at sf10:
+    the (order, brand)-distinct orderkey self-join (SMJ over a
+    fact-sized side, ~20 s) and a collect_set pair expansion (the
+    ObjectHashAggregate building 15M per-order sets cost 2-4x). The
+    bitmask keeps the 16-byte (orderkey, long) shuffle as the ONLY
+    fact-sized exchange, with map-side bit_or combine."""
+    masks, dim = _order_brand_masks(spark, sf_dir)
+    pairs = _mask_pairs(masks)
+    da = dim.select(F.col("bit").alias("i"), F.col("p_brand").alias("brand_a"))
+    db = dim.select(F.col("bit").alias("j"), F.col("p_brand").alias("brand_b"))
     return (
-        ob.join(
-            b,
-            (ob.l_orderkey == b.ok2) & (ob.p_brand < b.brand_b),
-        )
-        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        pairs.join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
+        .select("brand_a", "brand_b", "n_orders")
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(25)
     )
 
 
-def _order_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT (order, brand) fact, laid out for the self-join: the
-    explicit repartition on l_orderkey satisfies BOTH the dedup aggregate
-    (orderkey is a subset of its grouping keys) and the orderkey
-    self-join on each side — so the whole co-occurrence pipeline runs on
-    ONE exchange of the fact instead of a (orderkey, brand) dedup
-    exchange plus a fresh orderkey exchange per join side. The self-join
-    stays sort-merge: a shuffled-hash build of the full fact partition
-    (both sides are |fact|-sized) exceeded the per-task memory grant at
-    sf10/32 threads — SMJ's spill-safe sort is the right trade when
-    neither side is small."""
+def _order_brand_masks(spark: SparkSession, sf_dir: str):
+    """(mask histogram, brand dim) for the co-occurrence family.
+
+    The brand dim assigns each distinct brand a bit index ORDERED BY
+    BRAND, so bit i < bit j <=> brand_i < brand_j — pair expansion on
+    (i < j) reproduces the oracle's (brand_a < brand_b) exactly. The
+    25-row ordering window is a single tiny task; the dim broadcasts
+    into the fact map side. bit_or is idempotent, so no distinct pass
+    is needed: duplicate (order, brand) lineitems OR into the same bit,
+    and partial aggregation collapses them before the one fact shuffle.
+    Precondition (asserted by the 64-slot filter): <=64 distinct brands
+    — the dataset has 25; a wider universe would need a 2-long mask."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .repartition("l_orderkey")
-        .dropDuplicates(["l_orderkey", "p_brand"])
+    dim = (
+        p.select("p_brand")
+        .distinct()
+        .select(
+            "p_brand",
+            (
+                F.row_number().over(Window.orderBy("p_brand")) - 1
+            ).alias("bit"),
+        )
     )
+    fact = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(dim), "p_brand")
+        .select("l_orderkey", F.expr("shiftleft(1L, bit)").alias("bm"))
+    )
+    masks = (
+        fact.groupBy("l_orderkey")
+        .agg(F.bit_or("bm").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return masks, dim
+
+
+def _mask_pairs(masks: DataFrame) -> DataFrame:
+    """Explode each distinct mask's set bits into ordered (i, j) pairs
+    and sum order counts. Runs over the mask HISTOGRAM (distinct brand
+    sets, bounded by min(|orders|, 2^25)), entirely map-side until the
+    <=300-row pair aggregate."""
+    bits = masks.select(
+        "cnt",
+        F.expr(
+            "filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)"
+        ).alias("bits"),
+    )
+    e1 = bits.select("cnt", "bits", F.explode("bits").alias("i"))
+    e2 = e1.select(
+        "cnt",
+        "i",
+        F.explode(F.filter("bits", lambda j: j > F.col("i"))).alias("j"),
+    )
+    return e2.groupBy("i", "j").agg(F.sum("cnt").alias("n_orders"))
 
 
 # ---------------------------------------------------------------------------
@@ -2209,9 +2250,10 @@ def supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Brand co-occurrence COSINE similarity — the item-item similarity a
 # co-basket recommender ranks by: cos(a,b) = n_ab / sqrt(n_a * n_b)
 # over order-level occurrence counts. Numerators come from the same
-# map-side pair expansion as brand_cooccurrence; denominators are the
-# tiny per-brand order counts broadcast back; sqrt of an exact integer
-# product is correctly rounded IEEE on both engines.
+# bitmask-histogram pair expansion as brand_cooccurrence; denominators
+# (per-brand order counts) fall out of a single-bit explode of the SAME
+# histogram — no second fact pass; sqrt of an exact integer product is
+# correctly rounded IEEE on both engines.
 # ---------------------------------------------------------------------------
 @query(
     "brand_cooccurrence_cosine",
@@ -2238,21 +2280,34 @@ def supplier_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ob = _order_brands(spark, sf_dir)
-    n_b = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    b = ob.select(
-        F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b")
+    # masks feeds both the pair numerators and the per-brand
+    # denominators; the two branches share the identical mask-histogram
+    # exchange, which physical planning dedupes via ReusedExchange
+    # (plan-pinned in tests/test_plans.py) — no persist/unpersist
+    # lifecycle needed.
+    masks, dim = _order_brand_masks(spark, sf_dir)
+    pairs = _mask_pairs(masks).withColumnRenamed("n_orders", "n_ab")
+    n_b = (
+        masks.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "filter(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)"
+                )
+            ).alias("bit"),
+        )
+        .groupBy("bit")
+        .agg(F.sum("cnt").alias("n"))
     )
-    pairs = (
-        ob.join(b, (ob.l_orderkey == b.ok2) & (ob.p_brand < b.brand_b))
-        .groupBy(F.col("p_brand").alias("brand_a"), "brand_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    na = n_b.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
-    nb = n_b.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nb"))
+    da = dim.select(F.col("bit").alias("i"), F.col("p_brand").alias("brand_a"))
+    db = dim.select(F.col("bit").alias("j"), F.col("p_brand").alias("brand_b"))
+    na = n_b.select(F.col("bit").alias("i"), F.col("n").alias("na"))
+    nb = n_b.select(F.col("bit").alias("j"), F.col("n").alias("nb"))
     return (
-        pairs.join(F.broadcast(na), "brand_a")
-        .join(F.broadcast(nb), "brand_b")
+        pairs.join(F.broadcast(na), "i")
+        .join(F.broadcast(nb), "j")
+        .join(F.broadcast(da), "i")
+        .join(F.broadcast(db), "j")
         .select(
             "brand_a",
             "brand_b",
