@@ -666,11 +666,14 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q21 shape: suppliers who were the SOLE failing supplier on a
-# multi-supplier order — the double-correlated EXISTS / NOT EXISTS,
-# compiled to one left-semi plus one left-anti hash join, both keyed on
-# l_orderkey with the supplier inequality as a residual condition. The
-# fact dedups to (orderkey, suppkey) pairs first, so the self-joins run
-# on the shrunken pair set, not raw lineitem.
+# multi-supplier order — the double-correlated EXISTS / NOT EXISTS.
+# Spark-first decorrelation: BOTH existence tests are per-order set
+# facts, so instead of semi/anti self-joins the fact contracts to
+# (orderkey, suppkey, ever_failed) pairs (map-side partial agg), then
+# one orderkey aggregate derives n_suppliers, n_failed_suppliers, and
+# the failed supplier itself — a qualifying order is exactly
+# n_failed = 1 AND n_suppliers > 1. Two exchanges, zero joins on the
+# fact (the semi+anti formulation cost ~5 fact-sized exchanges).
 # ---------------------------------------------------------------------------
 @query(
     "sole_failed_supplier_orders",
@@ -692,33 +695,25 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sole_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    failed = (
-        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    failed_flag = (
+        (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+    ).cast("int")
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(failed_flag).alias("ever_failed")
     )
-    other = pairs.select(
-        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("ever_failed").alias("n_failed"),
+        F.max(
+            F.when(F.col("ever_failed") == 1, F.col("l_suppkey"))
+        ).alias("sole_sk"),
     )
-    other_failed = failed.select(
-        F.col("l_orderkey").alias("f_ok"), F.col("l_suppkey").alias("f_sk")
-    )
+    sole = per_order.filter(
+        (F.col("n_failed") == 1) & (F.col("n_supp") > 1)
+    ).select("sole_sk")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    sole = (
-        failed.join(
-            other,
-            (failed.l_orderkey == other.o_ok) & (failed.l_suppkey != other.o_sk),
-            "left_semi",
-        ).join(
-            other_failed,
-            (failed.l_orderkey == other_failed.f_ok)
-            & (failed.l_suppkey != other_failed.f_sk),
-            "left_anti",
-        )
-    )
     return (
-        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        sole.join(F.broadcast(s), sole.sole_sk == s.s_suppkey)
         .groupBy(F.col("s_name").alias("supplier"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "supplier")
@@ -836,17 +831,6 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    cost = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
-        .agg(
-            F.min(
-                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
-                    "long"
-                )
-            ).alias("cost_cents")
-        )
-    )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -859,6 +843,32 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "part")
         .filter(F.col("p_type") == "STANDARD")
         .select("p_partkey", "p_name")
+    )
+    # eligibility is constant per join key (p_type per partkey, region
+    # per suppkey), so both filters push BELOW the pair contraction as
+    # broadcast semi-joins — the (pk, sk) shuffle carries only eligible
+    # pairs instead of the full fact's pair universe.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(supp_eur.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+    )
+    cost = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100).cast(
+                "long"
+            )
+        ).alias("cost_cents")
     )
     eligible = (
         cost.join(F.broadcast(supp_eur), cost.sk == supp_eur.s_suppkey)
