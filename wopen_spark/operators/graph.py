@@ -97,6 +97,7 @@ def pagerank(
     damping: float = 0.85,
     scale: int = 9,
     edges_distinct: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     (node, rank) with rank = scaled-long internal value / 10^scale.
@@ -133,10 +134,26 @@ def pagerank(
     # already dedups (e.g. a distinct directed set unioned with its
     # disjoint reversal) should pass it.
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Dedup AFTER the hash(a) repartition, not before: hash(a) satisfies
+    # the (a,b) clustering requirement (partition keys ⊆ group keys), so
+    # the dropDuplicates aggregate runs on the existing layout with NO
+    # extra exchange — one |edges| shuffle total instead of a
+    # hash(a,b) distinct exchange followed by the hash(a) repartition.
+    e = e.repartition("a")
     if not edges_distinct:
-        e = e.distinct()
-    e = e.repartition("a").persist()
-    nodes = e.select(F.col("a").alias("node")).union(e.select("b")).distinct()
+        e = e.dropDuplicates(["a", "b"])
+    e = e.persist()
+    # symmetric=True: every node appears as a source (the caller built the
+    # edge list as directed ∪ reversed), so the node set is just the
+    # distinct sources — and since e is hash(a)-partitioned, that distinct
+    # is exchange-FREE (partial+final agg on the existing layout). The
+    # general path unions both endpoint columns, a 2|edges|-row shuffle.
+    if symmetric:
+        nodes = e.select(F.col("a").alias("node")).distinct()
+    else:
+        nodes = (
+            e.select(F.col("a").alias("node")).union(e.select("b")).distinct()
+        )
     outdeg = e.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
     # The static outdeg rides ON the rank state (node, outdeg, pr_s), so
     # each round joins the edge list exactly ONCE — a second |edges|-wide
