@@ -1335,9 +1335,11 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-type min-max normalization of event values — feature scaling in
 # exact cents: the (v - min) and (max - min) terms are long subtractions
 # and only the final divide is IEEE, identical on both engines. The
-# per-type extrema ride ONE window exchange; at 100 TB swap the window
-# for an aggregate + broadcast join (same arithmetic) if a single type
-# dominates a reducer.
+# per-type extrema come from a map-side partial aggregate (5 groups)
+# BROADCAST back onto the fact — a PARTITION BY event_type window would
+# shuffle every row into one task per type (5 types = 5 tasks, the rest
+# of the cluster idle); the agg+broadcast shape computes the same thing
+# with zero fact shuffle and no skew, at any scale.
 # ---------------------------------------------------------------------------
 @query(
     "minmax_scaled_event_values",
@@ -1361,17 +1363,16 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minmax_scaled_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("event_type")
+    extrema = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
     scaled = (
-        ev.withColumn("mn", F.min("cents").over(w))
-        .withColumn("mx", F.max("cents").over(w))
+        ev.join(F.broadcast(extrema), ev.event_type == extrema.et)
         .select(
             "event_id",
             "event_type",
@@ -1921,6 +1922,12 @@ def similar_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_s3").isNotNull())
         .select("user_id", "tg")
         .distinct()
+        # materialized ONCE: tri feeds four consumers (sets, df counts,
+        # both sides of the candidate self-join) — uncached, each would
+        # re-run the sessionize + trigram window pipeline over the full
+        # events fact (4x two window sorts at sf10). The distinct
+        # (user, trigram) set itself is tiny relative to the fact.
+        .localCheckpoint()
     )
     sets = tri.groupBy("user_id").agg(F.array_sort(F.collect_list("tg")).alias("tgs"))
     n_users = sets.agg(F.count(F.lit(1)).alias("n_users"))
@@ -2102,16 +2109,27 @@ def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(rel: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
-        orphans = fact.join(
-            F.broadcast(dim.select(pk)), fact[fk] == F.col(pk), "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
-        return (
-            orphans.join(F.broadcast(total))
-            .select(
-                F.lit(rel).alias("relationship"), "n_orphans", "n_rows"
-            )
+        # ONE pass over the fact: a left join against the distinct key set
+        # yields both the row count and the orphan count (null pk after the
+        # join == NOT EXISTS) in a single aggregate — the anti-join + count
+        # formulation scanned the fact twice. No forced broadcast: the dim
+        # key column may itself be fact-sized (lineitem -> orders is 15M
+        # keys at sf10; a broadcast hint there is an executor OOM at scale)
+        # — AQE broadcasts the genuinely small ones (nation, customer).
+        # shuffle_hash on the key side: sort-merge would sort the full
+        # fact just to probe key existence; the hash build holds only
+        # |dim|/tasks distinct keys per task.
+        joined = fact.select(F.col(fk).alias("_fk")).join(
+            dim.select(F.col(pk).alias("_pk")).distinct().hint("shuffle_hash"),
+            F.col("_fk") == F.col("_pk"),
+            "left",
         )
+        return joined.agg(
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias(
+                "n_orphans"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(F.lit(rel).alias("relationship"), "n_orphans", "n_rows")
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
