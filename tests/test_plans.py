@@ -793,11 +793,13 @@ def test_fixed_size_sample_one_window_shuffle(spark):
     assert len(exchanges(df)) <= 2
 
 
-def test_minmax_scaling_one_window_shuffle(spark):
-    """Both extrema ride the same event_type window exchange; only the
-    presentation sort adds one more."""
+def test_minmax_scaling_broadcast_no_fact_shuffle(spark):
+    """The 5-group extrema aggregate broadcasts back onto the fact — no
+    PARTITION BY event_type window (which would funnel every row through
+    one task per type). Exchanges: the tiny extrema agg + the
+    presentation sort; the fact itself never shuffles for the join."""
     df = _q(spark, "minmax_scaled_event_values")
-    assert join_strategies(df) == []
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
     assert len(exchanges(df)) <= 2
 
 

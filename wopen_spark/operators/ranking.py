@@ -75,14 +75,35 @@ def bucketed_ntile(
     n = partition size, q = n div k, r = n mod k, the first r tiles hold
     q+1 rows. Matches ``F.ntile(k).over(...)`` row-for-row."""
     pc = list(partition_cols or [])
-    ranked = bucketed_row_number(df, bucket, order_cols, pc, out="__i")
-    totals = ranked.groupBy(*pc).agg(F.count(F.lit(1)).alias("__n")) if pc else None
+    # Same two-phase layout as bucketed_row_number, but the partition
+    # total __n rides ON the per-bucket offset frame (one more window
+    # over the FEW bucket rows) instead of a groupBy over the ranked
+    # output — deriving __n from `ranked` would re-execute the whole
+    # fact subtree plus its rank window a second time.
+    b = df.withColumn("__bkt", bucket)
+    per = b.groupBy(*pc, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
     if pc:
-        ranked = ranked.join(F.broadcast(totals), pc)
-    else:
-        ranked = ranked.join(
-            F.broadcast(ranked.agg(F.count(F.lit(1)).alias("__n")))
+        wp = (
+            Window.partitionBy(*pc)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
+        wn = Window.partitionBy(*pc)
+    else:
+        wp = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+        wn = Window.partitionBy()
+    offs = per.select(
+        *pc,
+        "__bkt",
+        F.coalesce(F.sum("__c").over(wp), F.lit(0).cast("long")).alias("__off"),
+        F.sum("__c").over(wn).alias("__n"),
+    )
+    lw = Window.partitionBy(*pc, "__bkt").orderBy(*order_cols)
+    ranked = (
+        b.join(F.broadcast(offs), [*pc, "__bkt"])
+        .withColumn("__i", F.col("__off") + F.row_number().over(lw))
+        .drop("__bkt", "__off")
+    )
     # exact NTILE arithmetic on longs; ceil(a/b) for positive longs is
     # (a + b - 1) div b. With q = n div k and r = n mod k: tiles 1..r
     # hold q+1 rows, tiles r+1..k hold q rows (q = 0 degenerates to the

@@ -2802,19 +2802,31 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wopen_spark.operators.ranking import bucketed_ntile
 
     o = _t(spark, sf_dir, "orders")
-    base = o.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.datediff(
-            F.lit("2002-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
-        ).alias("rec_days"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    # base and each scored stage are MATERIALIZED (localCheckpoint):
+    # bucketed_ntile evaluates its input several times (bucket counts,
+    # offset join, partition total), so chaining three calls on lazy
+    # lineage re-executes the orders aggregate exponentially many times.
+    # The frames are |customers|-sized — cheap to pin, and each ntile
+    # phase then starts from materialized blocks.
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
+            ).alias("rec_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .localCheckpoint()
     )
     scored = bucketed_ntile(
         base, 5, F.expr("rec_days div 32"), ["rec_days", "ck"], out="r"
-    )
+    ).localCheckpoint()
     scored = bucketed_ntile(
         scored, 5, F.expr("(-freq) div 4"), [F.desc("freq"), "ck"], out="f"
-    )
+    ).localCheckpoint()
     scored = bucketed_ntile(
         scored,
         5,

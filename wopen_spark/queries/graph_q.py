@@ -212,8 +212,10 @@ def near_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def new_trade_edges_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # shuffle_hash on the smaller orders side: sort-merge would sort both
+    # facts on a key the (ck, sk) aggregate immediately re-hashes anyway
     first_seen = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
             F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
