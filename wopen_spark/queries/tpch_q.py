@@ -84,12 +84,20 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-below-outer-join: counting per custkey BEFORE the left
+    # join shuffles |customers| count rows (map-side combine contracts
+    # the orders fact 10:1) instead of joining the raw fact and
+    # aggregating |orders| joined rows; zero-order customers surface as
+    # a null count coalesced to 0 — identical to COUNT(o_orderkey) over
+    # the outer join.
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_cust = c.join(counts, c.c_custkey == counts.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_orders")
     )
     return (
         per_cust.groupBy("n_orders")
@@ -634,11 +642,13 @@ def late_shipment_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    # No standalone (partkey, suppkey) distinct: that was a full
+    # 60M-row fact shuffle BEFORE the ~10%-selective part filter could
+    # bite. The selective broadcast join runs first (map-side, prunes
+    # the fact to the qualifying parts), and the final
+    # count_distinct(suppkey) performs the dedup inside its own
+    # two-phase aggregate — one exchange over the filtered rows only.
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = (
         _t(spark, sf_dir, "part")
         .filter(
