@@ -1296,43 +1296,41 @@ _PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
     """,
 )
 def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One UNION branch per profiled column, not one wide multi-distinct
+    aggregate: N count_distincts in a single agg plan an Expand that
+    multiplies every scanned row N+1 times through the partial
+    aggregate. Per-column branches each scan ONLY their pruned column
+    (parquet column pruning), run as parallel stages of one job, and
+    each plans the cheap single-distinct two-phase aggregate."""
     o = _t(spark, sf_dir, "orders")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
 
-    def render(c: str, suffix: str):
-        col = F.col(f"{c}__{suffix}")
+    def profile(c: str) -> DataFrame:
+        col = F.col(c)
+        mn, mx = F.min(col), F.max(col)
         if c == "o_totalprice":
-            return F.format_string("%.2f", col)
-        return col.cast("string")
-
-    stack_args = []
-    for c in _PROFILE_COLS:
-        stack_args += [
-            F.lit(c),
-            F.col(f"{c}__n"),
-            F.col(f"{c}__nulls"),
-            F.col(f"{c}__distinct"),
-            render(c, "min"),
-            render(c, "max"),
-        ]
-    return (
-        wide.select(
-            F.stack(
-                F.lit(len(_PROFILE_COLS)),
-                *stack_args,
-            ).alias("column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+            mn_s = F.format_string("%.2f", mn)
+            mx_s = F.format_string("%.2f", mx)
+        else:
+            mn_s, mx_s = mn.cast("string"), mx.cast("string")
+        return o.select(c).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.count_distinct(col).alias("n_distinct"),
+            mn_s.alias("min_str"),
+            mx_s.alias("max_str"),
+        ).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            "min_str",
+            "max_str",
         )
-        .orderBy("column_name")
-    )
+
+    out = profile(_PROFILE_COLS[0])
+    for c in _PROFILE_COLS[1:]:
+        out = out.unionByName(profile(c))
+    return out.orderBy("column_name")
 
 
 # ---------------------------------------------------------------------------

@@ -247,11 +247,20 @@ def sql_urgent_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # The part join exists ONLY to flag Brand#1 lines: broadcast just the
+    # Brand#1 partkeys (1/25th of part) and left-join — null pk = not
+    # Brand#1. Sound because l_partkey -> part is FK-complete (the inner
+    # join drops nothing; verified 0 orphans at every SF), so the full
+    # 2M-entry part broadcast build+probe is pure overhead.
+    b1 = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select(F.col("p_partkey").alias("b1_pk"))
+    )
     rev = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
         "long"
     )
-    brand_rev = F.when(F.col("p_brand") == "Brand#1", rev).otherwise(
+    brand_rev = F.when(F.col("b1_pk").isNotNull(), rev).otherwise(
         F.lit(0).cast("long")
     )
     # Partial-aggregate-below-join: sums and counts are associative, so
@@ -260,7 +269,7 @@ def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of |lineitem|, a ~4x volume cut Catalyst won't derive on
     # its own.
     per_order = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(F.broadcast(b1), li.l_partkey == F.col("b1_pk"), "left")
         .groupBy("l_orderkey")
         .agg(
             F.sum(brand_rev).alias("brand_cents"),
@@ -269,7 +278,7 @@ def brand_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        per_order.join(o.hint("shuffle_hash"), per_order.l_orderkey == o.o_orderkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             (
