@@ -708,8 +708,17 @@ def sole_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     failed_flag = (
         (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
     ).cast("int")
-    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(failed_flag).alias("ever_failed")
+    # ONE fact exchange for BOTH aggregation levels: hash(l_orderkey)
+    # satisfies the clustering requirement of the (orderkey, suppkey)
+    # aggregate (partition keys ⊆ group keys) AND of the per-order
+    # aggregate, so after this repartition neither groupBy plans its own
+    # exchange. Grouping by (ok, sk) directly would hash-partition on
+    # the pair and force a second shuffle for the per-order rollup.
+    pairs = (
+        li.select("l_orderkey", "l_suppkey", failed_flag.alias("ff"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("ff").alias("ever_failed"))
     )
     per_order = pairs.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
