@@ -539,10 +539,23 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wopen_spark.operators.graph import connected_components
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    n_total = d.agg(F.count(F.lit(1)).alias("n_total"))
-    n_exact = d.agg(F.count_distinct("text").alias("n_after_exact"))
-    n_norm = d.agg(
-        F.count_distinct(doc_fingerprint(F.col("text"))).alias("n_after_normalized")
+    # ONE documents scan for all four counts (total, exact-distinct,
+    # normalized-distinct, short-distinct): separate aggs each re-read
+    # the multi-KB text column. The Expand behind the multi-distinct agg
+    # multiplies rows 4x, but partial distinct collapses each group to
+    # the ~5k distinct texts before the shuffle — far cheaper than three
+    # extra full-corpus scans.
+    counts = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("text").alias("n_after_exact"),
+        F.count_distinct(doc_fingerprint(F.col("text"))).alias(
+            "n_after_normalized"
+        ),
+        F.count_distinct(
+            F.when(
+                F.regexp_count(F.col("text"), F.lit(r"\S+")) < 3, F.col("text")
+            )
+        ).alias("n_short"),
     )
     reps = _lsh_reps(spark, sf_dir)
     pairs = minhash_lsh_candidates(
@@ -566,15 +579,8 @@ def dedup_cascade_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_eligible")
         )
     )
-    short = (
-        d.filter(F.regexp_count(F.col("text"), F.lit(r"\S+")) < 3)
-        .agg(F.count_distinct("text").alias("n_short"))
-    )
     return (
-        n_total.join(F.broadcast(n_exact))
-        .join(F.broadcast(n_norm))
-        .join(F.broadcast(eligible))
-        .join(F.broadcast(short))
+        counts.join(F.broadcast(eligible))
         .select(
             "n_total",
             "n_after_exact",
