@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.multimodal import image_features, sample_frames
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import _per_distinct_text, _spread, _t, query
 
 # DuckDB: hex-nibble slice of md5(text) -> int  (Spark: conv(substr,16,10))
 def _duck_hex_int(start: int, n: int) -> str:
@@ -179,7 +179,7 @@ def media_real_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
+            T.StructField("text", T.StringType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("sum_r", T.LongType()),
@@ -197,15 +197,15 @@ def media_real_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from wopen_spark.media_codecs import png_decode, png_encode
 
         for pdf in batches:
-            ids, ws, hs, rs, gs, bs, hexes = [], [], [], [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            txts, ws, hs, rs, gs, bs, hexes = [], [], [], [], [], [], []
+            for text in pdf["text"]:
                 t = (text or "").encode("utf-8")
                 raw = b"".join(
                     hashlib.md5(t + s).digest() for s in (b"", b"a", b"b")
                 )
                 px = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3)
                 arr = png_decode(png_encode(px))
-                ids.append(int(doc_id))
+                txts.append(text)
                 hs.append(int(arr.shape[0]))
                 ws.append(int(arr.shape[1]))
                 rs.append(int(arr[:, :, 0].sum()))
@@ -214,7 +214,7 @@ def media_real_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hexes.append(arr.tobytes().hex())
             yield pd.DataFrame(
                 {
-                    "media_id": ids,
+                    "text": txts,
                     "width": ws,
                     "height": hs,
                     "sum_r": rs,
@@ -224,7 +224,18 @@ def media_real_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(run, schema).orderBy("media_id")
+    # codec runs once per DISTINCT text (the pixels derive from the text
+    # alone); every clone inherits through the clone-collapse rejoin
+    out = _per_distinct_text(d, lambda t: t.mapInPandas(run, schema))
+    return out.select(
+        F.col("doc_id").alias("media_id"),
+        "width",
+        "height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "pixels_hex",
+    ).orderBy("media_id")
 
 
 @query(
@@ -271,7 +282,7 @@ def media_real_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
+            T.StructField("text", T.StringType()),
             T.StructField("duration_ms", T.LongType()),
             T.StructField("n_windows", T.IntegerType()),
             T.StructField("rms", T.DoubleType()),
@@ -287,8 +298,8 @@ def media_real_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from wopen_spark.media_codecs import audio_window_stats
 
         for pdf in batches:
-            rows = {k: [] for k in ("media_id", "duration_ms", "n_windows", "rms", "peak_window")}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            rows = {k: [] for k in ("text", "duration_ms", "n_windows", "rms", "peak_window")}
+            for text in pdf["text"]:
                 t = (text or "").encode("utf-8")
                 raw = b"".join(
                     hashlib.md5(t + f"w{g}".encode()).digest() for g in range(10)
@@ -304,14 +315,23 @@ def media_real_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     wf.setframerate(8000)
                     wf.writeframes(pcm)
                 dur, n, rms, peak = audio_window_stats(buf.getvalue(), 5)
-                rows["media_id"].append(int(doc_id))
+                rows["text"].append(text)
                 rows["duration_ms"].append(int(dur))
                 rows["n_windows"].append(int(n))
                 rows["rms"].append(round(rms, 6))
                 rows["peak_window"].append(int(peak))
             yield pd.DataFrame(rows)
 
-    return d.mapInPandas(run, schema).orderBy("media_id")
+    # encode+decode once per DISTINCT text — every derived value is a
+    # pure function of the text bytes; clones inherit via the rejoin
+    out = _per_distinct_text(d, lambda t: t.mapInPandas(run, schema))
+    return out.select(
+        F.col("doc_id").alias("media_id"),
+        "duration_ms",
+        "n_windows",
+        "rms",
+        "peak_window",
+    ).orderBy("media_id")
 
 
 @query(
@@ -343,7 +363,7 @@ def media_real_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     schema = T.StructType(
         [
-            T.StructField("media_id", T.LongType()),
+            T.StructField("text", T.StringType()),
             T.StructField("r", T.LongType()),
             T.StructField("g", T.LongType()),
             T.StructField("b", T.LongType()),
@@ -361,8 +381,8 @@ def media_real_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from wopen_spark.jpeg_codec import jpeg_decode, jpeg_encode
 
         for pdf in batches:
-            rows = {k: [] for k in ("media_id", "r", "g", "b", "width", "height", "jpeg_ok")}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            rows = {k: [] for k in ("text", "r", "g", "b", "width", "height", "jpeg_ok")}
+            for text in pdf["text"]:
                 dig = hashlib.md5((text or "").encode("utf-8")).digest()
                 r, g, b = dig[0], dig[1], dig[2]
                 img = np.empty((16, 16, 3), dtype=np.uint8)
@@ -372,7 +392,7 @@ def media_real_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dec.shape == (16, 16, 3)
                     and int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
                 )
-                rows["media_id"].append(int(doc_id))
+                rows["text"].append(text)
                 rows["r"].append(int(r))
                 rows["g"].append(int(g))
                 rows["b"].append(int(b))
@@ -381,4 +401,16 @@ def media_real_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["jpeg_ok"].append(bool(ok))
             yield pd.DataFrame(rows)
 
-    return d.mapInPandas(run, schema).orderBy("media_id")
+    # the pure-Python DCT pipeline is the expensive part — run it once
+    # per DISTINCT text (the image is a function of the text's md5) and
+    # let clones inherit through the clone-collapse rejoin
+    out = _per_distinct_text(d, lambda t: t.mapInPandas(run, schema))
+    return out.select(
+        F.col("doc_id").alias("media_id"),
+        "r",
+        "g",
+        "b",
+        "width",
+        "height",
+        "jpeg_ok",
+    ).orderBy("media_id")
