@@ -391,6 +391,10 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4
     )
     comps = connected_components(pairs, src="id_a", dst="id_b")
+    # materialized ONCE: labeled feeds the survivorship window AND the
+    # final clone rejoin — on lazy lineage each consumer would re-run
+    # the exact-dedup reps aggregate (a full documents scan) again. The
+    # frame is |distinct texts|-sized, cheap to pin.
     labeled = (
         reps.withColumnRenamed("doc_id", "rep_id")
         .join(
@@ -399,6 +403,7 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .withColumn("comp", F.coalesce(F.col("component"), F.col("rep_id")))
+        .localCheckpoint()
     )
     w = Window.partitionBy("comp").orderBy(
         F.desc(F.length("text")), F.asc("rep_id")
