@@ -102,6 +102,22 @@ def _fingerprint(key_cols: list[str]):
 # budget; above it the fingerprint-keyed shuffled join is the safe plan.
 _PER_DISTINCT_BROADCAST_MAX_ROWS = 100_000
 
+# The size-gate count, memoized by the distinct frame's semantic hash:
+# ~20 registered queries gate on the SAME distinct-text set per run, and
+# without the memo each pays one count job (~0.5 s of fixed overhead per
+# query at small SF). The key is plan-derived, so different tables,
+# columns, or sf_dirs never collide; a process restart clears it.
+_PER_DISTINCT_COUNT_CACHE: dict[int, int] = {}
+
+
+def _distinct_count(dk: DataFrame) -> int:
+    h = dk.semanticHash()
+    n = _PER_DISTINCT_COUNT_CACHE.get(h)
+    if n is None:
+        n = dk.count()
+        _PER_DISTINCT_COUNT_CACHE[h] = n
+    return n
+
 
 def _per_distinct(d: DataFrame, key_cols: list[str], build) -> DataFrame:
     """Clone-collapse for per-row functions of a low-cardinality input:
@@ -130,8 +146,9 @@ def _per_distinct(d: DataFrame, key_cols: list[str], build) -> DataFrame:
     (test_clone_collapse_inherit_join_is_broadcast /
     test_clone_collapse_survives_no_broadcast).
     """
-    per = build(d.select(*key_cols).distinct())
-    if per.count() <= _PER_DISTINCT_BROADCAST_MAX_ROWS:
+    dk = d.select(*key_cols).distinct()
+    per = build(dk)
+    if _distinct_count(dk) <= _PER_DISTINCT_BROADCAST_MAX_ROWS:
         return d.join(F.broadcast(per), key_cols)
     fp = _fingerprint(key_cols)
     per_slim = per.withColumn("__fp", fp).drop(*key_cols)
