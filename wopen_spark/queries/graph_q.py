@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from wopen_spark.operators.dedup import minhash_lsh_candidates
 from wopen_spark.operators.graph import connected_components, pagerank
 from wopen_spark.queries.dedup import DUCK_LSH_PAIRS, DUCK_LSH_REPS, _lsh_reps
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import _inherit, _spread, _t, query
 
 
 @query(
@@ -55,11 +55,14 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comps = connected_components(pairs, src="id_a", dst="id_b")
     d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    # gated rejoins (broadcast small / md5-keyed shuffle large): both the
+    # rep and component frames are |distinct texts|-proportional — at
+    # 100 TB that side IS the corpus and a forced broadcast would OOM
+    inherited = _inherit(
+        d, reps.withColumnRenamed("doc_id", "rep_id"), ["text"]
+    )
     return (
-        d.join(F.broadcast(reps.withColumnRenamed("doc_id", "rep_id")), "text")
-        .join(
-            F.broadcast(comps.withColumnRenamed("node", "rep_id")), "rep_id"
-        )
+        _inherit(inherited, comps.withColumnRenamed("node", "rep_id"), ["rep_id"])
         .select("doc_id", "component")
         .orderBy("doc_id")
     )

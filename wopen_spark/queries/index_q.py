@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from wopen_spark.operators.dedup import minhash_lsh_candidates
 from wopen_spark.operators.graph import connected_components
 from wopen_spark.queries.dedup import DUCK_LSH_PAIRS, DUCK_LSH_REPS, _lsh_reps
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import _inherit, _spread, _t, query
 
 _DUCK_W = "regexp_extract_all(lower(text), '\\S+')"
 
@@ -132,8 +132,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
     )
     return (
-        d.select("doc_id", "text")
-        .join(F.broadcast(top), "text")
+        # gate on the cheap distinct-text set: sizing `top` itself would
+        # run the whole tf-idf ranking pipeline once extra (the rank
+        # filter blocks column pruning)
+        _inherit(
+            d.select("doc_id", "text"),
+            top,
+            ["text"],
+            gate=d.select("text").distinct(),
+        )
         .select("doc_id", "token", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
@@ -244,8 +251,7 @@ def near_dup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp_of = comps.withColumnRenamed("node", "rep_id")
     keep_label = F.coalesce(F.col("component"), F.col("rep_id"))
     return (
-        d.join(F.broadcast(rep_of), "text")
-        .join(F.broadcast(comp_of), "rep_id", "left")
+        _inherit(_inherit(d, rep_of, ["text"]), comp_of, ["rep_id"], how="left")
         .select(
             "doc_id",
             keep_label.alias("component"),
@@ -415,8 +421,11 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     return (
-        d.join(F.broadcast(labeled.select("rep_id", "text", "comp")), "text")
-        .join(F.broadcast(surv), "comp")
+        _inherit(
+            _inherit(d, labeled.select("rep_id", "text", "comp"), ["text"]),
+            surv,
+            ["comp"],
+        )
         .select(
             "doc_id",
             "survivor_id",

@@ -15,7 +15,7 @@ from itertools import chain
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import _inherit, _spread, _t, query
 
 _DUCK_W = "regexp_extract_all(lower(text), '\\S+')"
 
@@ -137,8 +137,14 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.select("doc_id", "text")
-        .join(F.broadcast(per_text), "text")
+        _inherit(
+            d.select("doc_id", "text"),
+            per_text,
+            ["text"],
+            # gate on the cheap distinct-text set: sizing per_text itself
+            # would run the whole tf/vocab scoring pipeline once extra
+            gate=d.select("text").distinct(),
+        )
         .select("doc_id", "n_tokens", "avg_logprob")
         .orderBy("doc_id")
     )

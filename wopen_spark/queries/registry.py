@@ -158,3 +158,33 @@ def _per_distinct(d: DataFrame, key_cols: list[str], build) -> DataFrame:
 def _per_distinct_text(d: DataFrame, build) -> DataFrame:
     """``_per_distinct`` specialized to the documents ``text`` column."""
     return _per_distinct(d, ["text"], build)
+
+
+def _inherit(
+    d: DataFrame,
+    per: DataFrame,
+    key_cols: list[str],
+    how: str = "inner",
+    gate: DataFrame | None = None,
+) -> DataFrame:
+    """Gated clone-collapse rejoin for a PRE-BUILT per-key frame (keyed
+    by the distinct key, a handful of rows per key at most — e.g. an
+    aggregate or top-k over distinct texts): same size gate as
+    ``_per_distinct`` — broadcast below the threshold, md5-fingerprint
+    shuffled join above, so a corpus-proportional distinct side can
+    never OOM an executor.
+
+    ``gate`` sizes the broadcast decision (default: count ``per``
+    itself — right when per is checkpointed or a cheap aggregate).
+    When ``per`` is an EXPENSIVE pipeline, pass a same-cardinality
+    cheap frame (e.g. the distinct key set of the source table) so the
+    gate doesn't execute the pipeline once just to size it; the count
+    is memoized by semantic hash either way, so gates sharing a key
+    domain pay one job per process."""
+    if _distinct_count(gate if gate is not None else per) <= (
+        _PER_DISTINCT_BROADCAST_MAX_ROWS
+    ):
+        return d.join(F.broadcast(per), key_cols, how)
+    fp = _fingerprint(key_cols)
+    per_slim = per.withColumn("__fp", fp).drop(*key_cols)
+    return d.withColumn("__fp", fp).join(per_slim, "__fp", how).drop("__fp")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import _inherit, _spread, _t, query
 
 # Patterns accepted identically by Java regex (Spark) and RE2 (DuckDB):
 # character classes, bounded repetition, no lookarounds.
@@ -163,8 +163,7 @@ def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", top.alias("top_word_frac"), dup.alias("dup_bigram_frac")
     )
     return (
-        d.select("doc_id", "text")
-        .join(F.broadcast(metrics), "text")
+        _inherit(d.select("doc_id", "text"), metrics, ["text"])
         .select(
             "doc_id",
             "top_word_frac",
