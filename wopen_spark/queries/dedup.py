@@ -112,19 +112,43 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram Jaccard between consecutive doc ids — a bounded pair set that
-    exercises the similarity kernel without the O(n²) pair space."""
+    exercises the similarity kernel without the O(n²) pair space.
+
+    Shingle sets are computed once per DISTINCT text (clone-collapse) and
+    inherited to docs; the pair join then intersects PRE-BUILT arrays —
+    the inline ngram_jaccard(text_a, text_b) form re-tokenized and
+    re-shingled both texts for every pair (2 evaluations per pair vs one
+    per distinct text)."""
+    from wopen_spark.operators.dedup import _word_shingles
+    from wopen_spark.queries.registry import _inherit
+
     d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
-    a = d.alias("a")
-    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("text_b")).alias("b")
-    return (
-        a.join(b, "doc_id")
+    # the pair join carries 32-byte text FINGERPRINTS, never texts or
+    # shingle arrays; the per-distinct-text shingle sets attach map-side
+    # (gated rejoin) AFTER the adjacency join
+    d2 = d.select("doc_id", F.md5("text").alias("fp"))
+    sh_fp = (
+        d.select("text")
+        .distinct()
         .select(
-            F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 1).alias("id_b"),
-            ngram_jaccard(F.col("text"), F.col("text_b"), n=2).alias("jaccard"),
+            F.md5("text").alias("fp"),
+            _word_shingles(F.col("text"), 2).alias("sh"),
         )
-        .orderBy("id_a")
     )
+    b = d2.select((F.col("doc_id") - 1).alias("doc_id"), F.col("fp").alias("fp_b"))
+    pairs = d2.join(b, "doc_id")
+    sh_b = sh_fp.select(F.col("fp").alias("fp_b"), F.col("sh").alias("sh_b"))
+    both = _inherit(_inherit(pairs, sh_fp, ["fp"]), sh_b, ["fp_b"])
+    inter = F.size(F.array_intersect("sh", "sh_b"))
+    union = F.size(F.array_union("sh", "sh_b"))
+    return both.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+        F.round(
+            inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).orderBy("id_a")
 
 
 # --- scale-path near-dup queries -------------------------------------------
