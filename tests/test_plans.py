@@ -933,3 +933,28 @@ def test_fk_audit_no_forced_fact_broadcast(spark):
     strategies = join_strategies(df)
     assert "BroadcastNestedLoopJoin" not in strategies
     assert "ShuffledHashJoin" in strategies
+
+
+def test_q5_supplier_filter_prunes_fact_before_shuffle(spark):
+    """Q5: the region->nation->supplier chain broadcasts INTO lineitem —
+    the fact's first join is a BroadcastHashJoin (map-side prune), and
+    no SortMergeJoin appears anywhere (shuffled-hash for the fact
+    joins)."""
+    df = _q(spark, "regional_supplier_volume")
+    strategies = join_strategies(df)
+    assert "SortMergeJoin" not in strategies, strategies
+    assert "BroadcastHashJoin" in strategies
+    assert "ShuffledHashJoin" in strategies
+
+
+def test_adjacent_jaccard_join_carries_fingerprints_not_arrays(spark):
+    """The adjacency self-join must exchange only (doc_id, md5) pairs:
+    no shingle-array or text column may appear in any Exchange input
+    schema (arrays attach map-side via the gated rejoin after the
+    join)."""
+    df = _q(spark, "ngram_jaccard_adjacent_docs")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "sh" != m.group(1).split("#")[0], m.group(0)
