@@ -771,3 +771,31 @@ def test_prefix_contained_flags_empty_text(spark):
         r.doc_id: r.is_prefix for r in prefix_contained_flags(only_empty).collect()
     }
     assert got2 == {1: False}
+
+
+def test_inherit_gate_paths_match_raw_join(spark, monkeypatch):
+    """_inherit must produce identical rows on BOTH gate paths (broadcast
+    below threshold, md5-fingerprint shuffled join above), for inner and
+    left joins, including null-key semantics (null keys never match)."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.queries import registry
+    from wopen_spark.queries.registry import _inherit
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a"), (5, "zz")], ["id", "k"]
+    )
+    per = spark.createDataFrame([("a", 10), ("b", 20)], ["k", "v"])
+
+    def rows(df):
+        return {(r.id, r.k, r.v) for r in df.collect()}
+
+    raw_inner = rows(d.join(per, ["k"]))
+    raw_left = rows(d.join(per, ["k"], "left"))
+    for threshold in (100_000, -1):  # broadcast path, then fingerprint path
+        monkeypatch.setattr(registry, "_PER_DISTINCT_BROADCAST_MAX_ROWS", threshold)
+        registry._PER_DISTINCT_COUNT_CACHE.clear()
+        assert rows(_inherit(d, per, ["k"])) == raw_inner
+        assert rows(_inherit(d, per, ["k"], how="left")) == raw_left
+    assert raw_inner == {(1, "a", 10), (3, "b", 20), (4, "a", 10)}
+    assert (2, None, None) in raw_left and (5, "zz", None) in raw_left
