@@ -799,3 +799,33 @@ def test_inherit_gate_paths_match_raw_join(spark, monkeypatch):
         assert rows(_inherit(d, per, ["k"], how="left")) == raw_left
     assert raw_inner == {(1, "a", 10), (3, "b", 20), (4, "a", 10)}
     assert (2, None, None) in raw_left and (5, "zz", None) in raw_left
+
+
+def test_bpe_merge_pair_greedy_semantics(spark):
+    """Greedy left-to-right BPE merge of one (a, b) pair over symbol
+    arrays — the exact cases where a naive string replace goes wrong:
+    chained matches, consumed-right boundaries, and symbols whose text
+    contains the pair's characters ("ab" vs "a","b")."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.functions.text import bpe_merge_pair
+
+    cases = [
+        (["a", "b"], ["ab"]),
+        (["a", "b", "a", "b"], ["ab", "ab"]),          # chained, both merge
+        (["a", "a", "b"], ["a", "ab"]),                 # left run, greedy scan
+        (["a", "b", "b"], ["ab", "b"]),                 # right b NOT re-consumed
+        (["x", "ab", "b"], ["x", "ab", "b"]),           # symbol "ab" != pair start "a"
+        (["b", "a", "b", "a"], ["b", "ab", "a"]),       # interior match only
+        (["c"], ["c"]),                                 # no pair, unchanged
+        ([], []),                                       # empty word
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["i", "sym"])
+    out = {
+        r.i: r.m
+        for r in df.select(
+            "i", bpe_merge_pair(F.col("sym"), F.lit("a"), F.lit("b")).alias("m")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)

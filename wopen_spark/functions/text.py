@@ -144,3 +144,31 @@ def sentiment_score(col: Column) -> Column:
         ).otherwise(0.0),
         6,
     )
+
+
+def bpe_merge_pair(sym: Column, a: Column, b: Column) -> Column:
+    """One BPE merge applied to a symbol array: every adjacent (a, b)
+    occurrence becomes the single symbol a||b, greedy left-to-right.
+
+    Requires a != b (the trainer excludes degenerate same-symbol pairs):
+    then matches can never overlap — a match at i needs sym[i+1] = b,
+    and a match at i+1 would need sym[i+1] = a — so "emit a||b at every
+    pair start, drop every consumed right symbol" IS the greedy scan,
+    expressed as one array transform + filter, zero Python per row.
+    """
+    n = F.size(sym)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.when(
+                (F.get(sym, i) == a) & (i < n - 1) & (F.get(sym, i + 1) == b),
+                F.concat(a, b),
+            )
+            .when(
+                (F.get(sym, i) == b) & (i > 0) & (F.get(sym, i - 1) == a),
+                F.lit(None),
+            )
+            .otherwise(F.get(sym, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )

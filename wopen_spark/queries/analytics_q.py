@@ -3272,3 +3272,76 @@ def supplier_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics — the pre-flight check every 100 TB join/groupBy
+# needs: per-key row counts reduced to cardinality, max/percentile
+# counts, a skew ratio (max over mean), and the heaviest key itself.
+# Two-level shape: one map-combined count shuffle per keyspace, then a
+# single-row reduce; only (key, cnt) pairs ever move. The exact
+# interpolated percentile over the per-key count table is fine up to
+# ~1e8 distinct keys (it gathers one long per key); beyond that swap
+# F.percentile for percentile_approx — the sketch the rest of this
+# module already provides. Feeds the salting / AQE-skew-join decisions
+# pinned in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+def _duck_skew_block(table: str, keycol: str, name: str, c: str, s: str) -> str:
+    return f"""
+    {c} AS (SELECT {keycol} AS key, COUNT(*) AS cnt FROM {table} GROUP BY 1),
+    {s} AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+                   MAX(cnt) AS max_cnt,
+                   round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+                   round(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+            FROM {c})
+    """
+
+
+def _duck_skew_select(name: str, c: str, s: str) -> str:
+    return f"""
+    SELECT '{name}' AS keyspace, n_keys, total_rows, max_cnt, p50_cnt, p99_cnt,
+           round(max_cnt * n_keys / total_rows, 4) AS skew_ratio,
+           (SELECT CAST(MIN(key) AS VARCHAR) FROM {c} WHERE {c}.cnt = {s}.max_cnt) AS top_key
+    FROM {s}
+    """
+
+
+@query(
+    "key_skew_profile",
+    oracle=f"""
+    WITH {_duck_skew_block("events", "user_id", "events.user_id", "c1", "s1")},
+    {_duck_skew_block("events", "event_type", "events.event_type", "c2", "s2")},
+    {_duck_skew_block("lineitem", "l_suppkey", "lineitem.l_suppkey", "c3", "s3")}
+    {_duck_skew_select("events.user_id", "c1", "s1")}
+    UNION ALL {_duck_skew_select("events.event_type", "c2", "s2")}
+    UNION ALL {_duck_skew_select("lineitem.l_suppkey", "c3", "s3")}
+    ORDER BY keyspace
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def prof(df: DataFrame, keycol: str, name: str) -> DataFrame:
+        c = df.groupBy(F.col(keycol).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+        return c.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(F.percentile("cnt", F.lit(0.5)), 4).alias("p50_cnt"),
+            F.round(F.percentile("cnt", F.lit(0.99)), 4).alias("p99_cnt"),
+            F.round(F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 4).alias(
+                "skew_ratio"
+            ),
+            # heaviest key, ties to the smallest in the key's NATIVE order
+            F.min_by(
+                F.col("key").cast("string"),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("key").alias("k")),
+            ).alias("top_key"),
+        ).select(F.lit(name).alias("keyspace"), "*")
+
+    ev = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        prof(ev, "user_id", "events.user_id")
+        .unionByName(prof(ev, "event_type", "events.event_type"))
+        .unionByName(prof(li, "l_suppkey", "lineitem.l_suppkey"))
+        .orderBy("keyspace")
+    )

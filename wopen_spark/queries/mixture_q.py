@@ -357,6 +357,124 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary TRAINING, two merge rounds end-to-end: count adjacent
+# symbol pairs, adopt the most frequent pair as a new vocabulary symbol,
+# re-segment every word, count again. Extends bpe_pair_counts (one
+# counting round) to the actual training loop a tokenizer builder runs.
+# All per-symbol work happens on the DISTINCT-word table weighted by
+# word frequency — millions of rows at 100 TB while the corpus is
+# trillions of tokens — and the argmax pair is a 1-row broadcast into
+# the re-segmentation pass, so each round is one explode + one
+# map-combined pair shuffle. The merge itself is an array transform
+# (greedy left-to-right, non-overlapping): with left != right symbols
+# (degenerate same-symbol merges are excluded, and deterministically so
+# on both engines) adjacent matches can never overlap, so "emit a||b at
+# the pair start, drop the consumed right symbol" reproduces the exact
+# BPE re-segmentation with zero Python in the path.
+# ---------------------------------------------------------------------------
+_DUCK_BPE_PAIRS = """
+  SELECT u.pair, CAST(SUM(w) AS BIGINT) AS cnt
+  FROM (SELECT w, list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1]) AS prs
+        FROM {src} WHERE len(sym) >= 2), unnest(prs) AS u(pair)
+  GROUP BY 1
+"""
+_DUCK_BPE_TOP1 = """
+  SELECT pair, cnt, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+  FROM {src} WHERE split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
+  ORDER BY cnt DESC, pair LIMIT 1
+"""
+
+
+@query(
+    "bpe_train_2merges",
+    oracle=f"""
+    WITH words AS (
+      SELECT t.word AS word, COUNT(*) AS w
+      FROM documents, unnest({_DUCK_W}) AS t(word) GROUP BY 1
+    ),
+    w1 AS (SELECT w, regexp_extract_all(word, '.') AS sym FROM words),
+    p1 AS ({_DUCK_BPE_PAIRS.format(src="w1")}),
+    t1 AS ({_DUCK_BPE_TOP1.format(src="p1")}),
+    w2 AS (
+      SELECT w, list_filter(
+               list_transform(range(1, len(sym) + 1), i ->
+                 CASE WHEN sym[i] = t1.a AND i < len(sym) AND sym[i+1] = t1.b
+                        THEN t1.a || t1.b
+                      WHEN sym[i] = t1.b AND i > 1 AND sym[i-1] = t1.a
+                        THEN NULL
+                      ELSE sym[i] END),
+               x -> x IS NOT NULL) AS sym
+      FROM w1, t1
+    ),
+    p2 AS ({_DUCK_BPE_PAIRS.format(src="w2")}),
+    t2 AS ({_DUCK_BPE_TOP1.format(src="p2")})
+    SELECT 1 AS merge_round, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM t1
+    UNION ALL
+    SELECT 2, a, b, a || b, cnt FROM t2
+    ORDER BY merge_round
+    """,
+)
+def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("w", F.regexp_extract_all("word", F.lit("."), F.lit(0)).alias("sym"))
+        # referenced by round-1 counting AND the round-2 re-segmentation:
+        # materialize the corpus explode + word aggregate once
+        .localCheckpoint(eager=False)
+    )
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        n = F.size("sym")
+        pairs = wdf.filter(n >= 2).select(
+            "w",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat(
+                        F.get("sym", i), F.lit(" "), F.get("sym", i + 1)
+                    ),
+                )
+            ).alias("pair"),
+        )
+        return pairs.groupBy("pair").agg(F.sum("w").alias("cnt"))
+
+    def top1(pc: DataFrame) -> DataFrame:
+        sp = F.split("pair", " ")
+        return (
+            pc.select("pair", "cnt", sp.getItem(0).alias("a"), sp.getItem(1).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+
+    from wopen_spark.functions.text import bpe_merge_pair
+
+    t1 = top1(pair_counts(words))
+    w2 = words.crossJoin(F.broadcast(t1.select("a", "b"))).select(
+        "w", bpe_merge_pair(F.col("sym"), F.col("a"), F.col("b")).alias("sym")
+    )
+    t2 = top1(pair_counts(w2))
+
+    def out(t: DataFrame, rnd: int) -> DataFrame:
+        return t.select(
+            F.lit(rnd).alias("merge_round"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.concat("a", "b").alias("merged"),
+            "cnt",
+        )
+
+    return out(t1, 1).unionByName(out(t2, 2)).orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split (90/5/5) on a salted key hash —
 # reproducible on any engine/partitioning (rand() is not), entirely
 # map-side, and leak-proof: a document's split never changes when the

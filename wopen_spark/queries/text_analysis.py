@@ -518,3 +518,88 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality gate (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 heuristics, thresholds adapted to this
+# corpus): word-count bounds, mean-word-length window, duplicate-word
+# ratio, and stopword presence, combined into a keep/drop verdict with a
+# per-rule failure breakdown by source. Flags are a function of the text
+# alone — computed per DISTINCT text (one regex pass each) and inherited
+# by clones; the per-source rollup then shuffles only booleans. The
+# reference has no quality gate (SURVEY §2 beyond-reference scope); this
+# is the standard pretraining-curation front door.
+# ---------------------------------------------------------------------------
+_STOP_PRESENCE = (
+    "len(list_distinct(regexp_extract_all(text, '\\b(?:"
+    + "|".join(sorted(STOPWORDS))
+    + ")\\b')))"
+)
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             len(regexp_extract_all(text, '\\S+')) AS words,
+             length(regexp_replace(text, '\\s', '', 'g')) AS tokchars,
+             len(list_distinct(regexp_extract_all(text, '\\S+'))) AS dwords,
+             {_STOP_PRESENCE} AS stops
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             (words BETWEEN 30 AND 10000) AS r_wc,
+             (words > 0 AND tokchars::DOUBLE / words BETWEEN 3.0 AND 4.5) AS r_ml,
+             (words > 0 AND dwords::DOUBLE / words >= 0.45) AS r_dup,
+             (stops >= 2) AS r_stop
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM((r_wc AND r_ml AND r_dup AND r_stop)::INT) AS BIGINT) AS n_keep,
+           CAST(SUM((NOT r_wc)::INT) AS BIGINT) AS fail_wordcount,
+           CAST(SUM((NOT r_ml)::INT) AS BIGINT) AS fail_meanlen,
+           CAST(SUM((NOT r_dup)::INT) AS BIGINT) AS fail_dupword,
+           CAST(SUM((NOT r_stop)::INT) AS BIGINT) AS fail_stopword,
+           round(CAST(SUM((r_wc AND r_ml AND r_dup AND r_stop)::INT) AS BIGINT) / COUNT(*), 4) AS keep_rate
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.functions.text import _marker_hits
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    wordsarr = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    words = F.size(wordsarr)
+    tokchars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    dwords = F.size(F.array_distinct(wordsarr))
+    stops = F.size(F.array_distinct(_marker_hits(F.col("text"), STOPWORDS)))
+    ml = tokchars.cast("double") / words
+    dup = dwords.cast("double") / words
+    flagged = _per_distinct_text(
+        d.select("source", "text"),
+        lambda t: t.select(
+            "text",
+            ((words >= 30) & (words <= 10000)).alias("r_wc"),
+            ((words > 0) & (ml >= 3.0) & (ml <= 4.5)).alias("r_ml"),
+            ((words > 0) & (dup >= 0.45)).alias("r_dup"),
+            (stops >= 2).alias("r_stop"),
+        ),
+    )
+    keep = F.col("r_wc") & F.col("r_ml") & F.col("r_dup") & F.col("r_stop")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_keep"),
+            F.sum((~F.col("r_wc")).cast("long")).alias("fail_wordcount"),
+            F.sum((~F.col("r_ml")).cast("long")).alias("fail_meanlen"),
+            F.sum((~F.col("r_dup")).cast("long")).alias("fail_dupword"),
+            F.sum((~F.col("r_stop")).cast("long")).alias("fail_stopword"),
+            F.round(F.sum(keep.cast("long")) / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
