@@ -213,7 +213,13 @@ def near_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def new_trade_edges_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    # date cast once on the 15M orders side (4-byte date through the
+    # shuffles, not an 8-byte timestamp); date_trunc('week') is monotone
+    # non-decreasing, so min(trunc(d)) = trunc(min(d)) — hoisting it
+    # above the MIN runs it once per PAIR, not once per 60M join rows
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_odate")
+    )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # shuffle_hash on the smaller orders side: sort-merge would sort both
     # facts on a key the (ck, sk) aggregate immediately re-hashes anyway
@@ -222,7 +228,7 @@ def new_trade_edges_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
         )
-        .agg(F.min(F.date_trunc("week", F.to_date("o_orderdate"))).alias("wk"))
+        .agg(F.date_trunc("week", F.min("o_odate")).alias("wk"))
     )
     return (
         first_seen.groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"))
