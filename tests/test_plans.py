@@ -958,3 +958,36 @@ def test_adjacent_jaccard_join_carries_fingerprints_not_arrays(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "sh" != m.group(1).split("#")[0], m.group(0)
+
+
+def test_bpe_train_reseg_joins_are_broadcast(spark):
+    """The BPE trainer's 1-row argmax pair must reach the re-segmentation
+    pass as a broadcast (nested-loop on a single row), never a shuffled
+    join against the distinct-word table — and no plain cartesian."""
+    df = _q(spark, "bpe_train_2merges")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+    assert all(s.startswith("Broadcast") for s in strategies), strategies
+
+
+def test_gopher_filter_clone_collapsed_boolean_rollup(spark):
+    """Quality flags compute once per DISTINCT text and clones inherit
+    via broadcast; the per-source rollup then shuffles only booleans
+    (distinct-text agg + source agg + presentation sort)."""
+    df = _q(spark, "gopher_quality_filter")
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SortMergeJoin" not in join_strategies(df)
+    # _spread spreader + distinct-text (partial/final) + source agg + sort
+    assert len(exchanges(df)) <= 5, exchanges(df)
+
+
+def test_key_skew_profile_two_level_aggregates(spark):
+    """Each keyspace is one map-combined count shuffle plus a single-row
+    reduce — no joins, no cartesian, bounded exchanges across all three
+    keyspaces (count + reduce + the correlated top-key lookup)."""
+    df = _q(spark, "key_skew_profile")
+    assert not [
+        s for s in join_strategies(df) if s == "CartesianProduct"
+    ], join_strategies(df)
+    assert len(exchanges(df)) <= 10, exchanges(df)

@@ -182,14 +182,19 @@ def pagerank(
         # persisted hash(a) layout avoids the exchange but NOT the sort,
         # and that sort dominated the sf10 wall clock (~94 s isolated).
         # The hash build is |nodes|/tasks entries per task — bounded.
+        # per-node contribution round(pr_s/outdeg) is a function of the
+        # STATE row alone — compute it once per node before the join
+        # (|nodes| divides per round), not once per edge (|edges|, ~70x
+        # more at sf10); every out-edge of a then just copies c
+        per_node = state.select(
+            "node",
+            F.round(F.col("pr_s").cast("double") / F.col("outdeg"))
+            .cast("long")
+            .alias("c"),
+        )
         contrib = (
-            e.join(state.hint("shuffle_hash"), e["a"] == state["node"])
-            .select(
-                F.col("b"),
-                F.round(F.col("pr_s").cast("double") / F.col("outdeg"))
-                .cast("long")
-                .alias("c"),
-            )
+            e.join(per_node.hint("shuffle_hash"), e["a"] == per_node["node"])
+            .select("b", "c")
             .groupBy("b")
             .agg(F.sum("c").alias("csum"))
         )
