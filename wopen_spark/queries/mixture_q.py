@@ -383,38 +383,41 @@ _DUCK_BPE_TOP1 = """
   FROM {src} WHERE split_part(pair, ' ', 1) <> split_part(pair, ' ', 2)
   ORDER BY cnt DESC, pair LIMIT 1
 """
-
-
-@query(
-    "bpe_train_2merges",
-    oracle=f"""
-    WITH words AS (
+_DUCK_BPE_MERGE = """
+  SELECT word, w, list_filter(
+           list_transform(range(1, len(sym) + 1), i ->
+             CASE WHEN sym[i] = {t}.a AND i < len(sym) AND sym[i+1] = {t}.b
+                    THEN {t}.a || {t}.b
+                  WHEN sym[i] = {t}.b AND i > 1 AND sym[i-1] = {t}.a
+                    THEN NULL
+                  ELSE sym[i] END),
+           x -> x IS NOT NULL) AS sym
+  FROM {src}, {t}
+"""
+# shared training prefix: distinct-word counts -> round-1 pairs/argmax ->
+# re-segmented words -> round-2 pairs/argmax
+_DUCK_BPE_TRAIN = f"""
+    words AS (
       SELECT t.word AS word, COUNT(*) AS w
       FROM documents, unnest({_DUCK_W}) AS t(word) GROUP BY 1
     ),
-    w1 AS (SELECT w, regexp_extract_all(word, '.') AS sym FROM words),
+    w1 AS (SELECT word, w, regexp_extract_all(word, '.') AS sym FROM words),
     p1 AS ({_DUCK_BPE_PAIRS.format(src="w1")}),
     t1 AS ({_DUCK_BPE_TOP1.format(src="p1")}),
-    w2 AS (
-      SELECT w, list_filter(
-               list_transform(range(1, len(sym) + 1), i ->
-                 CASE WHEN sym[i] = t1.a AND i < len(sym) AND sym[i+1] = t1.b
-                        THEN t1.a || t1.b
-                      WHEN sym[i] = t1.b AND i > 1 AND sym[i-1] = t1.a
-                        THEN NULL
-                      ELSE sym[i] END),
-               x -> x IS NOT NULL) AS sym
-      FROM w1, t1
-    ),
+    w2 AS ({_DUCK_BPE_MERGE.format(src="w1", t="t1")}),
     p2 AS ({_DUCK_BPE_PAIRS.format(src="w2")}),
     t2 AS ({_DUCK_BPE_TOP1.format(src="p2")})
-    SELECT 1 AS merge_round, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM t1
-    UNION ALL
-    SELECT 2, a, b, a || b, cnt FROM t2
-    ORDER BY merge_round
-    """,
-)
-def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _bpe_pipeline(spark: SparkSession, sf_dir: str):
+    """Shared two-merge BPE training pipeline: returns
+    (words(word, w, sym), t1(pair, cnt, a, b), w2(word, w, sym), t2).
+    The distinct-word frame is lazily checkpointed — it feeds round-1
+    counting, the re-segmentation, AND any downstream apply step, but
+    the corpus explode + word aggregate runs once."""
+    from wopen_spark.functions.text import bpe_merge_pair
+
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     words = (
         d.select(
@@ -424,9 +427,11 @@ def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("w"))
-        .select("w", F.regexp_extract_all("word", F.lit("."), F.lit(0)).alias("sym"))
-        # referenced by round-1 counting AND the round-2 re-segmentation:
-        # materialize the corpus explode + word aggregate once
+        .select(
+            "word",
+            "w",
+            F.regexp_extract_all("word", F.lit("."), F.lit(0)).alias("sym"),
+        )
         .localCheckpoint(eager=False)
     )
 
@@ -454,13 +459,29 @@ def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
         )
 
-    from wopen_spark.functions.text import bpe_merge_pair
+    def merge(wdf: DataFrame, t: DataFrame) -> DataFrame:
+        return wdf.crossJoin(F.broadcast(t.select("a", "b"))).select(
+            "word", "w", bpe_merge_pair(F.col("sym"), F.col("a"), F.col("b")).alias("sym")
+        )
 
     t1 = top1(pair_counts(words))
-    w2 = words.crossJoin(F.broadcast(t1.select("a", "b"))).select(
-        "w", bpe_merge_pair(F.col("sym"), F.col("a"), F.col("b")).alias("sym")
-    )
+    w2 = merge(words, t1)
     t2 = top1(pair_counts(w2))
+    return words, t1, w2, t2, merge
+
+
+@query(
+    "bpe_train_2merges",
+    oracle=f"""
+    WITH {_DUCK_BPE_TRAIN}
+    SELECT 1 AS merge_round, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM t1
+    UNION ALL
+    SELECT 2, a, b, a || b, cnt FROM t2
+    ORDER BY merge_round
+    """,
+)
+def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, t1, _, t2, _ = _bpe_pipeline(spark, sf_dir)
 
     def out(t: DataFrame, rnd: int) -> DataFrame:
         return t.select(
@@ -472,6 +493,58 @@ def bpe_train_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(t1, 1).unionByName(out(t2, 2)).orderBy("merge_round")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer APPLY — segment the corpus with the trained merges and
+# report compression per source (the metric that decides whether a
+# tokenizer is worth its vocab budget). Per-word token counts come from
+# the distinct-word table after both merges; corpus rows inherit
+# through the gated rejoin (broadcast here; md5-fingerprint shuffle on
+# a 100 TB vocabulary), so the apply step never re-segments per
+# occurrence.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_tokenize_apply",
+    oracle=f"""
+    WITH {_DUCK_BPE_TRAIN},
+    w3 AS ({_DUCK_BPE_MERGE.format(src="w2", t="t2")}),
+    vocab AS (SELECT word, len(sym) AS n_tok FROM w3),
+    corpus AS (
+      SELECT source, t.word AS word FROM documents, unnest({_DUCK_W}) AS t(word)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_words,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tok) AS BIGINT) / COUNT(*), 4) AS avg_tokens_per_word
+    FROM corpus JOIN vocab USING (word)
+    GROUP BY source ORDER BY source
+    """,
+)
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, _, w2, t2, merge = _bpe_pipeline(spark, sf_dir)
+    vocab = merge(w2, t2).select("word", F.size("sym").alias("n_tok"))
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    corpus = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+        ).alias("word"),
+    )
+    # gate on the checkpointed word table (same cardinality as vocab,
+    # already materialized) so sizing never re-runs the training chain
+    return (
+        _inherit(corpus, vocab, ["word"], gate=words)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_words"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens_per_word"
+            ),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------
