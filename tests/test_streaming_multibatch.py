@@ -271,3 +271,59 @@ def test_live_rate_source_windowed_aggregate(spark, tmp_path):
     interior = rows[1:-1]
     assert interior, "need at least one completed interior window"
     assert all(r.n == 50 for r in interior), [(r.ws, r.n) for r in interior]
+
+
+def test_rate_source_continuous_trigger_multibatch(spark, tmp_path):
+    """LIVE unbounded source under a real processing-time trigger — the
+    one mode AvailableNow-over-files never exercises. The windowed
+    aggregate must survive multiple micro-batches of a continuously
+    arriving stream, and its output schema must match the file-stream
+    shape bit-for-bit."""
+    import time
+
+    from wopen_spark.streaming.pipeline import (
+        _state_partitions,
+        rate_stream,
+        windowed_counts,
+    )
+
+    agg = windowed_counts(
+        rate_stream(spark, rows_per_second=500, num_partitions=2),
+        window="2 seconds",
+        watermark="2 seconds",
+    )
+    with _state_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("rate_windowed")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                done = [
+                    p
+                    for p in q.recentProgress
+                    if p["numInputRows"] and p["numInputRows"] > 0
+                ]
+                if len(done) >= 2 and spark.table("rate_windowed").count() > 0:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+    out = spark.table("rate_windowed")
+    assert [f.name for f in out.schema.fields] == [
+        "window_start",
+        "event_type",
+        "n",
+        "total_value",
+    ]
+    rows = out.collect()
+    assert rows, "no windows produced by the live stream"
+    assert len(done) >= 2, "expected >= 2 non-empty micro-batches"
+    # keyed state is deterministic: only the three synthetic types appear
+    assert {r.event_type for r in rows} <= {"click", "view", "purchase"}
+    assert all(r.n > 0 for r in rows)

@@ -364,7 +364,12 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    h = ev.select("event_type", hv.alias("hv")).distinct()
+    # one fact-wide (type, user) distinct shared by the sketch build and
+    # the exact ground truth; hashing runs per distinct pair, not per
+    # event row, and the cheap pair-sized second distinct preserves the
+    # oracle's distinct-after-hash collision semantics
+    tu = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    h = tu.select("event_type", hv.alias("hv")).distinct()
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("hv")
@@ -374,9 +379,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("hv").alias("kth"), F.count(F.lit(1)).alias("k_used"))
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
+    exact = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     est = F.when(
         F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
     ).otherwise(F.round((F.col("k_used") - 1) * _KMV_SCALE / F.col("kth"), 6))

@@ -330,3 +330,34 @@ def available_now_stream_static_join(
         )
         q.awaitTermination(120)
     return spark.table("wopen_stream_static_join")
+
+
+def rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 200,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """LIVE continuous source (the built-in rate source) mapped to the
+    events-table shape — the adapter that makes every downstream shape
+    (watermarked windows, sessionization, joins, sinks) runnable against
+    an unbounded stream with real processing-time triggers, not just
+    AvailableNow over a static file. In production the identical
+    downstream code points at Kafka/Kinesis; the rate source is the
+    zero-dependency stand-in for soak and latency tests. Synthetic
+    fields are deterministic functions of the monotonically increasing
+    ``value``, so assertions on keyed state stay reproducible."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", str(num_partitions))
+    raw = reader.load()
+    types = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 100).alias("user_id"),
+        F.element_at(types, (F.col("value") % 3 + 1).cast("int")).alias("event_type"),
+        (F.col("value") % 50).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
