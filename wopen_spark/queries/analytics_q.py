@@ -3354,3 +3354,97 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof(li, "l_suppkey", "lineitem.l_suppkey"))
         .orderBy("keyspace")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable binned quantile sketch — the 100 TB quantile path the exact
+# per-group F.percentile cannot take (it gathers every value of a group
+# onto one reducer). A 1024-bin equi-width histogram over exact cents
+# is a pure map-combined aggregate: partial histograms merge by bin-wise
+# sum (associative, order-free), so the shape survives any partitioning
+# — and unlike HLL's engine-specific registers, every step here is
+# integer arithmetic both engines reproduce bit-for-bit, making this the
+# ORACLE-MATCHED approximate-quantile contract. Estimates are bin lower
+# edges: deterministic, conservative (<= true quantile by at most one
+# bin width), and exact when a bin holds a single value.
+# ---------------------------------------------------------------------------
+_BQS_QS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+
+@query(
+    "binned_quantile_sketch",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    b AS (
+      SELECT event_type, MIN(cents) AS mn, MAX(cents) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM c GROUP BY 1
+    ),
+    binned AS (
+      SELECT c.event_type, least(1023, ((c.cents - b.mn) * 1024) // (b.mx - b.mn + 1)) AS bin
+      FROM c JOIN b USING (event_type)
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM hist
+    ),
+    qs AS (SELECT * FROM (VALUES {", ".join(f"('{name}', {q})" for name, q in _BQS_QS)}) AS t(q_name, q)),
+    hit AS (
+      SELECT cum.event_type, qs.q_name, b.n, b.mn, b.mx,
+             MIN(cum.bin) AS qbin
+      FROM cum
+      JOIN b USING (event_type)
+      CROSS JOIN qs
+      WHERE cum.cum >= CAST(ceil(qs.q * b.n) AS BIGINT)
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT event_type, q_name, n,
+           CAST(mn + (qbin * (mx - mn + 1)) // 1024 AS DOUBLE) / 100 AS est_value
+    FROM hit ORDER BY event_type, q_name
+    """,
+)
+def binned_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    b = ev.groupBy("event_type").agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # bounds broadcast into the map side; the bin id is pure integer
+    # arithmetic so partial histogram merge is exact on any engine
+    binned = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(1023),
+            F.expr("((cents - mn) * 1024) div (mx - mn + 1)"),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    qs = spark.createDataFrame(_BQS_QS, ["q_name", "q"])
+    hit = (
+        cum.join(F.broadcast(b), "event_type")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .groupBy("event_type", "q_name", "n", "mn", "mx")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return hit.select(
+        "event_type",
+        "q_name",
+        "n",
+        (
+            (F.col("mn") + F.expr("(qbin * (mx - mn + 1)) div 1024")).cast("double")
+            / 100
+        ).alias("est_value"),
+    ).orderBy("event_type", "q_name")
