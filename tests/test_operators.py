@@ -829,3 +829,34 @@ def test_bpe_merge_pair_greedy_semantics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert out[i] == want, (i, out[i], want)
+
+
+def test_binned_quantile_sketch_accuracy_contract(spark):
+    """The sketch's estimate is the lower edge of the bin holding the
+    target rank: it must sit within ONE bin width below the exact
+    rank-order statistic, and be exact when a bin isolates one value."""
+    import math
+
+    from tests.conftest import SF_SMOKE
+    from wopen_spark.queries import QUERIES
+    from wopen_spark.queries.registry import _t
+    from pyspark.sql import functions as F
+
+    out = {
+        (r.event_type, r.q_name): r.est_value
+        for r in QUERIES["binned_quantile_sketch"](spark, SF_SMOKE).collect()
+    }
+    ev = (
+        _t(spark, SF_SMOKE, "events")
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .toPandas()
+    )
+    for etype, grp in ev.groupby("event_type"):
+        cents = sorted(grp["c"])
+        n = len(cents)
+        width = (cents[-1] - cents[0] + 1) / 1024
+        for q_name, q in [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]:
+            exact = cents[int(math.ceil(q * n)) - 1] / 100.0
+            est = out[(etype, q_name)]
+            assert est <= exact + 1e-9, (etype, q_name, est, exact)
+            assert exact - est <= (width + 1) / 100.0, (etype, q_name, est, exact)
