@@ -204,6 +204,78 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time (PIT) join — facts joined to the SCD2 dimension version
+# VALID AT the fact's timestamp, the temporal-warehouse op that
+# complements the event-to-event as-of joins: each purchase attributes
+# to the signup version whose [valid_from, valid_to) interval covers
+# its ts. Scale shape: equi-join on the business key (user_id) with the
+# interval predicate as a residual filter — per-key version chains are
+# short, so the range check never degenerates into a nested loop; the
+# aggregate then collapses to one row per (user, version).
+# ---------------------------------------------------------------------------
+@query(
+    "pit_join_purchases_scd2",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    dim AS (
+      SELECT user_id, event_id AS version_id, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM ev
+    ),
+    pur AS (
+      SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.user_id, d.version_id, (d.valid_to IS NULL) AS is_current,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(p.cents) AS BIGINT) AS total_cents
+    FROM pur p
+    JOIN dim d ON p.user_id = d.user_id
+              AND p.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def pit_join_purchases_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = sign.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        pur.join(
+            dim,
+            (pur.user_id == dim.d_user)
+            & (F.col("p_ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+        )
+        .groupBy(
+            "user_id", "version_id", F.col("valid_to").isNull().alias("is_current")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("user_id", "version_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # S4 SQL-interface parity (SURVEY §2.1: the reference ships .sql files run
 # by BigQuery; the engine's equivalent is spark.sql over registered
 # views). ONE dialect-neutral SQL string is both the Spark query and the
