@@ -1,0 +1,244 @@
+"""SnapshotTable — transaction-log commits, snapshot isolation, time
+travel, optimistic concurrency, file-skipping copy-on-write merge,
+checkpointed log replay, and vacuum.
+
+The key scale assertions: merge rewrites ONLY files that actually
+contain affected keys (others stay byte-identical), stats pruning
+skips files whose key range can't overlap, and log resolution goes
+through checkpoints (O(commits since checkpoint), not O(history)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wopen_spark.snapshot_table import (
+    CHECKPOINT_EVERY,
+    CommitConflictError,
+    SnapshotTable,
+    VacuumedVersionError,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _data_files(t: SnapshotTable) -> dict[str, bytes]:
+    out = {}
+    root = os.path.join(t.path, "data")
+    for sub in os.listdir(root):
+        for name in os.listdir(os.path.join(root, sub)):
+            if name.endswith(".parquet"):
+                with open(os.path.join(root, sub, name), "rb") as f:
+                    out[f"data/{sub}/{name}"] = f.read()
+    return out
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def test_create_append_read_roundtrip(spark, table):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    assert table.create(df1) == 1
+    assert table.append(spark.createDataFrame([(3, "c")], "id long, v string")) == 2
+    assert _rows(table.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert [h["operation"] for h in table.history()] == ["create", "append"]
+
+
+def test_time_travel_and_snapshot_isolation(spark, table):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    snapshot = table.read()  # resolved at v1
+    table.overwrite(spark.createDataFrame([(9, "z")], "id long, v string"))
+    # time travel by version; the pre-overwrite snapshot is unchanged
+    assert _rows(table.read(version=1)) == [(1, "a")]
+    assert _rows(table.read()) == [(9, "z")]
+    assert _rows(snapshot) == [(1, "a")]
+    # time travel by timestamp
+    ts1 = table.history()[0]["ts_unix"]
+    assert _rows(table.read(asof_ts=ts1)) == [(1, "a")]
+
+
+def test_merge_rewrites_only_touched_files(spark, table):
+    mk = lambda lo: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, lo + 10)], "id long, v string"
+    ).coalesce(1)
+    table.create(mk(0))
+    table.append(mk(100))
+    table.append(mk(200))
+    before_manifest = set(table._state()["files"])
+    before_bytes = _data_files(table)
+    assert len(before_manifest) == 3
+
+    # upsert keys 100..104 — only the middle file holds them
+    up = spark.createDataFrame(
+        [(i, "NEW") for i in range(100, 105)], "id long, v string"
+    )
+    report = table.merge(up, "id")
+    assert report["files_rewritten"] == 1
+    # stats pruned the files whose id range can't contain 100..104
+    assert report["files_skipped_by_stats"] == 2
+    after_manifest = set(table._state()["files"])
+    survivors = before_manifest & after_manifest
+    assert len(survivors) == 2  # files 0..9 and 200..209 stay in the manifest
+    after_bytes = _data_files(table)
+    for p in survivors:  # and their bytes were never rewritten in place
+        assert after_bytes[p] == before_bytes[p]
+    got = dict((r["id"], r["v"]) for r in table.read().collect())
+    assert got[100] == "NEW" and got[104] == "NEW"
+    assert got[0] == "v0" and got[200] == "v200" and len(got) == 30
+
+
+def test_merge_inserts_new_keys(spark, table):
+    table.create(
+        spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1)
+    )
+    table.merge(
+        spark.createDataFrame([(1, "A"), (7, "g")], "id long, v string"), "id"
+    )
+    assert _rows(table.read()) == [(1, "A"), (7, "g")]
+
+
+def test_delete_where_copy_on_write(spark, table):
+    mk = lambda lo: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, lo + 5)], "id long, v string"
+    ).coalesce(1)
+    table.create(mk(0))
+    table.append(mk(50))
+    before_manifest = set(table._state()["files"])
+    before_bytes = _data_files(table)
+    report = table.delete_where("id >= 50 and id < 52")
+    assert report["files_rewritten"] == 1
+    survivors = before_manifest & set(table._state()["files"])
+    assert len(survivors) == 1
+    assert _data_files(table)[next(iter(survivors))] == before_bytes[next(iter(survivors))]
+    assert _rows(table.read().select("id")) == [(i,) for i in [0, 1, 2, 3, 4, 52, 53, 54]]
+
+
+def test_append_retries_through_commit_conflict(spark, table):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # another writer lands version 2 between our state load and commit:
+    # simulate by pre-creating the commit file append will target
+    conflict = table._commit_path(2)
+    os.makedirs(table._log_dir, exist_ok=True)
+    with open(conflict, "w") as f:
+        json.dump(
+            {"version": 2, "ts_unix": 0.0, "operation": "append", "add": [], "remove": []},
+            f,
+        )
+    v = table.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert v == 3  # retried against the new head instead of failing
+    assert _rows(table.read().select("id")) == [(1,), (2,)]
+
+
+def test_overwrite_conflict_raises(spark, table, monkeypatch):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    df = spark.createDataFrame([(2, "b")], "id long, v string")
+
+    # a second writer lands a commit BETWEEN overwrite's state load and
+    # its log create — interpose on the data-file write, which happens
+    # exactly in that window
+    real_write = table._write_files
+
+    def write_and_race(df_, cluster_by):
+        head = table.latest_version()
+        with open(table._commit_path(head + 1), "w") as f:
+            json.dump(
+                {"version": head + 1, "ts_unix": 0.0, "operation": "append",
+                 "add": [], "remove": []},
+                f,
+            )
+        return real_write(df_, cluster_by)
+
+    monkeypatch.setattr(table, "_write_files", write_and_race)
+    with pytest.raises(CommitConflictError):
+        table.overwrite(df)
+    # nothing half-committed: the table still reads as the racer left it
+    assert _rows(table.read()) == [(1, "a")]
+
+
+def test_checkpoint_rollup_and_replay(spark, table):
+    table.create(spark.createDataFrame([(0, "x")], "id long, v string"))
+    for i in range(1, CHECKPOINT_EVERY + 2):
+        table.append(spark.createDataFrame([(i, "x")], "id long, v string"))
+    cp = table._checkpoint_path(CHECKPOINT_EVERY)
+    assert os.path.exists(cp), "checkpoint not written at the rollup interval"
+    # state resolution must agree with full-log replay
+    with open(cp) as f:
+        cp_files = {m["path"] for m in json.load(f)["files"]}
+    assert cp_files  # non-empty manifest
+    assert _rows(table.read().select("id")) == [
+        (i,) for i in range(CHECKPOINT_EVERY + 2)
+    ]
+    # a version BEFORE the checkpoint still resolves (replay from scratch)
+    assert _rows(table.read(version=2).select("id")) == [(0,), (1,)]
+
+
+def test_vacuum_removes_unreferenced_files(spark, table):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1))
+    table.overwrite(spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1))
+    assert len(_data_files(table)) == 2  # old file retained for time travel
+    removed = table.vacuum(retain_last=1)
+    assert removed == 1
+    assert _rows(table.read()) == [(2, "b")]  # current version intact
+    with pytest.raises(VacuumedVersionError):
+        table.read(version=1).collect()
+
+
+def test_schema_evolution_additive(spark, table):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    table.append(
+        spark.createDataFrame([(2, "b", 3.5)], "id long, v string, score double")
+    )
+    df = table.read()
+    assert df.columns == ["id", "v", "score"]
+    got = {r["id"]: r["score"] for r in df.collect()}
+    assert got[1] is None and got[2] == 3.5
+    # incompatible type change is rejected
+    with pytest.raises(TypeError):
+        table.append(spark.createDataFrame([("x", "y")], "id string, v string"))
+
+
+def test_empty_create_reads_schema(spark, table):
+    empty = spark.createDataFrame([], "id long, v string")
+    table.create(empty)
+    df = table.read()
+    assert df.columns == ["id", "v"] and df.count() == 0
+
+
+def test_cluster_by_sharpens_file_stats(spark, table):
+    # clustered create: each file covers a narrow id range, so the log's
+    # min/max stats are disjoint across files (the file-skipping premise)
+    df = spark.createDataFrame([(i, "x") for i in range(200)], "id long, v string")
+    table.create(df.repartition(4), cluster_by=["id"])
+    state = table._state()
+    ranges = sorted(
+        (m["stats"]["id"]["min"], m["stats"]["id"]["max"])
+        for m in state["files"].values()
+    )
+    assert len(ranges) >= 2
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, "cluster_by should produce non-overlapping id ranges"
+
+
+def test_compact_then_time_travel(spark, table):
+    for i in range(3):
+        if i == 0:
+            table.create(
+                spark.createDataFrame([(i, "x")], "id long, v string").coalesce(1)
+            )
+        else:
+            table.append(
+                spark.createDataFrame([(i, "x")], "id long, v string").coalesce(1)
+            )
+    report = table.compact(target_files=1)
+    assert report["files_before"] == 3 and report["files_after"] == 1
+    assert _rows(table.read().select("id")) == [(0,), (1,), (2,)]
+    # pre-compaction version still readable (files not vacuumed yet)
+    assert _rows(table.read(version=2).select("id")) == [(0,), (1,)]

@@ -1,0 +1,517 @@
+"""Snapshot table format — a transaction-log ACID layer over parquet.
+
+``Table`` (tables.py) covers the reference's BigQuery surface with
+rename-based swaps; its docstrings say the honest thing: on an object
+store, renames are not a commit protocol. This module supplies the
+format-level answer those docstrings point at — the missing
+"transactional table format" story for the engine — built the way
+Delta Lake / Iceberg build it (public designs), sized for 100 TB:
+
+- **Commit = one atomically-created log file.** Data files are written
+  first (immutable, never renamed, never overwritten); the commit is a
+  single ``O_CREAT|O_EXCL`` create of ``_log/<version>.json`` listing
+  added/removed files. Losers of a race get ``FileExistsError``, not a
+  corrupted table. No directory renames anywhere, so the protocol
+  translates directly to an object store's put-if-absent.
+- **Snapshot isolation + time travel.** A reader resolves a version's
+  file list from the log and reads exactly those files; concurrent
+  commits can't change what it sees. ``read(version=N)`` /
+  ``read(asof_ts=...)`` replay history.
+- **Optimistic concurrency.** ``append`` retries on conflict (appends
+  commute); ``overwrite``/``merge``/``delete_where`` raise
+  ``CommitConflictError`` — the caller decides, nothing is clobbered.
+- **File-level column stats → copy-on-write at file granularity.**
+  Each added file records min/max/null-count per column from parquet
+  FOOTERS (pyarrow metadata — no data read). ``merge``/``delete_where``
+  use key-range stats to skip files that cannot contain affected keys,
+  then an ``input_file_name()`` probe to rewrite ONLY files that
+  actually do: every other file is untouched bytes. O(affected files),
+  not O(table) — the property BigQuery partition loads gave the
+  reference (custom_search_extraction.py:215-218), generalized beyond
+  one partition column.
+- **Log checkpoints.** Every ``CHECKPOINT_EVERY`` commits the full file
+  manifest is rolled up into ``<version>.checkpoint.json``; state
+  resolution replays O(commits since last checkpoint), not O(history).
+- **Vacuum.** Data files referenced by no retained version are deleted;
+  time travel within the retention window keeps working.
+
+Partitioning: partition values stay as ordinary columns; ``cluster_by``
+repartitions on write so each file covers a narrow key range and the
+min==max stats make file skipping as sharp as hive-dir pruning — while
+also pruning on ANY stats column, which hive layouts cannot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHECKPOINT_EVERY = 10
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+class VacuumedVersionError(RuntimeError):
+    """Time travel target references files removed by vacuum."""
+
+
+def _json_safe(v):
+    """Parquet footer stat -> JSON-storable value that compares the same
+    way the column does (ISO dates/timestamps sort lexicographically;
+    bytes decode best-effort)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _file_meta(fs_path: str, rel_path: str) -> dict:
+    """Footer-only add-action metadata: rows, bytes, per-column
+    min/max/nulls. Footer reads are O(row groups), never O(data)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fs_path).metadata
+    stats: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested field — no file-skip stats
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            cur = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            mn, mx = _json_safe(s.min), _json_safe(s.max)
+            if cur["min"] is None or mn < cur["min"]:
+                cur["min"] = mn
+            if cur["max"] is None or mx > cur["max"]:
+                cur["max"] = mx
+            cur["nulls"] += s.null_count or 0
+    return {
+        "path": rel_path,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(fs_path),
+        "stats": stats,
+    }
+
+
+@dataclass
+class SnapshotTable:
+    spark: SparkSession
+    path: str
+
+    # ----------------------------------------------------------- log layer
+
+    @property
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, "_log")
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version:08d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version:08d}.checkpoint.json")
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self._log_dir):
+            return []
+        return sorted(
+            int(f[:8])
+            for f in os.listdir(self._log_dir)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _state(self, version: int | None = None) -> dict:
+        """Resolve {files: {rel_path: meta}, schema, cluster_by, version}
+        at ``version`` (default: latest). Starts from the newest
+        checkpoint <= version, replays commits after it."""
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshot table at {self.path}")
+        target = vs[-1] if version is None else version
+        if target not in vs:
+            raise ValueError(f"version {target} not in log (have {vs[0]}..{vs[-1]})")
+        files: dict[str, dict] = {}
+        state = {"schema": None, "cluster_by": None}
+        start_idx = 0
+        for i in range(len(vs) - 1, -1, -1):  # newest checkpoint <= target
+            if vs[i] <= target and os.path.exists(self._checkpoint_path(vs[i])):
+                with open(self._checkpoint_path(vs[i])) as f:
+                    cp = json.load(f)
+                files = {m["path"]: m for m in cp["files"]}
+                state["schema"] = cp["schema"]
+                state["cluster_by"] = cp.get("cluster_by")
+                start_idx = vs.index(vs[i]) + 1
+                break
+        for v in vs[start_idx:]:
+            if v > target:
+                break
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            for rel in c.get("remove", []):
+                files.pop(rel, None)
+            for m in c.get("add", []):
+                files[m["path"]] = m
+            if c.get("schema") is not None:
+                state["schema"] = c["schema"]
+            if c.get("cluster_by") is not None:
+                state["cluster_by"] = c["cluster_by"]
+        return {"files": files, "version": target, **state}
+
+    def _try_commit(self, version: int, record: dict) -> None:
+        """The atomic publish: O_EXCL create of the next log file. On a
+        POSIX FS this is the whole commit protocol; on an object store
+        the same record goes through put-if-absent."""
+        os.makedirs(self._log_dir, exist_ok=True)
+        record = {"version": version, "ts_unix": time.time(), **record}
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        try:
+            fd = os.open(
+                self._commit_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"version {version} of {self.path} was committed by another writer"
+            ) from None
+        with open(tmp, "rb") as src:
+            os.write(fd, src.read())
+        os.close(fd)
+        os.unlink(tmp)
+        if version % CHECKPOINT_EVERY == 0:
+            st = self._state(version)
+            with open(self._checkpoint_path(version), "w") as f:
+                json.dump(
+                    {
+                        "version": version,
+                        "files": list(st["files"].values()),
+                        "schema": st["schema"],
+                        "cluster_by": st["cluster_by"],
+                    },
+                    f,
+                )
+
+    # ---------------------------------------------------------- data layer
+
+    def _write_files(self, df: DataFrame, cluster_by: list[str] | None) -> list[dict]:
+        """Write immutable data files for one commit into a fresh subdir;
+        return their add-action metadata. Clustering narrows per-file key
+        ranges so stats-based file skipping stays sharp."""
+        if cluster_by:
+            # explicit partition count: carries the incoming parallelism
+            # through the range exchange AND pins it against AQE coalesce,
+            # which would otherwise fold small writes into one wide-range
+            # file and blunt the per-file min/max stats
+            n = max(1, df.rdd.getNumPartitions())
+            df = df.repartitionByRange(n, *[F.col(c) for c in cluster_by])
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        fs_dir = os.path.join(self.path, commit_dir)
+        df.write.mode("overwrite").parquet(fs_dir)
+        adds = []
+        for name in sorted(os.listdir(fs_dir)):
+            if name.endswith(".parquet"):
+                meta = _file_meta(
+                    os.path.join(fs_dir, name), f"{commit_dir}/{name}"
+                )
+                if meta["rows"] == 0:  # empty-partition task output: not
+                    os.unlink(os.path.join(fs_dir, name))  # worth a manifest entry
+                    continue
+                adds.append(meta)
+        return adds
+
+    def _merged_schema(self, state: dict, df: DataFrame) -> dict:
+        """Additive schema evolution: new columns append as nullable;
+        existing columns must keep their type."""
+        current = T.StructType.fromJson(state["schema"])
+        by_name = {f.name: f for f in current.fields}
+        out = list(current.fields)
+        for f in df.schema.fields:
+            if f.name not in by_name:
+                out.append(T.StructField(f.name, f.dataType, True))
+            elif by_name[f.name].dataType != f.dataType:
+                raise TypeError(
+                    f"column {f.name}: incompatible type "
+                    f"{f.dataType.simpleString()} vs existing "
+                    f"{by_name[f.name].dataType.simpleString()}"
+                )
+        return T.StructType(out).jsonValue()
+
+    # ------------------------------------------------------------- writes
+
+    def create(self, df: DataFrame, cluster_by: list[str] | None = None) -> int:
+        """Create the table at version 1 from ``df`` (may be empty — an
+        empty create registers just the schema)."""
+        if self.latest_version() is not None:
+            raise FileExistsError(f"snapshot table already exists at {self.path}")
+        adds = self._write_files(df, cluster_by) if not df.isEmpty() else []
+        self._try_commit(
+            1,
+            {
+                "operation": "create",
+                "schema": df.schema.jsonValue(),
+                "cluster_by": cluster_by,
+                "add": adds,
+                "remove": [],
+            },
+        )
+        return 1
+
+    def append(self, df: DataFrame, max_retries: int = 5) -> int:
+        """Blind append: add-only, so conflicting appends commute — on a
+        lost race the commit retries against the new head (files are
+        already written; only the log create repeats)."""
+        state = self._state()
+        schema = self._merged_schema(state, df)
+        adds = self._write_files(df, state["cluster_by"])
+        for _ in range(max_retries):
+            try:
+                self._try_commit(
+                    state["version"] + 1,
+                    {"operation": "append", "schema": schema, "add": adds, "remove": []},
+                )
+                return state["version"] + 1
+            except CommitConflictError:
+                state = self._state()
+                schema = self._merged_schema(state, df)
+        raise CommitConflictError(
+            f"append to {self.path} lost {max_retries} commit races"
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents. Non-commuting: a lost race raises
+        rather than silently dropping the other writer's commit."""
+        state = self._state()
+        adds = self._write_files(df, state["cluster_by"])
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "overwrite",
+                "schema": df.schema.jsonValue(),
+                "add": adds,
+                "remove": sorted(state["files"]),
+            },
+        )
+        return state["version"] + 1
+
+    def _candidate_files(self, state: dict, keys: list[str], key_df: DataFrame) -> tuple[list[str], list[str]]:
+        """Stats pruning: files whose per-column [min,max] ranges overlap
+        the incoming keys' ranges. Returns (candidates, skipped)."""
+        bounds = key_df.agg(
+            *[F.min(k).alias(f"mn_{k}") for k in keys],
+            *[F.max(k).alias(f"mx_{k}") for k in keys],
+        ).collect()[0]
+        candidates, skipped = [], []
+        for rel, meta in state["files"].items():
+            overlap = True
+            for k in keys:
+                s = meta.get("stats", {}).get(k)
+                mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
+                if s is None or s["min"] is None or mn is None:
+                    continue  # no stats -> cannot skip
+                mn, mx = _json_safe(mn), _json_safe(mx)
+                if s["max"] < mn or s["min"] > mx:
+                    overlap = False
+                    break
+            (candidates if overlap else skipped).append(rel)
+        return candidates, skipped
+
+    def _rel_path(self, file_uri: str) -> str:
+        """input_file_name() URI -> log-relative data file path."""
+        p = unquote(urlparse(file_uri).path) if "://" in file_uri or file_uri.startswith("file:") else file_uri
+        return os.path.relpath(p, os.path.abspath(self.path))
+
+    def _read_files(self, rels: list[str], schema_json: dict) -> DataFrame:
+        schema = T.StructType.fromJson(schema_json)
+        paths = [os.path.join(self.path, r) for r in rels]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def merge(self, df: DataFrame, key: str | list[str]) -> dict:
+        """Keyed upsert, copy-on-write at file granularity: stats-skip
+        files outside the incoming key range, probe the rest with
+        ``input_file_name()`` for ACTUAL key hits, rewrite only hit
+        files (minus matched rows, plus all incoming rows). Every
+        non-hit file survives as untouched bytes. Returns a report of
+        what the pruning did — silent caps are how scale bugs hide."""
+        keys = [key] if isinstance(key, str) else list(key)
+        state = self._state()
+        new_rows = df
+        key_df = new_rows.select(*keys).distinct()
+        candidates, skipped = self._candidate_files(state, keys, key_df)
+        touched: list[str] = []
+        if candidates:
+            probe = (
+                self._read_files(candidates, state["schema"])
+                .withColumn("__file", F.input_file_name())
+                .join(F.broadcast(key_df), keys, "left_semi")
+                .select("__file")
+                .distinct()
+            )
+            touched = sorted(self._rel_path(r["__file"]) for r in probe.collect())
+        adds: list[dict] = []
+        if touched:
+            kept = self._read_files(touched, state["schema"]).join(
+                F.broadcast(key_df), keys, "left_anti"
+            )
+            merged = kept.unionByName(new_rows, allowMissingColumns=True)
+        else:
+            merged = new_rows
+        adds = self._write_files(merged, state["cluster_by"])
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "merge",
+                "schema": self._merged_schema(state, df),
+                "add": adds,
+                "remove": touched,
+            },
+        )
+        return {
+            "version": state["version"] + 1,
+            "files_total": len(state["files"]),
+            "files_skipped_by_stats": len(skipped),
+            "files_probed": len(candidates),
+            "files_rewritten": len(touched),
+        }
+
+    def delete_where(self, predicate_sql: str) -> dict:
+        """Copy-on-write delete: probe files for rows matching the
+        predicate, rewrite only those files without the matching rows."""
+        state = self._state()
+        all_files = sorted(state["files"])
+        probe = (
+            self._read_files(all_files, state["schema"])
+            .withColumn("__file", F.input_file_name())
+            .filter(F.expr(predicate_sql))
+            .select("__file")
+            .distinct()
+        )
+        touched = sorted(self._rel_path(r["__file"]) for r in probe.collect())
+        adds = []
+        if touched:
+            kept = self._read_files(touched, state["schema"]).filter(
+                ~F.expr(predicate_sql)
+            )
+            adds = self._write_files(kept, state["cluster_by"])
+        self._try_commit(
+            state["version"] + 1,
+            {"operation": "delete", "add": adds, "remove": touched},
+        )
+        return {
+            "version": state["version"] + 1,
+            "files_total": len(all_files),
+            "files_rewritten": len(touched),
+        }
+
+    # -------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None, asof_ts: float | None = None) -> DataFrame:
+        """Snapshot read; ``version``/``asof_ts`` time-travel. The file
+        list is resolved once from the log — concurrent commits cannot
+        change what this DataFrame sees."""
+        if asof_ts is not None:
+            version = self._version_asof(asof_ts)
+        state = self._state(version)
+        missing = [
+            r for r in state["files"]
+            if not os.path.exists(os.path.join(self.path, r))
+        ]
+        if missing:
+            raise VacuumedVersionError(
+                f"version {state['version']} references {len(missing)} vacuumed "
+                f"file(s); earliest retained version is newer"
+            )
+        return self._read_files(sorted(state["files"]), state["schema"])
+
+    def _version_asof(self, ts: float) -> int:
+        best = None
+        for v in self._versions():
+            with open(self._commit_path(v)) as f:
+                if json.load(f)["ts_unix"] <= ts:
+                    best = v
+        if best is None:
+            raise ValueError(f"no commit at or before ts {ts}")
+        return best
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self._versions():
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            out.append(
+                {
+                    "version": v,
+                    "ts_unix": c["ts_unix"],
+                    "operation": c.get("operation"),
+                    "n_added": len(c.get("add", [])),
+                    "n_removed": len(c.get("remove", [])),
+                }
+            )
+        return out
+
+    # -------------------------------------------------------- maintenance
+
+    def compact(self, target_files: int = 1) -> dict:
+        """Rewrite the current snapshot into ``target_files`` files — a
+        normal commit, so time travel to pre-compaction versions still
+        works until vacuum."""
+        state = self._state()
+        df = self._read_files(sorted(state["files"]), state["schema"])
+        adds = self._write_files(df.coalesce(target_files), state["cluster_by"])
+        self._try_commit(
+            state["version"] + 1,
+            {"operation": "compact", "add": adds, "remove": sorted(state["files"])},
+        )
+        return {
+            "version": state["version"] + 1,
+            "files_before": len(state["files"]),
+            "files_after": len(adds),
+        }
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files referenced by none of the last
+        ``retain_last`` versions; returns the number deleted. Time
+        travel inside the retention window keeps working; older
+        versions raise VacuumedVersionError on read."""
+        vs = self._versions()
+        retained: set[str] = set()
+        for v in vs[-retain_last:]:
+            retained.update(self._state(v)["files"])
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return 0
+        for sub in os.listdir(data_root):
+            subdir = os.path.join(data_root, sub)
+            for name in os.listdir(subdir):
+                rel = f"data/{sub}/{name}"
+                if name.endswith(".parquet") and rel not in retained:
+                    os.unlink(os.path.join(subdir, name))
+                    removed += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(subdir)):
+                shutil.rmtree(subdir, ignore_errors=True)
+        return removed
