@@ -279,26 +279,76 @@ class SnapshotTable:
         )
         return 1
 
-    def append(self, df: DataFrame, max_retries: int = 5) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 5,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """Blind append: add-only, so conflicting appends commute — on a
         lost race the commit retries against the new head (files are
-        already written; only the log create repeats)."""
+        already written; only the log create repeats).
+
+        ``txn_app``/``txn_version`` make the append IDEMPOTENT for
+        exactly-once streaming sinks (the Delta ``txnAppId/txnVersion``
+        pattern): if a commit from the same app with an equal-or-newer
+        version is already in the log, the append is a no-op — so a
+        ``foreachBatch`` writer that passes the epoch id can replay a
+        failed micro-batch without duplicating rows."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be passed together")
         state = self._state()
+        if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
+            return state["version"]  # replayed batch: already committed
         schema = self._merged_schema(state, df)
         adds = self._write_files(df, state["cluster_by"])
+        txn = {"txn_app": txn_app, "txn_version": txn_version} if txn_app else {}
         for _ in range(max_retries):
             try:
                 self._try_commit(
                     state["version"] + 1,
-                    {"operation": "append", "schema": schema, "add": adds, "remove": []},
+                    {"operation": "append", "schema": schema, "add": adds,
+                     "remove": [], **txn},
                 )
                 return state["version"] + 1
             except CommitConflictError:
                 state = self._state()
+                if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
+                    return state["version"]  # the racer WAS our replay
                 schema = self._merged_schema(state, df)
         raise CommitConflictError(
             f"append to {self.path} lost {max_retries} commit races"
         )
+
+    def _txn_seen(self, app: str, version: int, state: dict) -> bool:
+        """Has ``app`` already committed transaction ``version`` (or newer)
+        at or before ``state['version']``? Scans the log once; commits are
+        tiny JSON so this is O(commits), bounded by vacuumable history."""
+        for v in self._versions():
+            if v > state["version"]:
+                break
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            if c.get("txn_app") == app and c.get("txn_version", -1) >= version:
+                return True
+        return False
+
+    def streaming_sink(self, txn_app: str):
+        """A ``foreachBatch`` callable with exactly-once semantics: the
+        micro-batch epoch id becomes the transaction version, so replayed
+        epochs (post-crash re-delivery) commit nothing.
+
+        Usage::
+
+            q = (df.writeStream.foreachBatch(table.streaming_sink("job1"))
+                   .option("checkpointLocation", ...).start())
+        """
+
+        def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.append(batch_df, txn_app=txn_app, txn_version=epoch_id)
+
+        return _sink
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents. Non-commuting: a lost race raises
@@ -456,6 +506,59 @@ class SnapshotTable:
         if best is None:
             raise ValueError(f"no commit at or before ts {ts}")
         return best
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed over ``(from_version, to_version]``: every row
+        added by a commit in the range appears with ``_change_type =
+        'insert'``, every row whose file a commit removed appears as
+        ``'delete'``, each tagged with ``_commit_version``. A merge's
+        rewritten rows therefore show as delete + insert (standard CDF
+        semantics — downstream consumers fold them by key).
+
+        This is how an incremental pipeline consumes the table without
+        rescanning it: O(files changed in the range), never O(table).
+        Requires the range's files to not be vacuumed."""
+        head = self.latest_version()
+        to_version = head if to_version is None else to_version
+        if from_version > to_version:
+            raise ValueError(f"empty change range ({from_version}, {to_version}]")
+        state = self._state(to_version)  # latest schema covers all files
+        schema = state["schema"]
+        parts: list[DataFrame] = []
+        for v in self._versions():
+            if not (from_version < v <= to_version):
+                continue
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            for change_type, rels in (
+                ("insert", [m["path"] for m in c.get("add", [])]),
+                ("delete", c.get("remove", [])),
+            ):
+                missing = [
+                    r for r in rels
+                    if not os.path.exists(os.path.join(self.path, r))
+                ]
+                if missing:
+                    raise VacuumedVersionError(
+                        f"change feed for version {v} references "
+                        f"{len(missing)} vacuumed file(s)"
+                    )
+                if rels:
+                    parts.append(
+                        self._read_files(rels, schema)
+                        .withColumn("_change_type", F.lit(change_type))
+                        .withColumn("_commit_version", F.lit(v))
+                    )
+        if not parts:
+            base = T.StructType.fromJson(schema)
+            base = base.add("_change_type", T.StringType()).add(
+                "_commit_version", T.IntegerType()
+            )
+            return self.spark.createDataFrame([], base)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def history(self) -> list[dict]:
         out = []
