@@ -227,6 +227,56 @@ def test_cluster_by_sharpens_file_stats(spark, table):
         assert hi < lo, "cluster_by should produce non-overlapping id ranges"
 
 
+def test_zorder_tightens_stats_on_both_columns(spark, table):
+    """100x100 grid ingested row-major: natural layout is tight on y,
+    full-width on x. After Z-ordering on (x, y), every file's footer
+    stats must be tight on BOTH columns — the multi-key data-skipping
+    property single-column clustering cannot give."""
+    rows = [(i % 100, i // 100) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    table.create(df.repartition(8))  # unclustered: files span full x range
+
+    report = table.optimize_zorder(["x", "y"], target_files=16, bits_per_col=4)
+    assert report["files_after"] >= 8
+    state = table._state()
+    widths_x, widths_y = [], []
+    for m in state["files"].values():
+        sx, sy = m["stats"]["x"], m["stats"]["y"]
+        widths_x.append(sx["max"] - sx["min"])
+        widths_y.append(sy["max"] - sy["min"])
+    # files are narrow on both dimensions (domain width is 99): a file
+    # whose z-range crosses a top-order bit legitimately spans wide, so
+    # assert the distribution, not the max
+    for widths in (widths_x, widths_y):
+        assert sum(widths) / len(widths) <= 55, (widths_x, widths_y)
+        assert sum(1 for w in widths if w > 60) <= 2, (widths_x, widths_y)
+    # and stats pruning now works on EITHER column: a narrow key range
+    # on x alone (and on y alone) each skips most files
+    key_x = spark.createDataFrame([(1,)], "x long")
+    cand_x, skip_x = table._candidate_files(state, ["x"], key_x)
+    key_y = spark.createDataFrame([(1,)], "y long")
+    cand_y, skip_y = table._candidate_files(state, ["y"], key_y)
+    assert len(skip_x) >= len(state["files"]) // 2
+    assert len(skip_y) >= len(state["files"]) // 2
+    # contents unchanged by the rewrite
+    assert table.read().count() == 10_000
+
+
+def test_read_where_prunes_files_and_stays_exact(spark, table):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string")
+    table.create(df.repartition(4), cluster_by=["id"])
+    got, report = table.read_where({"id": (10, 19)})
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 20))
+    assert report["files_skipped_by_stats"] >= 2  # narrow range, 4 ranged files
+    # open-ended bound
+    got2, rep2 = table.read_where({"id": (90, None)})
+    assert got2.count() == 10 and rep2["files_read"] < rep2["files_total"]
+    # pruning respects time travel
+    table.overwrite(spark.createDataFrame([(500, "z")], "id long, v string").coalesce(1))
+    got3, _ = table.read_where({"id": (10, 19)}, version=1)
+    assert got3.count() == 10
+
+
 def test_compact_then_time_travel(spark, table):
     for i in range(3):
         if i == 0:

@@ -497,6 +497,46 @@ class SnapshotTable:
             )
         return self._read_files(sorted(state["files"]), state["schema"])
 
+    def read_where(
+        self, ranges: dict[str, tuple], version: int | None = None
+    ) -> tuple[DataFrame, dict]:
+        """Stats-pruned scan: ``ranges`` maps column -> (lo, hi) bounds
+        (either side None for open). Files whose footer min/max cannot
+        intersect every bound are never opened — the same file skipping
+        merge/delete use, exposed to readers. The residual filter is
+        still applied, so the result is exact regardless of stats.
+        Returns (DataFrame, report) — the report says what was skipped,
+        because a silent cap looks like full coverage."""
+        state = self._state(version)
+        keep, skipped = [], 0
+        for rel, meta in state["files"].items():
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                s = meta.get("stats", {}).get(c)
+                if s is None or s["min"] is None:
+                    continue  # no stats -> must read
+                if hi is not None and s["min"] > _json_safe(hi):
+                    ok = False
+                    break
+                if lo is not None and s["max"] < _json_safe(lo):
+                    ok = False
+                    break
+            if ok:
+                keep.append(rel)
+            else:
+                skipped += 1
+        df = self._read_files(sorted(keep), state["schema"])
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df, {
+            "files_total": len(state["files"]),
+            "files_read": len(keep),
+            "files_skipped_by_stats": skipped,
+        }
+
     def _version_asof(self, ts: float) -> int:
         best = None
         for v in self._versions():
@@ -593,6 +633,75 @@ class SnapshotTable:
             "version": state["version"] + 1,
             "files_before": len(state["files"]),
             "files_after": len(adds),
+        }
+
+    def optimize_zorder(
+        self, cols: list[str], target_files: int = 8, bits_per_col: int = 8
+    ) -> dict:
+        """Z-order rewrite: re-cluster the current snapshot so per-file
+        min/max footer stats are tight on EVERY listed column at once —
+        single-column range clustering can only serve one key; Z-ordering
+        serves merge/delete/scan pruning on any of them (the public
+        Delta/Iceberg OPTIMIZE ZORDER design).
+
+        Scale shape: per-column bucket boundaries come from
+        ``approxQuantile`` (sampled, one pass, driver gets only
+        2^bits_per_col numbers per column); rows map to buckets with a
+        binary-search expression, bucket ids bit-interleave into the
+        z-value, and ONE range exchange on the z-value lays files out.
+        No global window, no driver materialization — O(n) map work plus
+        the same shuffle a plain compaction would pay."""
+        from pyspark.ml.feature import Bucketizer
+
+        state = self._state()
+        df = self._read_files(sorted(state["files"]), state["schema"])
+        n_buckets = 1 << bits_per_col
+        # one double-valued shadow column per z-column (strings hash
+        # first); ONE sampled approxQuantile pass covers all of them
+        dtypes = dict(df.dtypes)
+        work = df
+        for c in cols:
+            src = (
+                F.xxhash64(F.col(c))
+                if dtypes[c] in ("string", "binary")
+                else F.col(c)
+            )
+            work = work.withColumn(f"_v_{c}", src.cast("double"))
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        quantiles = work.approxQuantile([f"_v_{c}" for c in cols], probs, 0.01)
+        for c, qs in zip(cols, quantiles):
+            splits = [float("-inf"), *sorted(set(qs)), float("inf")]
+            work = Bucketizer(  # JVM binary search per row — O(log buckets)
+                splits=splits,
+                inputCol=f"_v_{c}",
+                outputCol=f"_b_{c}",
+                handleInvalid="keep",  # nulls -> overflow bucket, clamped below
+            ).transform(work)
+            work = work.withColumn(
+                f"_b_{c}",
+                F.least(F.col(f"_b_{c}").cast("int"), F.lit(n_buckets - 1)),
+            )
+        # interleave the bucket bits, most significant first
+        z = F.lit(0).cast("long")
+        for bit in range(bits_per_col - 1, -1, -1):
+            for c in cols:
+                z = (z * 2) + F.shiftright(F.col(f"_b_{c}"), bit).bitwiseAND(1)
+        clustered = (
+            work.withColumn("_z", z)
+            .repartitionByRange(target_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .select(*df.columns)
+        )
+        adds = self._write_files(clustered, None)
+        self._try_commit(
+            state["version"] + 1,
+            {"operation": "zorder", "add": adds, "remove": sorted(state["files"])},
+        )
+        return {
+            "version": state["version"] + 1,
+            "files_before": len(state["files"]),
+            "files_after": len(adds),
+            "zorder_by": cols,
         }
 
     def vacuum(self, retain_last: int = 1) -> int:
