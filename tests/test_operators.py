@@ -860,3 +860,51 @@ def test_binned_quantile_sketch_accuracy_contract(spark):
             est = out[(etype, q_name)]
             assert est <= exact + 1e-9, (etype, q_name, est, exact)
             assert exact - est <= (width + 1) / 100.0, (etype, q_name, est, exact)
+
+
+def test_prefix_filter_similarity_join_exact_recall(spark):
+    """Prefix filtering must return EVERY pair >= threshold (exactness is
+    the operator's whole value vs LSH) — checked against brute force on a
+    corpus with a known near-dup, an exact clone, and unrelated docs."""
+    from itertools import combinations
+
+    from wopen_spark.operators.dedup import prefix_filter_similarity_join
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy cat tonight",  # near-dup of 1
+        3: "the quick brown fox jumps over the lazy dog tonight",  # clone of 1
+        4: "completely different words about spark shuffles and joins",
+        5: "another unrelated document mentioning parquet footers only",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_similarity_join(
+            df, threshold=0.3, shingle_size=2
+        ).collect()
+    }
+
+    def jac(a, b):
+        sa = {f"{x} {y}" for x, y in zip(a.split(), a.split()[1:])}
+        sb = {f"{x} {y}" for x, y in zip(b.split(), b.split()[1:])}
+        return len(sa & sb) / len(sa | sb)
+
+    want = {
+        (i, j): jac(texts[i], texts[j])
+        for i, j in combinations(sorted(texts), 2)
+        if jac(texts[i], texts[j]) >= 0.3
+    }
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12
+    assert got[(1, 3)] == 1.0  # the clone pair survives end to end
+
+
+def test_prefix_filter_join_has_no_cartesian(spark):
+    from wopen_spark.queries import QUERIES
+
+    from tests.test_plans import join_strategies
+
+    df = QUERIES["prefix_filter_jaccard_pairs"](spark, "/root/testdata/sf0.001")
+    assert "CartesianProduct" not in join_strategies(df)

@@ -252,6 +252,122 @@ def prefix_contained_flags(
     )
 
 
+def prefix_filter_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_size: int = 2,
+) -> DataFrame:
+    """All-pairs set-similarity self-join with PREFIX FILTERING — the
+    exact-answer complement to MinHash+LSH (which is probabilistic).
+    Returns (id_a, id_b, jaccard) for every pair with word-shingle
+    Jaccard >= ``threshold``.
+
+    Prefix-filter lemma (SSJoin/PPJoin, public literature): order every
+    document's tokens by one global rank (ascending frequency — rarest
+    first, so prefixes are maximally selective); if J(A,B) >= t, then A
+    and B share at least one token among each one's first
+    ``|T| - ceil(t*|T|) + 1`` tokens. Candidates therefore come from an
+    equi-join on PREFIX tokens only, and the exact Jaccard verification
+    touches candidates, never the O(n²) pair space.
+
+    Scale shape: token-frequency count (one shuffle on token), rank
+    join back (same key; hot common tokens are exactly the ones prefix
+    selection then discards — AQE skew-join handles the join itself),
+    per-doc re-assembly (one shuffle on id), prefix explode bounded by
+    (1-t)|T|+1 tokens per doc, candidate equi-join on rare tokens, and
+    a size-ratio filter (min >= t*max, a J-upper-bound) cuts candidates
+    before verification. On a cloned corpus run this per DISTINCT text
+    and rejoin (the clone-collapse pattern used throughout queries/).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        _word_shingles(F.col(text_col), shingle_size).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    # one row per doc with its shingle array — consumed three times
+    # (frequency count, prefix build, verification); materialize so the
+    # shingle construction runs once, not per consumer
+    toks = toks.withColumn("_sz", F.size("_toks")).localCheckpoint()
+
+    freq = (
+        toks.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    # global order (rarest first, token as tiebreak) -> per-doc sorted
+    # token array; prefix = the first (sz - ceil(t*sz) + 1) entries
+    ranked = (
+        toks.select("_id", "_sz", F.explode("_toks").alias("_tok"))
+        .join(freq, "_tok")
+        .groupBy("_id", "_sz")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_freq"), F.col("_tok")))
+            ).alias("_ordered")
+        )
+        .withColumn(
+            "_prefix",
+            F.slice(
+                F.col("_ordered._tok"),
+                1,
+                (F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1).cast(
+                    "int"
+                ),
+            ),
+        )
+        .select("_id", "_sz", F.explode("_prefix").alias("_tok"))
+        # both sides of the candidate self-join read this — materialize
+        # so the freq-join/sort pipeline doesn't run twice
+        .localCheckpoint()
+    )
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            # J <= min(|A|,|B|)/max(|A|,|B|): size-ratio pre-filter
+            & (
+                F.least("a._sz", "b._sz")
+                >= F.ceil(F.lit(threshold) * F.greatest("a._sz", "b._sz"))
+            ),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        # NOT distinct here: deduping the candidate stream is a full
+        # shuffle of |candidates| rows; verifying duplicates costs only
+        # the extra intersects and the final distinct then runs on the
+        # (tiny) surviving pair set instead
+    )
+    sets = toks.select("_id", "_toks", "_sz")
+    return (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_toks").alias("_ta"),
+                F.col("_sz").alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_toks").alias("_tb"),
+                F.col("_sz").alias("_sb"),
+            ),
+            "id_b",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sa") + F.col("_sb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )
+
+
 def ngram_containment(a: Column, b: Column, n: int = 2) -> Column:
     """Word n-gram CONTAINMENT of ``a`` in ``b``: |A ∩ B| / |A|, rounded
     to 6 decimals. The asymmetric complement of :func:`ngram_jaccard` —

@@ -758,3 +758,52 @@ def cross_source_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), "src_a", "src_b")
     )
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+      FROM words, LATERAL unnest(range(1, len(w) - 1)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs near-dup join via prefix filtering (SSJoin/PPJoin
+    family) — the deterministic complement to the MinHash+LSH pipeline:
+    LSH can miss pairs (probabilistic recall); prefix filtering returns
+    every pair with trigram-shingle Jaccard >= 0.5, provably, while still
+    never materializing the O(n²) pair space (candidates come from an
+    equi-join on rarest-prefix tokens + a size-ratio bound; exact
+    verification runs only on candidates). The oracle is a brute-force
+    exact Jaccard over co-occurring-token pairs — if the prefix filter
+    dropped a true pair, the hash comparison would catch it.
+    """
+    from wopen_spark.operators.dedup import prefix_filter_similarity_join
+
+    return prefix_filter_similarity_join(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+        shingle_size=3,  # trigram vocab is ~30x bigram's on this corpus,
+        # so prefix tokens are rare and the candidate join stays sparse
+    ).orderBy("id_a", "id_b")
