@@ -417,7 +417,10 @@ class SnapshotTable:
             probe = (
                 self._read_files(candidates, state["schema"])
                 .withColumn("__file", F.input_file_name())
-                .join(F.broadcast(key_df), keys, "left_semi")
+                # no forced broadcast: a bulk upsert's key set is
+                # upsert-sized, not small by contract — AQE broadcasts
+                # when it actually fits, else this is a shuffled semi
+                .join(key_df, keys, "left_semi")
                 .select("__file")
                 .distinct()
             )
@@ -425,7 +428,7 @@ class SnapshotTable:
         adds: list[dict] = []
         if touched:
             kept = self._read_files(touched, state["schema"]).join(
-                F.broadcast(key_df), keys, "left_anti"
+                key_df, keys, "left_anti"  # AQE-sized, same reason as the probe
             )
             merged = kept.unionByName(new_rows, allowMissingColumns=True)
         else:
