@@ -223,3 +223,51 @@ def pagerank(
     return state.select(
         "node", (F.col("pr_s").cast("double") / factor).alias("rank")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    start: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Breadth-first frontier expansion: (node, hops) = minimum number of
+    directed edges from any ``start`` node, for every node within
+    ``max_hops``. The third iterative graph shape next to
+    connected_components (label convergence) and pagerank (fixed-point
+    scores): BFS state is a growing visited set with a shrinking frontier.
+
+    Scale shape: each hop is ONE equi-join of the frontier against the
+    edge list on ``src`` plus an anti-join against the visited set —
+    |frontier x out-degree| work, never |nodes|²; the edge list is
+    hash-partitioned on the join key and persisted once, so rounds probe
+    a cached layout instead of re-exchanging (the pagerank/CC loop
+    contract). Early exit when the frontier drains (a tiny convergence
+    witness per round, the same count-style trigger CC uses).
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition("_s")
+        .persist()
+    )
+    visited = start.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("hops")
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == F.col("_s"))
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()  # truncate lineage; frontier is tiny vs edges
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()  # single-caller invariant, fact-derived: release it
+    return visited

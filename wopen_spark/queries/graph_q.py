@@ -235,3 +235,95 @@ def new_trade_edges_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_new_edges"))
         .orderBy("week")
     )
+
+
+_TRADE_EDGE_CENTS = 800_000_000  # >= 8M revenue makes a trade-route edge
+
+
+@query(
+    "bfs_trade_route_hops",
+    oracle=f"""
+    WITH RECURSIVE rev AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst,
+             SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM customer c
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst FROM rev WHERE cents >= {_TRADE_EDGE_CENTS}
+    ),
+    start AS (
+      SELECT src AS node FROM rev
+      GROUP BY src ORDER BY SUM(cents) DESC, src LIMIT 1
+    ),
+    bfs AS (
+      SELECT node, 0 AS hops FROM start
+      UNION ALL
+      SELECT e.dst, b.hops + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+    FROM bfs GROUP BY node ORDER BY hops, node
+    """,
+)
+def bfs_trade_route_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hops over the DIRECTED nation trade-route graph: an
+    edge src->dst where customers in src bought >= 8M revenue from
+    suppliers in dst; start node = the nation with the largest total
+    outgoing revenue (derived from the data, so deterministic across
+    engines and scale factors). Third iterative-graph shape in the gate
+    (components = label convergence, pagerank = fixed point, BFS =
+    frontier expansion), oracle-checked against a recursive CTE.
+
+    Scale: edge derivation is the Q5-shaped join pipeline collapsed to a
+    nation-pair matrix with exact scaled-long revenue (cents — a
+    threshold on a float sum could flip an edge between engines); each
+    hop is |frontier|x|edges| equi-join work against a persisted
+    hash-partitioned edge list (operators/graph.bfs_hops).
+    """
+    from wopen_spark.operators.graph import bfs_hops
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    rev = (
+        o.hint("shuffle_hash")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint()  # nation-pair matrix (<=625 rows), used 3 ways
+    )
+    edges = rev.filter(F.col("cents") >= _TRADE_EDGE_CENTS)
+    start = (
+        rev.groupBy("src")
+        .agg(F.sum("cents").alias("out_cents"))
+        .orderBy(F.desc("out_cents"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    return bfs_hops(edges, start, max_hops=3).orderBy("hops", "node")
