@@ -138,6 +138,15 @@ def minhash_lsh_candidates(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        # left CACHED on purpose (the connected_components edge-cache
+        # pattern): six registered queries + the SQL front-door views
+        # derive this exact candidate-pair plan, and the CacheManager
+        # serves them all from ONE entry via canonical-plan matching —
+        # repeated calls share the entry, they don't accumulate. The
+        # pair set is near-dup-sized (KBs) by design, so the storage
+        # cost is negligible next to re-running the signature+band
+        # pipeline per consumer.
+        .persist()
     )
 
 
