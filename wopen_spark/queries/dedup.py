@@ -796,14 +796,58 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification runs only on candidates). The oracle is a brute-force
     exact Jaccard over co-occurring-token pairs — if the prefix filter
     dropped a true pair, the hash comparison would catch it.
+
+    Clone-collapse (mandatory here, not cosmetic): the expensive
+    candidate+verify join runs per DISTINCT text — identical texts
+    would otherwise each re-enter the pair space and the exact join's
+    cost grows with the clone multiplicity squared (measured 5.5 s ->
+    54.6 s from sf0.1 to sf1, where 50k docs carry the same ~5k
+    distinct texts). Rep pairs then expand to doc pairs through
+    md5-fingerprint-keyed joins (AQE-sized, never force-broadcast), and
+    same-text clone pairs are emitted as jaccard=1.0 by construction —
+    exactness is preserved, only the redundant recomputation is gone.
     """
     from wopen_spark.operators.dedup import prefix_filter_similarity_join
 
-    return prefix_filter_similarity_join(
-        _t(spark, sf_dir, "documents"),
-        id_col="doc_id",
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    docs = d.select("doc_id", F.md5("text").alias("fp"), "text")
+    reps = docs.select(F.col("fp").alias("rid"), "text").distinct()
+    rep_pairs = prefix_filter_similarity_join(
+        reps,
+        id_col="rid",
         text_col="text",
         threshold=0.5,
         shingle_size=3,  # trigram vocab is ~30x bigram's on this corpus,
         # so prefix tokens are rare and the candidate join stays sparse
-    ).orderBy("id_a", "id_b")
+    )
+    a = docs.select(F.col("fp").alias("id_a"), F.col("doc_id").alias("da"))
+    b = docs.select(F.col("fp").alias("id_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # clones of the same text are exact duplicates: J = 1.0 without any
+    # verification — but only texts that HAVE a trigram shingle, to match
+    # the operator's (and the oracle's) empty-shingle-set exclusion
+    shingled = docs.filter(
+        F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 3
+    ).select("doc_id", "fp")
+    same = (
+        shingled.alias("x")
+        .join(
+            shingled.alias("y"),
+            (F.col("x.fp") == F.col("y.fp"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same).orderBy("id_a", "id_b")
