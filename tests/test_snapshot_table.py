@@ -292,3 +292,67 @@ def test_compact_then_time_travel(spark, table):
     assert _rows(table.read().select("id")) == [(0,), (1,), (2,)]
     # pre-compaction version still readable (files not vacuumed yet)
     assert _rows(table.read(version=2).select("id")) == [(0,), (1,)]
+
+
+def test_versions_ignore_leaked_tmp_files(spark, table):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1))
+    # a crashed writer's staging file must not parse as a version
+    with open(os.path.join(table._log_dir, ".tmp-deadbeef.json"), "w") as f:
+        f.write("{")  # even corrupt content must be ignored
+    assert table.latest_version() == 1
+    assert _rows(table.read()) == [(1, "a")]
+    table.append(spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1))
+    assert table.latest_version() == 2
+
+
+def test_vacuum_spares_inflight_unreferenced_files(spark, table):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1))
+    # simulate a concurrent writer's pre-commit output: data files on
+    # disk, referenced by NO commit yet
+    inflight_dir = os.path.join(table.path, "data", "inflightuuid")
+    os.makedirs(inflight_dir)
+    inflight = os.path.join(inflight_dir, "part-00000.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1fake")
+    removed = table.vacuum(retain_last=1)
+    assert removed == 0
+    assert os.path.exists(inflight), "vacuum deleted an in-flight write"
+    # but a crashed writer's stale leftovers (past the grace window) go
+    removed = table.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert removed == 1 and not os.path.exists(inflight)
+
+
+def test_timestamp_keys_never_stats_skipped(spark, table):
+    """Footer timestamps are UTC-adjusted; collected bounds are session-
+    local — the comparator is unreliable, so timestamp keys must never
+    skip a file (a wrong skip is silent merge corruption)."""
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts"
+        " FROM range(20)"
+    )
+    table.create(df.coalesce(2))
+    state = table._state()
+    keys = spark.sql("SELECT timestamp'2024-01-01 00:00:05' AS ts")
+    cands, skipped = table._candidate_files(state, ["ts"], keys)
+    assert skipped == [] and len(cands) == len(state["files"])
+
+
+def test_zorder_on_date_column(spark, table):
+    df = spark.sql(
+        "SELECT id, date_add(date'2024-01-01', CAST(id AS INT)) AS d FROM range(100)"
+    )
+    table.create(df.repartition(4))
+    report = table.optimize_zorder(["d", "id"], target_files=4, bits_per_col=3)
+    assert report["files_after"] >= 2
+    assert table.read().count() == 100
+
+
+def test_subset_schema_append_to_clustered_table(spark, table):
+    table.create(
+        spark.createDataFrame([(1, "a", 5)], "id long, v string, k long").coalesce(1),
+        cluster_by=["k"],
+    )
+    # append missing the cluster column: legal, clusters on what's there
+    table.append(spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1))
+    got = {r["id"]: r["k"] for r in table.read().collect()}
+    assert got == {1: 5, 2: None}

@@ -132,11 +132,18 @@ class SnapshotTable:
     def _versions(self) -> list[int]:
         if not os.path.isdir(self._log_dir):
             return []
+        # strict 8-digit name match: in-flight .tmp-*.json staging files
+        # (and anything else a crashed writer leaves) must never parse as
+        # a version, or one leaked temp file bricks every read
         return sorted(
             int(f[:8])
             for f in os.listdir(self._log_dir)
-            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+            if len(f) == 13 and f.endswith(".json") and f[:8].isdigit()
         )
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self._commit_path(version)) as f:
+            return json.load(f)
 
     def latest_version(self) -> int | None:
         vs = self._versions()
@@ -154,6 +161,7 @@ class SnapshotTable:
             raise ValueError(f"version {target} not in log (have {vs[0]}..{vs[-1]})")
         files: dict[str, dict] = {}
         state = {"schema": None, "cluster_by": None}
+        txns: dict[str, int] = {}
         start_idx = 0
         for i in range(len(vs) - 1, -1, -1):  # newest checkpoint <= target
             if vs[i] <= target and os.path.exists(self._checkpoint_path(vs[i])):
@@ -162,13 +170,13 @@ class SnapshotTable:
                 files = {m["path"]: m for m in cp["files"]}
                 state["schema"] = cp["schema"]
                 state["cluster_by"] = cp.get("cluster_by")
-                start_idx = vs.index(vs[i]) + 1
+                txns = dict(cp.get("txns", {}))
+                start_idx = i + 1
                 break
         for v in vs[start_idx:]:
             if v > target:
                 break
-            with open(self._commit_path(v)) as f:
-                c = json.load(f)
+            c = self._read_commit(v)
             for rel in c.get("remove", []):
                 files.pop(rel, None)
             for m in c.get("add", []):
@@ -177,7 +185,11 @@ class SnapshotTable:
                 state["schema"] = c["schema"]
             if c.get("cluster_by") is not None:
                 state["cluster_by"] = c["cluster_by"]
-        return {"files": files, "version": target, **state}
+            if c.get("txn_app") is not None:
+                txns[c["txn_app"]] = max(
+                    txns.get(c["txn_app"], -1), c.get("txn_version", -1)
+                )
+        return {"files": files, "version": target, "txns": txns, **state}
 
     def _try_commit(self, version: int, record: dict) -> None:
         """The atomic publish: O_EXCL create of the next log file. On a
@@ -188,31 +200,37 @@ class SnapshotTable:
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        # publish = one hard link: atomic for CONTENT as well as existence
+        # (an O_EXCL create-then-write would expose an empty/partial log
+        # file to concurrent readers); EEXIST is the lost-race signal
         try:
-            fd = os.open(
-                self._commit_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, self._commit_path(version))
         except FileExistsError:
-            os.unlink(tmp)
             raise CommitConflictError(
                 f"version {version} of {self.path} was committed by another writer"
             ) from None
-        with open(tmp, "rb") as src:
-            os.write(fd, src.read())
-        os.close(fd)
-        os.unlink(tmp)
+        finally:
+            os.unlink(tmp)
         if version % CHECKPOINT_EVERY == 0:
             st = self._state(version)
-            with open(self._checkpoint_path(version), "w") as f:
+            cp_tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(cp_tmp, "w") as f:
                 json.dump(
                     {
                         "version": version,
                         "files": list(st["files"].values()),
                         "schema": st["schema"],
                         "cluster_by": st["cluster_by"],
+                        "txns": st["txns"],
                     },
                     f,
                 )
+                f.flush()
+                os.fsync(f.fileno())
+            # atomic replace: a reader never sees a half-written checkpoint
+            os.replace(cp_tmp, self._checkpoint_path(version))
 
     # ---------------------------------------------------------- data layer
 
@@ -220,13 +238,16 @@ class SnapshotTable:
         """Write immutable data files for one commit into a fresh subdir;
         return their add-action metadata. Clustering narrows per-file key
         ranges so stats-based file skipping stays sharp."""
-        if cluster_by:
+        # a subset-schema append (legal: missing columns null-fill on
+        # read) may omit cluster columns — cluster on what's present
+        cluster_cols = [c for c in (cluster_by or []) if c in df.columns]
+        if cluster_cols:
             # explicit partition count: carries the incoming parallelism
             # through the range exchange AND pins it against AQE coalesce,
             # which would otherwise fold small writes into one wide-range
             # file and blunt the per-file min/max stats
             n = max(1, df.rdd.getNumPartitions())
-            df = df.repartitionByRange(n, *[F.col(c) for c in cluster_by])
+            df = df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
         commit_dir = f"data/{uuid.uuid4().hex}"
         fs_dir = os.path.join(self.path, commit_dir)
         df.write.mode("overwrite").parquet(fs_dir)
@@ -322,17 +343,12 @@ class SnapshotTable:
         )
 
     def _txn_seen(self, app: str, version: int, state: dict) -> bool:
-        """Has ``app`` already committed transaction ``version`` (or newer)
-        at or before ``state['version']``? Scans the log once; commits are
-        tiny JSON so this is O(commits), bounded by vacuumable history."""
-        for v in self._versions():
-            if v > state["version"]:
-                break
-            with open(self._commit_path(v)) as f:
-                c = json.load(f)
-            if c.get("txn_app") == app and c.get("txn_version", -1) >= version:
-                return True
-        return False
+        """Has ``app`` already committed transaction ``version`` (or
+        newer) at or before ``state['version']``? The per-app high-water
+        mark is folded into state (and into checkpoints, like the file
+        manifest), so this is a dict lookup — NOT a log scan, which would
+        make N streaming micro-batches cost O(N²) commit parses."""
+        return state["txns"].get(app, -1) >= version
 
     def streaming_sink(self, txn_app: str):
         """A ``foreachBatch`` callable with exactly-once semantics: the
@@ -366,9 +382,29 @@ class SnapshotTable:
         )
         return state["version"] + 1
 
+    # Types whose footer stats compare faithfully against Spark-collected
+    # bounds after _json_safe. Timestamps are EXCLUDED: parquet footers
+    # store UTC-adjusted instants (pyarrow yields tz-aware datetimes)
+    # while df.collect() yields naive session-local ones — lexicographic
+    # comparison of the mismatched ISO forms would mis-skip files and
+    # silently corrupt a merge. Binary likewise (utf-8/hex fallback mixes
+    # representations). Those columns read as "no stats" = never skipped.
+    _PRUNABLE_TYPES = {
+        "long", "integer", "short", "byte", "double", "float",
+        "string", "date", "boolean",
+    }
+
+    def _prunable_cols(self, state: dict, cols: list[str]) -> set[str]:
+        types = {f["name"]: f["type"] for f in state["schema"]["fields"]}
+        return {c for c in cols if types.get(c) in self._PRUNABLE_TYPES}
+
     def _candidate_files(self, state: dict, keys: list[str], key_df: DataFrame) -> tuple[list[str], list[str]]:
         """Stats pruning: files whose per-column [min,max] ranges overlap
-        the incoming keys' ranges. Returns (candidates, skipped)."""
+        the incoming keys' ranges. Returns (candidates, skipped). Only
+        types with a faithful footer-vs-engine comparator participate —
+        a wrong skip here is silent merge corruption, so anything
+        doubtful (timestamps, binary) is simply never skipped."""
+        prunable = self._prunable_cols(state, keys)
         bounds = key_df.agg(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
             *[F.max(k).alias(f"mx_{k}") for k in keys],
@@ -377,6 +413,8 @@ class SnapshotTable:
         for rel, meta in state["files"].items():
             overlap = True
             for k in keys:
+                if k not in prunable:
+                    continue
                 s = meta.get("stats", {}).get(k)
                 mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
                 if s is None or s["min"] is None or mn is None:
@@ -511,10 +549,13 @@ class SnapshotTable:
         Returns (DataFrame, report) — the report says what was skipped,
         because a silent cap looks like full coverage."""
         state = self._state(version)
+        prunable = self._prunable_cols(state, list(ranges))
         keep, skipped = [], 0
         for rel, meta in state["files"].items():
             ok = True
             for c, (lo, hi) in ranges.items():
+                if c not in prunable:
+                    continue  # untrustworthy comparator -> must read
                 s = meta.get("stats", {}).get(c)
                 if s is None or s["min"] is None:
                     continue  # no stats -> must read
@@ -543,9 +584,8 @@ class SnapshotTable:
     def _version_asof(self, ts: float) -> int:
         best = None
         for v in self._versions():
-            with open(self._commit_path(v)) as f:
-                if json.load(f)["ts_unix"] <= ts:
-                    best = v
+            if self._read_commit(v)["ts_unix"] <= ts:
+                best = v
         if best is None:
             raise ValueError(f"no commit at or before ts {ts}")
         return best
@@ -571,8 +611,7 @@ class SnapshotTable:
         for v in self._versions():
             if not (from_version < v <= to_version):
                 continue
-            with open(self._commit_path(v)) as f:
-                c = json.load(f)
+            c = self._read_commit(v)
             for change_type, rels in (
                 ("insert", [m["path"] for m in c.get("add", [])]),
                 ("delete", c.get("remove", [])),
@@ -606,8 +645,7 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         out = []
         for v in self._versions():
-            with open(self._commit_path(v)) as f:
-                c = json.load(f)
+            c = self._read_commit(v)
             out.append(
                 {
                     "version": v,
@@ -664,11 +702,15 @@ class SnapshotTable:
         dtypes = dict(df.dtypes)
         work = df
         for c in cols:
-            src = (
-                F.xxhash64(F.col(c))
-                if dtypes[c] in ("string", "binary")
-                else F.col(c)
-            )
+            if dtypes[c] in ("string", "binary"):
+                src = F.xxhash64(F.col(c))  # no order to preserve: hash
+            elif dtypes[c] == "date":
+                # date does not cast to double; epoch-day keeps the order
+                src = F.datediff(F.col(c), F.lit("1970-01-01"))
+            elif dtypes[c].startswith("timestamp"):
+                src = F.unix_timestamp(F.col(c))  # epoch seconds, ordered
+            else:
+                src = F.col(c)
             work = work.withColumn(f"_v_{c}", src.cast("double"))
         probs = [i / n_buckets for i in range(1, n_buckets)]
         quantiles = work.approxQuantile([f"_v_{c}" for c in cols], probs, 0.01)
@@ -707,16 +749,29 @@ class SnapshotTable:
             "zorder_by": cols,
         }
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, orphan_grace_s: float = 3600.0) -> int:
         """Delete data files referenced by none of the last
         ``retain_last`` versions; returns the number deleted. Time
         travel inside the retention window keeps working; older
-        versions raise VacuumedVersionError on read."""
+        versions raise VacuumedVersionError on read.
+
+        Files referenced by NO commit at all are either a concurrent
+        writer's in-flight (pre-commit) output or a crashed writer's
+        leftovers — deleting the former loses the write it is about to
+        commit, so never-referenced files are only removed once older
+        than ``orphan_grace_s`` (the Delta-style retention guard).
+        Superseded files (referenced by an old commit, outside the
+        retention window) delete immediately."""
         vs = self._versions()
         retained: set[str] = set()
+        ever_referenced: set[str] = set()
+        for v in vs:
+            c = self._read_commit(v)
+            ever_referenced.update(m["path"] for m in c.get("add", []))
         for v in vs[-retain_last:]:
             retained.update(self._state(v)["files"])
         removed = 0
+        now = time.time()
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return 0
@@ -724,9 +779,17 @@ class SnapshotTable:
             subdir = os.path.join(data_root, sub)
             for name in os.listdir(subdir):
                 rel = f"data/{sub}/{name}"
-                if name.endswith(".parquet") and rel not in retained:
-                    os.unlink(os.path.join(subdir, name))
-                    removed += 1
+                full = os.path.join(subdir, name)
+                if not name.endswith(".parquet") or rel in retained:
+                    continue
+                if rel not in ever_referenced:
+                    try:
+                        if now - os.path.getmtime(full) <= orphan_grace_s:
+                            continue  # possibly an in-flight write
+                    except FileNotFoundError:
+                        continue
+                os.unlink(full)
+                removed += 1
             if not any(f.endswith(".parquet") for f in os.listdir(subdir)):
                 shutil.rmtree(subdir, ignore_errors=True)
         return removed
