@@ -908,3 +908,105 @@ def test_prefix_filter_join_has_no_cartesian(spark):
 
     df = QUERIES["prefix_filter_jaccard_pairs"](spark, "/root/testdata/sf0.001")
     assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_connected_components_string_ids(spark):
+    """md5-fingerprint (string) node ids — the dedup module's own
+    recommendation — must converge correctly: the old sum('label')
+    witness was NULL for strings and exited after one round, splitting
+    a 3-chain into two components."""
+    from wopen_spark.operators.dedup import exact_dedup  # noqa: F401 (doc link)
+    from wopen_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("aa", "bb"), ("bb", "cc"), ("dd", "ee")], "id_a string, id_b string"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp["aa"] == comp["bb"] == comp["cc"] == "aa"
+    assert comp["dd"] == comp["ee"] == "dd"
+    assert comp["aa"] != comp["dd"]
+
+
+def test_prefix_filter_boundary_threshold_exact(spark):
+    """0.07*100 = 7.000000000000001 in IEEE doubles: a raw ceil() would
+    demand overlap 8 and silently drop a J=0.07 pair. The epsilon guard
+    must keep the exact-recall contract at the boundary."""
+    from wopen_spark.operators.dedup import prefix_filter_similarity_join
+
+    # doc 1: 7 distinct single-word bigrams? use unigram-ish: build texts
+    # whose bigram-shingle sets are A (7 shingles, all in B) and B (100)
+    words_b = [f"w{i}" for i in range(101)]  # 100 bigram shingles
+    text_b = " ".join(words_b)
+    text_a = " ".join(words_b[:8])  # 7 bigram shingles, all shared
+    df = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    got = prefix_filter_similarity_join(
+        df, threshold=0.07, shingle_size=2
+    ).collect()
+    assert len(got) == 1
+    assert abs(got[0]["jaccard"] - 0.07) < 1e-9
+
+
+def test_ngram_jaccard_null_inputs(spark):
+    from wopen_spark.operators.dedup import ngram_containment, ngram_jaccard
+
+    df = spark.createDataFrame(
+        [(None, "a b c"), ("a b c", None), ("a b c", "a b c")],
+        "x string, y string",
+    )
+    rows = df.select(
+        ngram_jaccard(F.col("x"), F.col("y")).alias("j"),
+        ngram_containment(F.col("x"), F.col("y")).alias("c"),
+    ).collect()
+    assert rows[0]["j"] is None and rows[1]["j"] is None
+    assert rows[0]["c"] is None and rows[1]["c"] is None
+    assert rows[2]["j"] == 1.0 and rows[2]["c"] == 1.0
+
+
+def test_lsh_band_keys_null_for_shingleless_docs(spark):
+    """Docs too short to shingle must yield NULL band keys (dropped by
+    the equi-join), not a shared empty-string key forming an O(k^2)
+    false-candidate clique — even when the public helpers are composed
+    directly without minhash_lsh_candidates' pre-filter."""
+    from wopen_spark.operators.dedup import lsh_band_keys, minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "x y z w v u t s")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, n_hashes=4, shingle_size=3)
+    keyed = sigs.select(
+        "doc_id", *[k.alias(f"k{i}") for i, k in enumerate(
+            lsh_band_keys(F.col("minhash"), 2, 2)
+        )]
+    ).collect()
+    by_id = {r["doc_id"]: (r["k0"], r["k1"]) for r in keyed}
+    assert by_id[1] == (None, None) and by_id[2] == (None, None)
+    assert all(k is not None for k in by_id[3])
+
+
+def test_lsh_bands_must_divide_hashes(spark):
+    from wopen_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(df, n_hashes=10, n_bands=4)
+
+
+def test_simhash_bits_contract(spark):
+    from wopen_spark.operators.dedup import simhash
+
+    with pytest.raises(ValueError):
+        simhash(F.col("text"), bits=64)
+
+
+def test_bfs_hops_dedupes_seed_frontier(spark):
+    from wopen_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    start = spark.createDataFrame([("a",), ("a",)], "node string")
+    rows = bfs_hops(edges, start, max_hops=2).collect()
+    assert sorted((r["node"], r["hops"]) for r in rows) == [("a", 0), ("b", 1)]

@@ -86,17 +86,25 @@ def lsh_band_keys(
 ) -> list[Column]:
     """Band keys for LSH bucketing: band b's key is the md5 of its slice of
     the signature. Docs sharing any band key are near-dup candidates;
-    verify candidates with exact Jaccard afterwards."""
-    return [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                F.array_join(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), "|"),
-            )
+    verify candidates with exact Jaccard afterwards.
+
+    A slice containing any NULL element (doc too short to shingle)
+    yields a NULL band key: ``array_join`` would silently SKIP nulls,
+    so every shingle-less doc would otherwise share identical band keys
+    and the downstream self-join would materialize an O(k²) clique of
+    short docs. NULL keys never match an equi-join, so such docs simply
+    drop out — the safe default for any caller composing the public
+    helpers directly (minhash_lsh_candidates additionally pre-filters)."""
+    out = []
+    for b in range(n_bands):
+        sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+        key = F.md5(
+            F.concat_ws("|", F.lit(str(b)), F.array_join(sl, "|"))
         )
-        for b in range(n_bands)
-    ]
+        out.append(
+            F.when(F.exists(sl, lambda x: x.isNull()), F.lit(None)).otherwise(key)
+        )
+    return out
 
 
 def minhash_lsh_candidates(
@@ -114,6 +122,12 @@ def minhash_lsh_candidates(
     distinct candidate id pairs with ``id_a < id_b``. At 100 TB this is
     the only join that happens, and it only sees colliding buckets.
     """
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into n_bands "
+            f"({n_bands}): a remainder silently drops signature slots and "
+            f"changes the LSH S-curve from the requested configuration"
+        )
     rows = n_hashes // n_bands
     # docs too short to have any shingle (null signature) can't be
     # near-dups — and all of them would otherwise share the same empty
@@ -160,6 +174,11 @@ def simhash(text: Column, bits: int = 16) -> Column:
     Kept to <=24 bits so the per-token hash fits the md5 hex prefix cast;
     engine-portable (md5 + integer ops only).
     """
+    if not 1 <= bits <= 24:
+        # past ~63 bits the conv()-string -> long cast overflows to NULL
+        # for half of all tokens (top bit set) and silently poisons the
+        # fingerprint sums; enforce the documented contract instead
+        raise ValueError(f"simhash bits must be in [1, 24], got {bits}")
     nibbles = (bits + 3) // 4
     toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
     # hash each token once (md5 prefix -> int), then reuse for every bit
@@ -193,12 +212,18 @@ def ngram_jaccard(a: Column, b: Column, n: int = 2) -> Column:
     6 decimals. |A ∩ B| / |A ∪ B| over distinct shingle sets."""
     sa = _word_shingles(a, n)
     sb = _word_shingles(b, n)
+    # size() of a NULL array is -1 under Spark's legacy default, so a
+    # NULL input text would yield -1.0 — a nonsense negative similarity
+    # that survives `sim >= 0` filters. Null inputs propagate NULL.
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     # greatest(union,1) instead of a when()-guard: union==0 forces inter==0
     # so the result is identically 0.0, and the unconditional shape lets
     # subexpression elimination share the sa/sb shingle subtrees.
-    return F.round(inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6)
+    sim = F.round(
+        inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6
+    )
+    return F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(sim)
 
 
 def exact_dedup(df: DataFrame, key: Column, id_col: str, keep: str = "min") -> DataFrame:
@@ -206,6 +231,11 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str, keep: str = "min") -> D
 
     One hash-partition shuffle on the dedup key; at 100 TB prefer a
     fingerprint key (md5 of normalized content) so the shuffle is uniform.
+
+    Contract: ``id_col`` must be non-null and unique across rows. A
+    NULL id makes min/max NULL and the semi-join then keeps ZERO rows
+    for that key (null keys never equi-match); a non-unique id keeps
+    every row sharing the winning id, not one row per key.
     """
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     keep_ids = df.withColumn("__key", key).groupBy("__key").agg(agg.alias(id_col)).drop("__key")
@@ -228,9 +258,10 @@ def prefix_contained_flags(
     Empty-string edge: "" lands alone in its first-char partition, so the
     lead() never sees a successor even though "" strictly prefixes every
     non-empty text. A 1-row broadcast indicator (any non-empty text
-    exists?) closes that blind spot; both branches consume the same
-    upstream exchange, so the extra pass is over the post-shuffle rows,
-    not a rescan of the source.
+    exists?) closes that blind spot. The indicator is a separate
+    aggregate over ``df``, i.e. a second execution of the upstream plan
+    (exchange reuse may or may not fold it) — callers feeding an
+    expensive pipeline should persist/checkpoint it first.
     """
     from pyspark.sql import Window
 
@@ -259,6 +290,18 @@ def prefix_contained_flags(
         )
         .drop("__any_nonempty")
     )
+
+
+def _ceil_thr(threshold: float, sz: Column) -> Column:
+    """ceil(threshold * sz) with a downward epsilon guard: IEEE products
+    like 0.07*100 land at 7.000000000000001, and a raw ceil() would
+    round UP past the exact integer — shrinking a prefix / tightening
+    the size-ratio bound and silently dropping pairs the exact-join
+    contract owes the caller. The epsilon (1e-6, far above the ~2^-52
+    relative product error for any real |T|) only ever errs the SAFE
+    way: a marginally longer prefix / looser bound admits extra
+    candidates for verification, never excludes a true pair."""
+    return F.ceil(F.lit(threshold) * sz - F.lit(1e-6))
 
 
 def prefix_filter_similarity_join(
@@ -320,7 +363,7 @@ def prefix_filter_similarity_join(
             F.slice(
                 F.col("_ordered._tok"),
                 1,
-                (F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1).cast(
+                (F.col("_sz") - _ceil_thr(threshold, F.col("_sz")) + 1).cast(
                     "int"
                 ),
             ),
@@ -339,7 +382,7 @@ def prefix_filter_similarity_join(
             # J <= min(|A|,|B|)/max(|A|,|B|): size-ratio pre-filter
             & (
                 F.least("a._sz", "b._sz")
-                >= F.ceil(F.lit(threshold) * F.greatest("a._sz", "b._sz"))
+                >= _ceil_thr(threshold, F.greatest("a._sz", "b._sz"))
             ),
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
@@ -386,6 +429,8 @@ def ngram_containment(a: Column, b: Column, n: int = 2) -> Column:
     sa = _word_shingles(a, n)
     sb = _word_shingles(b, n)
     inter = F.size(F.array_intersect(sa, sb))
-    return F.round(
+    score = F.round(
         inter.cast("double") / F.greatest(F.size(sa), F.lit(1)).cast("double"), 6
     )
+    # see ngram_jaccard: size(NULL array) is -1, so gate null inputs
+    return F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(score)

@@ -52,9 +52,22 @@ def connected_components(
     )
 
     # labels are monotonically non-increasing (label' = min(label, ...)),
-    # so the label SUM is a convergence witness — one cheap aggregate per
-    # round instead of an old-vs-new join
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # so an order-insensitive digest of (node, label) is a convergence
+    # witness — one cheap aggregate per round instead of an old-vs-new
+    # join. The digest XORs xxhash64 of the PAIR, not sum("label"):
+    # a raw label sum silently breaks on string ids (md5-fingerprint
+    # pair ids are the dedup module's own recommendation — the sum casts
+    # to double, yields NULL every round, and None == None exits after
+    # ONE iteration with wrong components) and a long SUM of hashes
+    # overflows under ANSI mode. bit_xor cannot overflow; digest
+    # equality while a label changed needs a ~2^-64 collision.
+    def _witness(lbl: DataFrame):
+        return lbl.agg(
+            F.expr("bit_xor(xxhash64(node, label))")
+        ).collect()[0][0]
+
+    converged = False
+    prev_sum = _witness(labels)
     for _ in range(max_iterations):
         # shuffle_hash, not sort-merge: SMJ would SORT the |edges| side
         # every round (the persisted layout saves the exchange, never the
@@ -78,10 +91,19 @@ def connected_components(
             # job instead of checkpoint-then-aggregate running two.
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = _witness(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # an exhausted loop is NOT a converged answer: a component whose
+        # diameter exceeds max_iterations would be silently reported as
+        # several clusters, indistinguishable from a correct result
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations; raise max_iterations (diameter exceeds it)"
+        )
     # Eagerly checkpoint the final labels (|nodes|-sized, one cheap job)
     # so the result survives independent of the loop lineage, then leave
     # sym CACHED on purpose. Unpersisting here was measured 2x slower
@@ -252,9 +274,12 @@ def bfs_hops(
         .repartition("_s")
         .persist()
     )
-    visited = start.select(
-        F.col(node_col).alias("node"), F.lit(0).alias("hops")
-    ).localCheckpoint()
+    visited = (
+        start.select(F.col(node_col).alias("node"))
+        .distinct()  # duplicate seeds would double-count every hop-0 row
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
     frontier = visited
     for hop in range(1, max_hops + 1):
         nxt = (
