@@ -89,21 +89,23 @@ def lsh_band_keys(
     verify candidates with exact Jaccard afterwards.
 
     A slice containing any NULL element (doc too short to shingle)
-    yields a NULL band key: ``array_join`` would silently SKIP nulls,
-    so every shingle-less doc would otherwise share identical band keys
-    and the downstream self-join would materialize an O(k²) clique of
-    short docs. NULL keys never match an equi-join, so such docs simply
-    drop out — the safe default for any caller composing the public
-    helpers directly (minhash_lsh_candidates additionally pre-filters)."""
+    yields a NULL band key: ``array_join``/``concat_ws`` would silently
+    SKIP nulls, so every shingle-less doc would otherwise share
+    identical band keys and the downstream self-join would materialize
+    an O(k²) clique of short docs. NULL keys never match an equi-join,
+    so such docs simply drop out — the safe default for any caller
+    composing the public helpers directly (minhash_lsh_candidates
+    additionally pre-filters). The null-propagation is ``concat`` over
+    statically-unrolled ``element_at`` slots, NOT a when(exists(...))
+    branch — conditionals defeat common-subexpression elimination and
+    were measured recomputing the md5-signature tree per band."""
     out = []
     for b in range(n_bands):
-        sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
-        key = F.md5(
-            F.concat_ws("|", F.lit(str(b)), F.array_join(sl, "|"))
-        )
-        out.append(
-            F.when(F.exists(sl, lambda x: x.isNull()), F.lit(None)).otherwise(key)
-        )
+        parts: list[Column] = [F.lit(str(b))]
+        for i in range(rows_per_band):
+            parts.append(F.lit("|"))
+            parts.append(F.element_at(sig_col, b * rows_per_band + i + 1))
+        out.append(F.md5(F.concat(*parts)))
     return out
 
 
