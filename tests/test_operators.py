@@ -1010,3 +1010,69 @@ def test_bfs_hops_dedupes_seed_frontier(spark):
     start = spark.createDataFrame([("a",), ("a",)], "node string")
     rows = bfs_hops(edges, start, max_hops=2).collect()
     assert sorted((r["node"], r["hops"]) for r in rows) == [("a", 0), ("b", 1)]
+
+
+def test_table_lock_stale_reclaim_single_winner(tmp_path):
+    """Stale-lock reclamation (tables._TableLock): N waiters that all
+    judge the lock stale must still serialize — reclamation is a rename
+    to a unique name (only the renamer deletes), so no waiter can unlink
+    a lock another waiter just re-acquired. The invariant under test is
+    mutual exclusion: at most one holder in the critical section."""
+    import os
+    import threading
+    import time as _time
+
+    from wopen_spark.tables import _TableLock
+
+    lock_path = str(tmp_path / "t.lock")
+    # a crashed writer's leftover, 1h old
+    with open(lock_path, "w") as f:
+        f.write("dead")
+    os.utime(lock_path, (_time.time() - 3600, _time.time() - 3600))
+
+    holders = []
+    max_holders = []
+    mu = threading.Lock()
+    errors = []
+
+    def worker():
+        try:
+            with _TableLock(lock_path, timeout_s=30.0, stale_s=60.0):
+                with mu:
+                    holders.append(1)
+                    max_holders.append(len(holders))
+                _time.sleep(0.01)
+                with mu:
+                    holders.pop()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(max_holders) == 8  # every waiter eventually acquired
+    assert max(max_holders) == 1  # never two holders at once
+    assert not os.path.exists(lock_path)  # last release cleaned up
+
+
+def test_brand_mask_rejects_over_64_brands(spark, tmp_path):
+    """The co-occurrence bitmask packs one bit per brand into a long;
+    past 64 brands shiftleft(1L, bit) wraps (shift is mod 64) and counts
+    silently corrupt — the contract must be ENFORCED, not assumed."""
+    import pytest as _pytest
+
+    from wopen_spark.queries.analytics_q import _order_brand_masks
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, f"brand#{i:03d}") for i in range(70)], "p_partkey long, p_brand string"
+    ).write.parquet(str(sf / "part.parquet"))
+    spark.createDataFrame(
+        [(1, 0), (1, 1)], "l_orderkey long, l_partkey long"
+    ).write.parquet(str(sf / "lineitem.parquet"))
+    with _pytest.raises(ValueError, match="64 distinct brands"):
+        _order_brand_masks(spark, str(sf))

@@ -991,3 +991,102 @@ def test_key_skew_profile_two_level_aggregates(spark):
         s for s in join_strategies(df) if s == "CartesianProduct"
     ], join_strategies(df)
     assert len(exchanges(df)) <= 10, exchanges(df)
+
+
+def test_footer_row_bound_fast_path(spark):
+    """The clone-collapse gate's zero-job fast path: a row-non-increasing
+    plan (scan -> project -> distinct) gets a parquet-footer row bound;
+    a row-INCREASING plan (explode) must refuse the bound and fall back
+    to a real count — an underestimating bound would broadcast a huge
+    frame."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.queries import registry
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dk = d.select("text").distinct()
+    bound = registry._footer_row_bound(dk)
+    assert bound is not None
+    assert bound == d.count()  # footer total = table rows >= distinct
+    exploded = d.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    assert registry._footer_row_bound(exploded) is None
+    joined = dk.join(d, "text").distinct()
+    assert registry._footer_row_bound(joined) is None
+
+
+def test_gate_small_decides_without_count_job(spark):
+    """When the footer bound already clears the threshold, the gate must
+    not run (or memoize) a count job — the r6 fast path. The bound cache
+    fills instead; the count cache entry for this frame stays absent."""
+    from wopen_spark.queries import registry
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    dk = d.select("text").distinct()
+    h = dk.semanticHash()
+    registry._PER_DISTINCT_COUNT_CACHE.pop(h, None)
+    registry._PER_DISTINCT_BOUND_CACHE.pop(h, None)
+    assert registry._gate_small(dk) is True
+    assert h not in registry._PER_DISTINCT_COUNT_CACHE
+    assert registry._PER_DISTINCT_BOUND_CACHE.get(h) == d.count()
+
+
+def test_retention_cohorts_gate_small_broadcasts(spark):
+    """Below the size gate the user-cardinality cohort frame broadcasts
+    (the fast per-batch plan at every tested SF)."""
+    strategies = join_strategies(_q(spark, "retention_cohorts"))
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_retention_cohorts_survives_no_broadcast(spark, monkeypatch):
+    """r5 verdict #1: at a 100x user dimension (simulated by zeroing the
+    gate and disabling broadcast thresholds) retention_cohorts must
+    resolve to a shuffled join — reusing the hash(user_id) exchanges the
+    cohort groupBy and activity distinct already produce — and return
+    identical rows, never force-broadcast a user-cardinality frame."""
+    from wopen_spark.queries import QUERIES, registry
+
+    baseline = {
+        tuple(r) for r in QUERIES["retention_cohorts"](spark, SF_SMOKE).collect()
+    }
+    monkeypatch.setattr(registry, "_PER_DISTINCT_BROADCAST_MAX_ROWS", -1)
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        df = QUERIES["retention_cohorts"](spark, SF_SMOKE)
+        strategies = join_strategies(df)
+        assert any(
+            s in ("SortMergeJoin", "ShuffledHashJoin") for s in strategies
+        ), strategies
+        assert "BroadcastHashJoin" not in strategies, strategies
+        got = {tuple(r) for r in df.collect()}
+        assert got == baseline
+    finally:
+        _restore_confs(spark, old)
+
+
+def test_stream_static_join_gate(spark, monkeypatch, tmp_path):
+    """r5 verdict #2: the stream-static enrich broadcast is size-gated on
+    the dim's footer row count. With the gate zeroed the stream must fall
+    back to an unhinted join and still produce the same aggregate."""
+    from wopen_spark.queries import registry
+    from wopen_spark.streaming.pipeline import available_now_stream_static_join
+
+    base = {
+        tuple(r)
+        for r in available_now_stream_static_join(
+            spark, SF_SMOKE, str(tmp_path / "ck1")
+        ).collect()
+    }
+    monkeypatch.setattr(registry, "_PER_DISTINCT_BROADCAST_MAX_ROWS", -1)
+    got = {
+        tuple(r)
+        for r in available_now_stream_static_join(
+            spark, SF_SMOKE, str(tmp_path / "ck2")
+        ).collect()
+    }
+    assert got == base and base

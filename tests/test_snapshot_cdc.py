@@ -119,3 +119,21 @@ def test_streaming_foreachbatch_exactly_once(spark, table, tmp_path):
     sink(_mk(spark, [(0, "f0"), (1, "f0"), (2, "f0")]), 0)
     assert table.latest_version() == n_versions  # no-op
     assert table.read().count() == 9
+
+
+def test_changes_skip_maintenance_rewrites(spark, table):
+    """Compact/zorder change no logical rows: their commits carry
+    dataChange=false and the change feed must skip them (Delta CDF
+    semantics — OPTIMIZE emits no changes). Without the skip a
+    maintenance pass shows the whole table as delete+insert churn."""
+    table.create(_mk(spark, [(1, "a"), (2, "b")]))
+    table.append(_mk(spark, [(3, "c")]))
+    head = table.latest_version()
+    table.compact(target_files=1)
+    assert table.read_changes(head).count() == 0
+    table.optimize_zorder(["id"], target_files=2, bits_per_col=2)
+    assert table.read_changes(head).count() == 0
+    # real changes after maintenance still flow
+    table.append(_mk(spark, [(4, "d")]))
+    ch = table.read_changes(head).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(4, "insert")]

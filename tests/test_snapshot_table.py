@@ -356,3 +356,48 @@ def test_subset_schema_append_to_clustered_table(spark, table):
     table.append(spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1))
     got = {r["id"]: r["k"] for r in table.read().collect()}
     assert got == {1: 5, 2: None}
+
+
+def test_file_meta_drops_stats_when_any_row_group_lacks_minmax(tmp_path):
+    """A writer that omits min/max for SOME row groups (pyarrow does for
+    oversized string values) must yield NO file-level stats for that
+    column: aggregating the partial bounds would understate the file's
+    true range and let _candidate_files wrongly stats-skip a file that
+    does contain affected keys — silent stale rows after a merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wopen_spark.snapshot_table import _file_meta
+
+    path = str(tmp_path / "partial.parquet")
+    t1 = pa.table({"k": [1, 2], "s": ["aa", "bb"]})
+    t2 = pa.table({"k": [3, 4], "s": ["x" * 9000, "y" * 9000]})
+    w = pq.ParquetWriter(path, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    meta = _file_meta(path, "partial.parquet")
+    assert meta["rows"] == 4
+    assert meta["stats"]["k"] == {"min": 1, "max": 4, "nulls": 0}
+    # one row group with unstated real values -> no stats for the column
+    assert "s" not in meta["stats"]
+
+
+def test_file_meta_allnull_row_group_keeps_other_bounds(tmp_path):
+    """An all-null row group has no min/max by definition; that is NOT
+    the partial-stats hazard (nulls never participate in range pruning),
+    so the other row groups' bounds must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wopen_spark.snapshot_table import _file_meta
+
+    path = str(tmp_path / "allnull.parquet")
+    t1 = pa.table({"k": pa.array([5, 7], pa.int64())})
+    t2 = pa.table({"k": pa.array([None, None], pa.int64())})
+    w = pq.ParquetWriter(path, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    meta = _file_meta(path, "allnull.parquet")
+    assert meta["stats"]["k"] == {"min": 5, "max": 7, "nulls": 2}

@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wopen_spark.queries.registry import _spread, _t, query
+from wopen_spark.queries.registry import (
+    _distinct_count,
+    _gate_small,
+    _spread,
+    _t,
+    query,
+)
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -496,8 +502,15 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention matrix: users bucketed by first-activity week,
     counted in each subsequent activity week. The cohort table is
-    user-cardinality (broadcast); activity dedups (user, week) in one
-    shuffle. Both engines truncate weeks to Monday."""
+    USER-cardinality — small at every tested SF, but proportional to the
+    user dimension of the corpus, so the broadcast is SIZE-GATED
+    (the r5 verdict's remaining OOM-cliff pattern): below the threshold
+    the classic broadcast; above it a plain equi join, which reuses the
+    hash(user_id) exchanges BOTH sides already have (cohort's groupBy,
+    activity's distinct) — no md5-fingerprint indirection needed for a
+    narrow long key, and no new shuffle. The gate frame is the
+    column-pruned distinct-user set (footer-bound fast path — zero
+    extra jobs at small SF). Both engines truncate weeks to Monday."""
     ev = _t(spark, sf_dir, "events")
     cohort = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -505,8 +518,10 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
     ).distinct()
+    users = ev.select("user_id").distinct()
+    side = F.broadcast(cohort) if _gate_small(users) else cohort
     return (
-        activity.join(F.broadcast(cohort), "user_id")
+        activity.join(side, "user_id")
         .groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             F.floor(
@@ -984,19 +999,25 @@ def _order_brand_masks(spark: SparkSession, sf_dir: str):
     into the fact map side. bit_or is idempotent, so no distinct pass
     is needed: duplicate (order, brand) lineitems OR into the same bit,
     and partial aggregation collapses them before the one fact shuffle.
-    Precondition (asserted by the 64-slot filter): <=64 distinct brands
-    — the dataset has 25; a wider universe would need a 2-long mask."""
+    Precondition ENFORCED below: <=64 distinct brands (the dataset has
+    25). Past 64, shiftleft(1L, bit) wraps (shift is mod 64) so bit 64
+    would alias bit 0 and counts would silently corrupt; a wider brand
+    universe needs a multi-long mask, so raise instead. The count is
+    memoized by the dim's semantic hash (registry._distinct_count), one
+    tiny column-pruned job per process across the co-occurrence family."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    dim = (
-        p.select("p_brand")
-        .distinct()
-        .select(
-            "p_brand",
-            (
-                F.row_number().over(Window.orderBy("p_brand")) - 1
-            ).alias("bit"),
+    brands = p.select("p_brand").distinct()
+    n_brands = _distinct_count(brands)
+    if n_brands > 64:
+        raise ValueError(
+            f"brand bitmask supports at most 64 distinct brands, found "
+            f"{n_brands}: shiftleft(1L, bit) would wrap (shift mod 64) and "
+            f"silently corrupt co-occurrence counts — use a multi-long mask"
         )
+    dim = brands.select(
+        "p_brand",
+        (F.row_number().over(Window.orderBy("p_brand")) - 1).alias("bit"),
     )
     # ONE packed (p_partkey, bit) broadcast: folding the brand->bit dim
     # into the part side BEFORE the fact join halves the broadcast build

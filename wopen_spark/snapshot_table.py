@@ -87,15 +87,36 @@ def _file_meta(fs_path: str, rel_path: str) -> dict:
 
     md = pq.ParquetFile(fs_path).metadata
     stats: dict[str, dict] = {}
+    # Columns where ANY non-empty row group lacks min/max (writers omit
+    # stats e.g. for oversized string values). Partial bounds UNDERSTATE
+    # the file's true range, and _candidate_files would then wrongly
+    # stats-skip a file that does contain affected keys — silent merge
+    # corruption. Such columns get NO file-level stats (= never skipped).
+    partial: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
+        if g.num_rows == 0:
+            continue
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
             if "." in name:  # nested field — no file-skip stats
                 continue
             s = col.statistics
-            if s is None or not s.has_min_max:
+            if s is None:
+                partial.add(name)
+                continue
+            if not s.has_min_max:
+                # benign when the row group is all-null for this column
+                # (nulls never participate in range pruning); dangerous
+                # when real values went unstated
+                if s.num_values:
+                    partial.add(name)
+                else:
+                    cur = stats.setdefault(
+                        name, {"min": None, "max": None, "nulls": 0}
+                    )
+                    cur["nulls"] += s.null_count or 0
                 continue
             cur = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
             mn, mx = _json_safe(s.min), _json_safe(s.max)
@@ -104,6 +125,8 @@ def _file_meta(fs_path: str, rel_path: str) -> dict:
             if cur["max"] is None or mx > cur["max"]:
                 cur["max"] = mx
             cur["nulls"] += s.null_count or 0
+    for name in partial:
+        stats.pop(name, None)
     return {
         "path": rel_path,
         "rows": md.num_rows,
@@ -598,6 +621,12 @@ class SnapshotTable:
         rewritten rows therefore show as delete + insert (standard CDF
         semantics — downstream consumers fold them by key).
 
+        Maintenance rewrites (compact / zorder) change no logical rows;
+        their commits carry ``dataChange: false`` and are skipped here —
+        matching Delta CDF, where OPTIMIZE emits no changes. Without the
+        skip, every maintenance pass would show the whole table as
+        delete + insert churn and trigger spurious downstream work.
+
         This is how an incremental pipeline consumes the table without
         rescanning it: O(files changed in the range), never O(table).
         Requires the range's files to not be vacuumed."""
@@ -612,6 +641,8 @@ class SnapshotTable:
             if not (from_version < v <= to_version):
                 continue
             c = self._read_commit(v)
+            if not c.get("dataChange", True):
+                continue  # compact/zorder: same logical rows, no changes
             for change_type, rels in (
                 ("insert", [m["path"] for m in c.get("add", [])]),
                 ("delete", c.get("remove", [])),
@@ -668,7 +699,8 @@ class SnapshotTable:
         adds = self._write_files(df.coalesce(target_files), state["cluster_by"])
         self._try_commit(
             state["version"] + 1,
-            {"operation": "compact", "add": adds, "remove": sorted(state["files"])},
+            {"operation": "compact", "add": adds, "remove": sorted(state["files"]),
+             "dataChange": False},
         )
         return {
             "version": state["version"] + 1,
@@ -740,7 +772,8 @@ class SnapshotTable:
         adds = self._write_files(clustered, None)
         self._try_commit(
             state["version"] + 1,
-            {"operation": "zorder", "add": adds, "remove": sorted(state["files"])},
+            {"operation": "zorder", "add": adds, "remove": sorted(state["files"]),
+             "dataChange": False},
         )
         return {
             "version": state["version"] + 1,

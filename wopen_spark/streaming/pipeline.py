@@ -296,21 +296,37 @@ def available_now_stream_static_join(
     checkpoint_dir: str,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of purchase events
-    joins the STATIC customer dimension (broadcast — the dim is re-read
-    per batch but never shuffled, and no join state accumulates, unlike
-    stream-stream). The canonical "enrich the firehose with a dim table"
-    shape; aggregates purchase value per market segment. AvailableNow
-    over the static file is one micro-batch, so complete-mode output
-    must equal the batch join+aggregate the oracle states."""
+    joins the STATIC customer dimension (broadcast when it fits — the dim
+    is re-read per batch but never shuffled, and no join state
+    accumulates, unlike stream-stream). The canonical "enrich the
+    firehose with a dim table" shape; aggregates purchase value per
+    market segment. AvailableNow over the static file is one
+    micro-batch, so complete-mode output must equal the batch
+    join+aggregate the oracle states.
+
+    The broadcast hint is SIZE-GATED, not hard-coded (r5 verdict): the
+    dim's parquet footer row count is a driver-side metadata read — no
+    job, no stream interference. At a 100x-scale customer dimension the
+    stream falls back to an unhinted stream-static join (per-batch
+    shuffle) instead of OOMing every executor on the broadcast build."""
     import os
+
+    from wopen_spark.queries.registry import (
+        _PER_DISTINCT_BROADCAST_MAX_ROWS,
+        _footer_row_bound,
+    )
 
     purchases = event_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
-    cust = F.broadcast(
-        spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-            "c_custkey", "c_mktsegment"
-        )
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    bound = _footer_row_bound(dim)
+    cust = (
+        F.broadcast(dim)
+        if bound is not None and bound <= _PER_DISTINCT_BROADCAST_MAX_ROWS
+        else dim
     )
     enriched = purchases.join(cust, purchases.user_id == cust.c_custkey).groupBy(
         F.col("c_mktsegment").alias("segment")

@@ -325,7 +325,29 @@ class _TableLock:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(self.lock_path) > self.stale_s:
-                        os.unlink(self.lock_path)
+                        # reclaim by RENAME to a unique name, then delete:
+                        # rename is atomic, so of N waiters that all judge
+                        # the lock stale exactly one wins the rename (the
+                        # rest hit FileNotFoundError and re-race on the
+                        # O_EXCL create). A direct unlink is racy — waiter
+                        # A's late unlink could delete the lock waiter B
+                        # already reclaimed and re-created, letting a third
+                        # writer in alongside B.
+                        claim = f"{self.lock_path}.stale-{os.getpid()}-{time.monotonic_ns()}"
+                        os.rename(self.lock_path, claim)
+                        # re-check on the claimed file: between getmtime
+                        # and rename the stale lock may have been replaced
+                        # by a live writer's FRESH lock — hand it straight
+                        # back instead of breaking mutual exclusion
+                        if time.time() - os.path.getmtime(claim) <= self.stale_s:
+                            try:
+                                # link (EXCL), not rename: rename would
+                                # silently clobber a lock another waiter
+                                # created in the meantime
+                                os.link(claim, self.lock_path)
+                            except FileExistsError:
+                                pass
+                        os.unlink(claim)
                         continue
                 except FileNotFoundError:
                     continue  # holder just released — retry immediately
