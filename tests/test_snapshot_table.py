@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from wopen_spark.snapshot_table import (
     CHECKPOINT_EVERY,
     CommitConflictError,
+    InMemoryLogStore,
     SnapshotTable,
     VacuumedVersionError,
 )
@@ -39,9 +40,15 @@ def _data_files(t: SnapshotTable) -> dict[str, bytes]:
     return out
 
 
-@pytest.fixture
-def table(spark, tmp_path):
-    return SnapshotTable(spark, str(tmp_path / "tbl"))
+@pytest.fixture(params=["local", "objectstore"])
+def table(spark, tmp_path, request):
+    """The whole suite runs twice: once over the default POSIX log store
+    and once over InMemoryLogStore — an object-store fake with NO rename
+    in its vocabulary, so any protocol code that silently depends on
+    rename atomicity fails here instead of in production."""
+    if request.param == "local":
+        return SnapshotTable(spark, str(tmp_path / "tbl"))
+    return SnapshotTable(spark, str(tmp_path / "tbl"), log_store=InMemoryLogStore())
 
 
 def test_create_append_read_roundtrip(spark, table):
@@ -125,13 +132,12 @@ def test_append_retries_through_commit_conflict(spark, table):
     table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
     # another writer lands version 2 between our state load and commit:
     # simulate by pre-creating the commit file append will target
-    conflict = table._commit_path(2)
-    os.makedirs(table._log_dir, exist_ok=True)
-    with open(conflict, "w") as f:
-        json.dump(
-            {"version": 2, "ts_unix": 0.0, "operation": "append", "add": [], "remove": []},
-            f,
-        )
+    table._store.put_if_absent(
+        table._commit_name(2),
+        json.dumps(
+            {"version": 2, "ts_unix": 0.0, "operation": "append", "add": [], "remove": []}
+        ).encode(),
+    )
     v = table.append(spark.createDataFrame([(2, "b")], "id long, v string"))
     assert v == 3  # retried against the new head instead of failing
     assert _rows(table.read().select("id")) == [(1,), (2,)]
@@ -146,15 +152,16 @@ def test_overwrite_conflict_raises(spark, table, monkeypatch):
     # exactly in that window
     real_write = table._write_files
 
-    def write_and_race(df_, cluster_by):
+    def write_and_race(df_, cluster_by, mapping=None):
         head = table.latest_version()
-        with open(table._commit_path(head + 1), "w") as f:
-            json.dump(
+        table._store.put_if_absent(
+            table._commit_name(head + 1),
+            json.dumps(
                 {"version": head + 1, "ts_unix": 0.0, "operation": "append",
-                 "add": [], "remove": []},
-                f,
-            )
-        return real_write(df_, cluster_by)
+                 "add": [], "remove": []}
+            ).encode(),
+        )
+        return real_write(df_, cluster_by, mapping)
 
     monkeypatch.setattr(table, "_write_files", write_and_race)
     with pytest.raises(CommitConflictError):
@@ -167,11 +174,10 @@ def test_checkpoint_rollup_and_replay(spark, table):
     table.create(spark.createDataFrame([(0, "x")], "id long, v string"))
     for i in range(1, CHECKPOINT_EVERY + 2):
         table.append(spark.createDataFrame([(i, "x")], "id long, v string"))
-    cp = table._checkpoint_path(CHECKPOINT_EVERY)
-    assert os.path.exists(cp), "checkpoint not written at the rollup interval"
+    cp = table._checkpoint_name(CHECKPOINT_EVERY)
+    assert table._store.exists(cp), "checkpoint not written at the rollup interval"
     # state resolution must agree with full-log replay
-    with open(cp) as f:
-        cp_files = {m["path"] for m in json.load(f)["files"]}
+    cp_files = {m["path"] for m in json.loads(table._store.read(cp))["files"]}
     assert cp_files  # non-empty manifest
     assert _rows(table.read().select("id")) == [
         (i,) for i in range(CHECKPOINT_EVERY + 2)
@@ -296,9 +302,8 @@ def test_compact_then_time_travel(spark, table):
 
 def test_versions_ignore_leaked_tmp_files(spark, table):
     table.create(spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1))
-    # a crashed writer's staging file must not parse as a version
-    with open(os.path.join(table._log_dir, ".tmp-deadbeef.json"), "w") as f:
-        f.write("{")  # even corrupt content must be ignored
+    # a crashed writer's staging blob must not parse as a version
+    table._store.put(".tmp-deadbeef.json", b"{")  # corrupt content ignored
     assert table.latest_version() == 1
     assert _rows(table.read()) == [(1, "a")]
     table.append(spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1))
@@ -401,3 +406,126 @@ def test_file_meta_allnull_row_group_keeps_other_bounds(tmp_path):
     w.close()
     meta = _file_meta(path, "allnull.parquet")
     assert meta["stats"]["k"] == {"min": 5, "max": 7, "nulls": 2}
+
+
+def test_concurrent_appends_through_object_store_interface(spark, tmp_path):
+    """Two writers racing real commits through the no-rename object-store
+    fake: appends commute, so both must land (one wins each version, the
+    loser retries against the new head) and the final table is the union
+    — the end-to-end proof that the commit protocol needs only
+    put-if-absent, not POSIX rename atomicity."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), log_store=InMemoryLogStore())
+    t.create(spark.createDataFrame([(0, "seed")], "id long, v string").coalesce(1))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(i):
+        try:
+            df = spark.createDataFrame([(i, f"w{i}")], "id long, v string").coalesce(1)
+            barrier.wait()
+            t.append(df)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.latest_version() == 3
+    assert _rows(t.read().select("id")) == [(0,), (1,), (2,)]
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create", "append", "append"]
+
+
+def test_type_widening_append(spark, table):
+    """int->long / float->double widening: a wider append evolves the
+    TABLE type; old narrow files keep reading through the widened schema
+    (no rewrite). A narrower append casts up at write."""
+    table.create(
+        spark.createDataFrame([(1, 1.5)], "id int, x float").coalesce(1)
+    )
+    table.append(
+        spark.createDataFrame([(2**40, 2.5)], "id long, x double").coalesce(1)
+    )
+    df = table.read()
+    assert dict(df.dtypes) == {"id": "bigint", "x": "double"}
+    assert _rows(df.select("id")) == [(1,), (2**40,)]
+    # narrower incoming after the widening: cast up, same table type
+    table.append(spark.createDataFrame([(3, 3.5)], "id int, x float").coalesce(1))
+    df = table.read()
+    assert dict(df.dtypes) == {"id": "bigint", "x": "double"}
+    assert df.count() == 3
+
+
+def test_type_widening_rejects_lossy_changes(spark, table):
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(TypeError):
+        table.append(spark.createDataFrame([(2, 5)], "id long, v int"))
+
+
+def test_rename_column_metadata_only(spark, table):
+    """Rename rewrites ZERO data files (physical names are fixed at
+    column creation); reads map physical->logical, time travel resolves
+    the old name, and a merge on the renamed key still stats-prunes."""
+    mk = lambda lo: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, lo + 5)], "id long, v string"
+    ).coalesce(1)
+    table.create(mk(0), cluster_by=["id"])
+    table.append(mk(100))
+    before_bytes = _data_files(table)
+    v_pre = table.latest_version()
+
+    table.rename_column("v", "label")
+    assert _data_files(table) == before_bytes  # not a byte rewritten
+    df = table.read()
+    assert set(df.columns) == {"id", "label"}
+    assert (2, "v2") in {(r["id"], r["label"]) for r in df.collect()}
+    # time travel BEFORE the rename shows the old name
+    assert "v" in table.read(version=v_pre).columns
+
+    # merge through the logical name: stats pruning keys on the PHYSICAL
+    # name under the hood, so the untouched file must still be skipped
+    report = table.merge(
+        spark.createDataFrame([(100, "NEW")], "id long, label string"), "id"
+    )
+    assert report["files_skipped_by_stats"] == 1
+    assert report["files_rewritten"] == 1
+    got = {r["id"]: r["label"] for r in table.read().collect()}
+    assert got[100] == "NEW" and got[0] == "v0"
+
+
+def test_rename_then_reuse_name_as_new_column(spark, table):
+    """Adding a fresh column with a RETIRED name: old data files still
+    store the retired physical name, so the new logical column mints a
+    distinct physical — old files must read NULL for it, not resurrect
+    the renamed column's bytes."""
+    table.create(
+        spark.createDataFrame([(1, "old")], "id long, v string").coalesce(1)
+    )
+    table.rename_column("v", "label")
+    table.append(
+        spark.createDataFrame(
+            [(2, "lab2", "fresh")], "id long, label string, v string"
+        ).coalesce(1)
+    )
+    rows = {r["id"]: (r["label"], r["v"]) for r in table.read().collect()}
+    assert rows[1] == ("old", None)  # old file: renamed col maps, new col null
+    assert rows[2] == ("lab2", "fresh")
+
+
+def test_rename_chain_swap(spark, table):
+    """a->b then c->a: logical names swap around fixed physical names;
+    every read resolves through the mapping chain."""
+    table.create(
+        spark.createDataFrame([(1, 10, 20)], "id long, a long, c long").coalesce(1)
+    )
+    table.rename_column("a", "b")
+    table.rename_column("c", "a")
+    df = table.read()
+    assert set(df.columns) == {"id", "b", "a"}
+    (r,) = df.collect()
+    assert (r["b"], r["a"]) == (10, 20)

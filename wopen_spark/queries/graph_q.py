@@ -68,6 +68,49 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trade_pair_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contracted (customer, supplier) trade-pair frame shared by
+    the graph family — ``pagerank_customer_supplier`` (needs the pair
+    set), ``new_trade_edges_per_week`` (needs min order date per pair),
+    ``bfs_trade_route_hops`` (needs summed revenue cents per pair).
+
+    r5 verdict #5: each of the three queries re-derived the orders x
+    lineitem join (the suite's biggest repeated fact pipeline at sf10).
+    This helper pays the fact join + ONE (ck, sk) aggregate once and
+    persists the |distinct pairs| result; Spark's CacheManager matches
+    the canonical plan across all three consumers (the exact mechanism
+    the LSH candidate-pair cache uses in operators/dedup.py), so
+    repeated calls share one cache entry instead of accumulating.
+
+    Shape: shuffle_hash on the smaller orders side (sort-merge would
+    sort both facts on a key the pair aggregate immediately re-hashes);
+    min(date) and sum(cents) ride the SAME map-side combine, so the
+    extras each consumer ignores cost state, not an extra pass. Exact
+    scaled-long cents (a float sum could flip a BFS edge between
+    engines); min over dates commutes with week truncation downstream.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_odate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        o.hint("shuffle_hash")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.min("o_odate").alias("first_date"),
+            F.sum("cents").alias("cents"),
+        )
+        .persist()
+    )
+
+
 def _pagerank_oracle(iterations: int = 3) -> str:
     """Unrolled fixed-iteration PageRank as chained CTEs — the iterative
     operator stays value-checked (same scaled-long arithmetic as
@@ -112,33 +155,25 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 fixed rounds, d=0.85) over the undirected bipartite
     customer~supplier trade graph derived from orders x lineitem.
     Centrality scoring of the entity graph — the standard iterative
-    test beyond connected components. Edge derivation shuffles the two
-    facts once on the order key and dedups to entity pairs; each round
-    is then |edges|-shaped, exactly the distributed PageRank loop (see
+    test beyond connected components. The edge set comes from the
+    suite-shared persisted pair summary (``_trade_pair_summary`` — one
+    fact join for the whole graph family); each round is then
+    |edges|-shaped, exactly the distributed PageRank loop (see
     operators/graph.pagerank for the determinism contract)."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # shuffle_hash on the smaller orders side: sort-merge would sort BOTH
-    # facts (15M + 60M rows at sf10) just to join on a key the very next
-    # distinct re-hashes anyway
-    cust = F.col("o_custkey") * 2
-    supp = F.col("l_suppkey") * 2 + 1
+    pairs = _trade_pair_summary(spark, sf_dir)
+    cust = F.col("ck") * 2
+    supp = F.col("sk") * 2 + 1
     # Map-side explode emits BOTH edge directions from ONE pass over the
-    # join output — a union of `directed` with its reversal would run
-    # the orders x lineitem join twice (each union branch re-executes
-    # the uncached join subtree).
-    edges = (
-        o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(cust.alias("src"), supp.alias("dst")),
-                    F.struct(supp.alias("src"), cust.alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-    )
+    # contracted pair frame — a union of `directed` with its reversal
+    # would scan the cached pairs twice for nothing.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(cust.alias("src"), supp.alias("dst")),
+                F.struct(supp.alias("src"), cust.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # NO caller-side distinct: the operator dedups (a,b) on its hash(a)
     # edge layout, where the aggregate is exchange-free — a caller
     # distinct here would add a full hash(src,dst) exchange of the raw
@@ -213,25 +248,18 @@ def near_dup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def new_trade_edges_per_week(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # date cast once on the 15M orders side (4-byte date through the
-    # shuffles, not an 8-byte timestamp); date_trunc('week') is monotone
-    # non-decreasing, so min(trunc(d)) = trunc(min(d)) — hoisting it
-    # above the MIN runs it once per PAIR, not once per 60M join rows
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_odate")
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # shuffle_hash on the smaller orders side: sort-merge would sort both
-    # facts on a key the (ck, sk) aggregate immediately re-hashes anyway
-    first_seen = (
-        o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk")
-        )
-        .agg(F.date_trunc("week", F.min("o_odate")).alias("wk"))
-    )
+    # the shared pair summary carries min(o_odate) per (ck, sk);
+    # date_trunc('week') is monotone non-decreasing, so trunc(min(d)) =
+    # min(trunc(d)) — applying it on the contracted frame runs it once
+    # per PAIR, not once per 60M join rows. The only work beyond the
+    # cached frame is one pair-sized week aggregate.
+    pairs = _trade_pair_summary(spark, sf_dir)
     return (
-        first_seen.groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"))
+        pairs.groupBy(
+            F.date_format(
+                F.date_trunc("week", F.col("first_date")), "yyyy-MM-dd"
+            ).alias("week")
+        )
         .agg(F.count(F.lit(1)).alias("n_new_edges"))
         .orderBy("week")
     )
@@ -282,37 +310,31 @@ def bfs_trade_route_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (components = label convergence, pagerank = fixed point, BFS =
     frontier expansion), oracle-checked against a recursive CTE.
 
-    Scale: edge derivation is the Q5-shaped join pipeline collapsed to a
-    nation-pair matrix with exact scaled-long revenue (cents — a
-    threshold on a float sum could flip an edge between engines); each
-    hop is |frontier|x|edges| equi-join work against a persisted
-    hash-partitioned edge list (operators/graph.bfs_hops).
+    Scale: revenue per (customer, supplier) comes from the suite-shared
+    persisted pair summary (one fact join for the whole graph family);
+    the nation rollup is then pair-sized work — broadcast dims onto the
+    contracted frame, one tiny aggregate. Exact scaled-long revenue
+    (cents — a threshold on a float sum could flip an edge between
+    engines, and long sums re-aggregate associatively from pair to
+    nation level); each hop is |frontier|x|edges| equi-join work against
+    a persisted hash-partitioned edge list (operators/graph.bfs_hops).
     """
     from wopen_spark.operators.graph import bfs_hops
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_suppkey",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-        .cast("long")
-        .alias("cents"),
-    )
+    pairs = _trade_pair_summary(spark, sf_dir)
     rev = (
-        o.hint("shuffle_hash")
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        pairs.join(F.broadcast(c), pairs.ck == c.c_custkey)
+        .join(F.broadcast(s), pairs.sk == s.s_suppkey)
         .join(
-            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))),
-            F.col("c_nationkey") == F.col("ck"),
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("src"))),
+            F.col("c_nationkey") == F.col("cnk"),
         )
         .join(
-            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))),
-            F.col("s_nationkey") == F.col("sk"),
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("dst"))),
+            F.col("s_nationkey") == F.col("snk"),
         )
         .groupBy("src", "dst")
         .agg(F.sum("cents").alias("cents"))

@@ -194,3 +194,86 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="wopen_sliding_counts",
     )
     return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "topic_exactly_once_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    WHERE event_id % 50 = 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def topic_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-tracked topic consumption, end-to-end exactly-once: a 2%
+    sample of events is produced into a 2-partition FileTopic across
+    THREE segments, loaded into a SnapshotTable by TopicLoader in two
+    micro-batch rounds, then the loader is rerun with no new data AND a
+    committed batch is replayed directly through the transactional sink.
+    If any of those re-deliveries duplicated a single row, the aggregate
+    below would double-count and the oracle hash would catch it — the
+    exactly-once contract is what this query value-checks.
+
+    The producer side (collect + produce) stands in for the external
+    system that writes the topic in production; the ENGINE side — offset
+    algebra, segment-name pruning, distributed json scan, transactional
+    commit — is the code under test. Mirrors the reference's per-date
+    ledger gate (get_similarity.py:89-103) at streaming cadence.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.streaming.topic import FileTopic, TopicLoader
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 50 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    root = tempfile.mkdtemp(prefix="wopen_topic_")
+    topic = FileTopic(f"{root}/events_topic", partitions=2)
+    # partition by user (Kafka key-hash analogue); three produce calls =
+    # three segments, split so partition 0 gains a SECOND segment later
+    p0 = [r for r in rows if r["user_id"] % 2 == 0]
+    p1 = [r for r in rows if r["user_id"] % 2 == 1]
+    cut = len(p0) // 2
+    topic.produce(0, p0[:cut])
+    topic.produce(1, p1)
+
+    table = SnapshotTable(spark, f"{root}/ingested")
+    table.create(spark.createDataFrame([], schema))
+    loader = TopicLoader(topic, table, group="ingest", schema=schema)
+    loader.run_once(spark)  # round 1: p0 partial + p1 full
+    topic.produce(0, p0[cut:])  # late second segment
+    loader.run_once(spark)  # round 2: only the new p0 range loads
+    loader.run_once(spark)  # no new data: must be a no-op
+    # crash-replay: re-deliver round 1's already-committed p1 batch
+    # straight through the sink with its original txn version
+    replay = topic.read(spark, 1, 0, topic.head(1), schema).select(*ev.columns)
+    table.append(replay, txn_app="ingest/p1", txn_version=topic.head(1))
+
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

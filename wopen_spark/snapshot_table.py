@@ -135,10 +135,141 @@ def _file_meta(fs_path: str, rel_path: str) -> dict:
     }
 
 
+class LogStore:
+    """Control-plane storage contract for the transaction log.
+
+    Four blob-atomic primitives, NONE involving rename — the whole point
+    of the commit protocol is that it survives object stores, where
+    rename is a copy, not a commit:
+
+    - ``put_if_absent(name, data)``: publish a blob only if ``name`` does
+      not exist, content-atomic (a reader never sees a partial blob).
+      Raises ``FileExistsError`` on a lost race. This IS the commit
+      protocol — POSIX ``O_EXCL``+hardlink locally, conditional PUT
+      (``If-None-Match: *``) on S3/GCS/ABFS.
+    - ``put(name, data)``: atomic replace. Only for REBUILDABLE advisory
+      blobs (checkpoints) — never the source of truth.
+    - ``read(name) -> bytes`` / ``list() -> [names]`` / ``exists(name)``.
+
+    Data files do NOT go through this interface: Spark reads and writes
+    them through its Hadoop filesystem layer, which already speaks
+    object stores; data files are immutable and never renamed, so they
+    need no protocol beyond "write once, read many".
+    """
+
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def put(self, name: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def read(self, name: str) -> bytes:
+        raise NotImplementedError
+
+    def list(self) -> list[str]:
+        raise NotImplementedError
+
+    def exists(self, name: str) -> bool:
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """POSIX implementation: publish = one hard link (atomic for CONTENT
+    as well as existence — an O_EXCL create-then-write would expose an
+    empty/partial log file to concurrent readers); EEXIST is the
+    lost-race signal."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._p(f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._p(name))  # FileExistsError = lost race
+        finally:
+            os.unlink(tmp)
+
+    def put(self, name: str, data: bytes) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._p(f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        # atomic replace: a reader never sees a half-written checkpoint
+        os.replace(tmp, self._p(name))
+
+    def read(self, name: str) -> bytes:
+        with open(self._p(name), "rb") as f:
+            return f.read()
+
+    def list(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(os.listdir(self.root))
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._p(name))
+
+
+class InMemoryLogStore(LogStore):
+    """Object-store fake for tests: whole-blob atomic puts guarded by a
+    mutex, conditional create via the same lock — and, crucially, NO
+    rename in its vocabulary at all, so any protocol code that silently
+    depended on rename atomicity cannot pass against it."""
+
+    def __init__(self):
+        import threading
+
+        self._blobs: dict[str, bytes] = {}
+        self._mu = threading.Lock()
+
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        with self._mu:
+            if name in self._blobs:
+                raise FileExistsError(name)
+            self._blobs[name] = bytes(data)
+
+    def put(self, name: str, data: bytes) -> None:
+        with self._mu:
+            self._blobs[name] = bytes(data)
+
+    def read(self, name: str) -> bytes:
+        with self._mu:
+            if name not in self._blobs:
+                raise FileNotFoundError(name)
+            return self._blobs[name]
+
+    def list(self) -> list[str]:
+        with self._mu:
+            return sorted(self._blobs)
+
+    def exists(self, name: str) -> bool:
+        with self._mu:
+            return name in self._blobs
+
+
 @dataclass
 class SnapshotTable:
     spark: SparkSession
     path: str
+    # control-plane override (object-store adapters, test fakes); data
+    # files always live under ``path`` via Spark's own filesystem layer
+    log_store: LogStore | None = None
+
+    def __post_init__(self) -> None:
+        self._store: LogStore = (
+            self.log_store if self.log_store is not None
+            else LocalLogStore(self._log_dir)
+        )
 
     # ----------------------------------------------------------- log layer
 
@@ -146,27 +277,24 @@ class SnapshotTable:
     def _log_dir(self) -> str:
         return os.path.join(self.path, "_log")
 
-    def _commit_path(self, version: int) -> str:
-        return os.path.join(self._log_dir, f"{version:08d}.json")
+    def _commit_name(self, version: int) -> str:
+        return f"{version:08d}.json"
 
-    def _checkpoint_path(self, version: int) -> str:
-        return os.path.join(self._log_dir, f"{version:08d}.checkpoint.json")
+    def _checkpoint_name(self, version: int) -> str:
+        return f"{version:08d}.checkpoint.json"
 
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self._log_dir):
-            return []
         # strict 8-digit name match: in-flight .tmp-*.json staging files
         # (and anything else a crashed writer leaves) must never parse as
         # a version, or one leaked temp file bricks every read
         return sorted(
             int(f[:8])
-            for f in os.listdir(self._log_dir)
+            for f in self._store.list()
             if len(f) == 13 and f.endswith(".json") and f[:8].isdigit()
         )
 
     def _read_commit(self, version: int) -> dict:
-        with open(self._commit_path(version)) as f:
-            return json.load(f)
+        return json.loads(self._store.read(self._commit_name(version)))
 
     def latest_version(self) -> int | None:
         vs = self._versions()
@@ -183,16 +311,16 @@ class SnapshotTable:
         if target not in vs:
             raise ValueError(f"version {target} not in log (have {vs[0]}..{vs[-1]})")
         files: dict[str, dict] = {}
-        state = {"schema": None, "cluster_by": None}
+        state = {"schema": None, "cluster_by": None, "column_mapping": None}
         txns: dict[str, int] = {}
         start_idx = 0
         for i in range(len(vs) - 1, -1, -1):  # newest checkpoint <= target
-            if vs[i] <= target and os.path.exists(self._checkpoint_path(vs[i])):
-                with open(self._checkpoint_path(vs[i])) as f:
-                    cp = json.load(f)
+            if vs[i] <= target and self._store.exists(self._checkpoint_name(vs[i])):
+                cp = json.loads(self._store.read(self._checkpoint_name(vs[i])))
                 files = {m["path"]: m for m in cp["files"]}
                 state["schema"] = cp["schema"]
                 state["cluster_by"] = cp.get("cluster_by")
+                state["column_mapping"] = cp.get("column_mapping")
                 txns = dict(cp.get("txns", {}))
                 start_idx = i + 1
                 break
@@ -208,6 +336,8 @@ class SnapshotTable:
                 state["schema"] = c["schema"]
             if c.get("cluster_by") is not None:
                 state["cluster_by"] = c["cluster_by"]
+            if c.get("column_mapping") is not None:
+                state["column_mapping"] = c["column_mapping"]
             if c.get("txn_app") is not None:
                 txns[c["txn_app"]] = max(
                     txns.get(c["txn_app"], -1), c.get("txn_version", -1)
@@ -215,52 +345,58 @@ class SnapshotTable:
         return {"files": files, "version": target, "txns": txns, **state}
 
     def _try_commit(self, version: int, record: dict) -> None:
-        """The atomic publish: O_EXCL create of the next log file. On a
-        POSIX FS this is the whole commit protocol; on an object store
-        the same record goes through put-if-absent."""
-        os.makedirs(self._log_dir, exist_ok=True)
+        """The atomic publish: one put-if-absent of the next log blob,
+        through the LogStore — POSIX hardlink locally, conditional PUT on
+        an object store. Losing the race raises CommitConflictError; the
+        already-written data files are orphans vacuum's grace window
+        handles."""
         record = {"version": version, "ts_unix": time.time(), **record}
-        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-            f.flush()
-            os.fsync(f.fileno())
-        # publish = one hard link: atomic for CONTENT as well as existence
-        # (an O_EXCL create-then-write would expose an empty/partial log
-        # file to concurrent readers); EEXIST is the lost-race signal
         try:
-            os.link(tmp, self._commit_path(version))
+            self._store.put_if_absent(
+                self._commit_name(version), json.dumps(record).encode()
+            )
         except FileExistsError:
             raise CommitConflictError(
                 f"version {version} of {self.path} was committed by another writer"
             ) from None
-        finally:
-            os.unlink(tmp)
         if version % CHECKPOINT_EVERY == 0:
             st = self._state(version)
-            cp_tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
-            with open(cp_tmp, "w") as f:
-                json.dump(
+            # checkpoints are REBUILDABLE rollups (never the source of
+            # truth), so a plain atomic put is enough
+            self._store.put(
+                self._checkpoint_name(version),
+                json.dumps(
                     {
                         "version": version,
                         "files": list(st["files"].values()),
                         "schema": st["schema"],
                         "cluster_by": st["cluster_by"],
+                        "column_mapping": st["column_mapping"],
                         "txns": st["txns"],
-                    },
-                    f,
-                )
-                f.flush()
-                os.fsync(f.fileno())
-            # atomic replace: a reader never sees a half-written checkpoint
-            os.replace(cp_tmp, self._checkpoint_path(version))
+                    }
+                ).encode(),
+            )
 
     # ---------------------------------------------------------- data layer
 
-    def _write_files(self, df: DataFrame, cluster_by: list[str] | None) -> list[dict]:
+    @staticmethod
+    def _phys(mapping: dict | None, col: str) -> str:
+        """Logical -> physical column name. Data files ALWAYS store
+        physical names (fixed at column creation, the Delta column-mapping
+        design); renames change only the logical name in the table
+        schema, so no data file is ever rewritten for a rename."""
+        return (mapping or {}).get(col, col)
+
+    def _write_files(
+        self,
+        df: DataFrame,
+        cluster_by: list[str] | None,
+        mapping: dict | None = None,
+    ) -> list[dict]:
         """Write immutable data files for one commit into a fresh subdir;
         return their add-action metadata. Clustering narrows per-file key
-        ranges so stats-based file skipping stays sharp."""
+        ranges so stats-based file skipping stays sharp. ``df`` arrives
+        with LOGICAL column names; physical names go to disk."""
         # a subset-schema append (legal: missing columns null-fill on
         # read) may omit cluster columns — cluster on what's present
         cluster_cols = [c for c in (cluster_by or []) if c in df.columns]
@@ -271,6 +407,10 @@ class SnapshotTable:
             # file and blunt the per-file min/max stats
             n = max(1, df.rdd.getNumPartitions())
             df = df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(self._phys(mapping, c)) for c in df.columns]
+            )
         commit_dir = f"data/{uuid.uuid4().hex}"
         fs_dir = os.path.join(self.path, commit_dir)
         df.write.mode("overwrite").parquet(fs_dir)
@@ -286,22 +426,90 @@ class SnapshotTable:
                 adds.append(meta)
         return adds
 
-    def _merged_schema(self, state: dict, df: DataFrame) -> dict:
-        """Additive schema evolution: new columns append as nullable;
-        existing columns must keep their type."""
+    # Lossless widenings the parquet reader performs transparently when
+    # old (narrow) files are read through the widened table schema —
+    # verified against Spark 4's vectorized reader. Anything else (string
+    # <-> number, narrowing, decimal scale changes) raises: silent
+    # coercion is how long-lived tables corrupt.
+    _WIDEN = frozenset(
+        [
+            ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+            ("short", "integer"), ("short", "long"),
+            ("integer", "long"),
+            ("float", "double"),
+        ]
+    )
+
+    def _merged_schema(
+        self, state: dict, df: DataFrame
+    ) -> tuple[dict, dict | None]:
+        """Schema evolution on write. Returns (schema_json, mapping):
+
+        - **Additive**: new columns append as nullable; their PHYSICAL
+          name is the logical name unless a past rename left that
+          physical name occupied in old data files (then a unique
+          suffixed physical is minted and recorded in the mapping).
+        - **Type widening**: an incoming wider type on the lossless
+          ladder (byte<short<int<long, float<double) widens the TABLE
+          type — old narrow files keep reading through the widened
+          schema. An incoming NARROWER type keeps the table type; the
+          incoming rows are cast up at write (``_conform``).
+        - Anything else raises TypeError.
+
+        ``mapping`` is the (possibly extended) column mapping when it
+        changed, else None (commit omits it)."""
         current = T.StructType.fromJson(state["schema"])
         by_name = {f.name: f for f in current.fields}
+        mapping = dict(state.get("column_mapping") or {})
+        used_phys = {self._phys(mapping, f.name) for f in current.fields}
+        # physical names retired by renames still live in old data files
+        used_phys.update(mapping.values())
+        changed_mapping = False
         out = list(current.fields)
         for f in df.schema.fields:
             if f.name not in by_name:
+                if f.name in used_phys:
+                    phys = f"{f.name}__p{uuid.uuid4().hex[:8]}"
+                    mapping[f.name] = phys
+                    used_phys.add(phys)
+                    changed_mapping = True
+                else:
+                    used_phys.add(f.name)
                 out.append(T.StructField(f.name, f.dataType, True))
-            elif by_name[f.name].dataType != f.dataType:
+                continue
+            have, want = by_name[f.name].dataType, f.dataType
+            if have == want:
+                continue
+            pair = (have.typeName(), want.typeName())
+            if pair in self._WIDEN:  # widen the table type
+                i = next(j for j, g in enumerate(out) if g.name == f.name)
+                out[i] = T.StructField(f.name, want, out[i].nullable)
+            elif (pair[1], pair[0]) in self._WIDEN:
+                pass  # narrower incoming: cast up at write (_conform)
+            else:
                 raise TypeError(
                     f"column {f.name}: incompatible type "
-                    f"{f.dataType.simpleString()} vs existing "
-                    f"{by_name[f.name].dataType.simpleString()}"
+                    f"{want.simpleString()} vs existing "
+                    f"{have.simpleString()}"
                 )
-        return T.StructType(out).jsonValue()
+        return (
+            T.StructType(out).jsonValue(),
+            mapping if changed_mapping else None,
+        )
+
+    def _conform(self, df: DataFrame, schema_json: dict) -> DataFrame:
+        """Cast any df column whose type differs from the (merged) table
+        schema — the narrower-incoming half of type widening."""
+        types = {
+            f.name: f.dataType for f in T.StructType.fromJson(schema_json).fields
+        }
+        cols = [
+            F.col(c).cast(types[c]).alias(c)
+            if c in types and dict(df.dtypes)[c] != types[c].simpleString()
+            else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(*cols)
 
     # ------------------------------------------------------------- writes
 
@@ -345,22 +553,31 @@ class SnapshotTable:
         state = self._state()
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return state["version"]  # replayed batch: already committed
-        schema = self._merged_schema(state, df)
-        adds = self._write_files(df, state["cluster_by"])
+        schema, mapping = self._merged_schema(state, df)
+        df = self._conform(df, schema)
+        adds = self._write_files(
+            df, state["cluster_by"],
+            mapping if mapping is not None else state["column_mapping"],
+        )
         txn = {"txn_app": txn_app, "txn_version": txn_version} if txn_app else {}
+        mp = {"column_mapping": mapping} if mapping is not None else {}
         for _ in range(max_retries):
             try:
                 self._try_commit(
                     state["version"] + 1,
                     {"operation": "append", "schema": schema, "add": adds,
-                     "remove": [], **txn},
+                     "remove": [], **txn, **mp},
                 )
                 return state["version"] + 1
             except CommitConflictError:
                 state = self._state()
                 if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
                     return state["version"]  # the racer WAS our replay
-                schema = self._merged_schema(state, df)
+                # re-merge against the new head: our files are already
+                # written and stay valid (a racer's widening still reads
+                # them — narrow files through a wider schema)
+                schema, mapping = self._merged_schema(state, df)
+                mp = {"column_mapping": mapping} if mapping is not None else {}
         raise CommitConflictError(
             f"append to {self.path} lost {max_retries} commit races"
         )
@@ -391,16 +608,61 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents. Non-commuting: a lost race raises
-        rather than silently dropping the other writer's commit."""
+        rather than silently dropping the other writer's commit. The
+        column mapping restricts to surviving columns (renamed columns
+        keep their physical names so log history stays coherent)."""
         state = self._state()
-        adds = self._write_files(df, state["cluster_by"])
+        mapping = {
+            k: v
+            for k, v in (state["column_mapping"] or {}).items()
+            if k in df.columns
+        }
+        adds = self._write_files(df, state["cluster_by"], mapping)
         self._try_commit(
             state["version"] + 1,
             {
                 "operation": "overwrite",
                 "schema": df.schema.jsonValue(),
+                "column_mapping": mapping,
                 "add": adds,
                 "remove": sorted(state["files"]),
+            },
+        )
+        return state["version"] + 1
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename: data files keep the column's
+        PHYSICAL name (fixed at creation); only the logical name in the
+        table schema changes, recorded in the column mapping — so a
+        rename never rewrites a byte of data, at any table size. Old
+        versions time-travel with their old names; ``read()`` (and every
+        merge/delete/scan) transparently maps logical to physical."""
+        state = self._state()
+        schema = T.StructType.fromJson(state["schema"])
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        mapping = dict(state["column_mapping"] or {})
+        mapping[new] = mapping.pop(old, old)
+        fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        cluster = state["cluster_by"]
+        if cluster:
+            cluster = [new if c == old else c for c in cluster]
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "rename",
+                "schema": T.StructType(fields).jsonValue(),
+                "column_mapping": mapping,
+                "cluster_by": cluster,
+                "add": [],
+                "remove": [],
+                "dataChange": False,
             },
         )
         return state["version"] + 1
@@ -426,8 +688,10 @@ class SnapshotTable:
         the incoming keys' ranges. Returns (candidates, skipped). Only
         types with a faithful footer-vs-engine comparator participate —
         a wrong skip here is silent merge corruption, so anything
-        doubtful (timestamps, binary) is simply never skipped."""
+        doubtful (timestamps, binary) is simply never skipped. Footer
+        stats are keyed by PHYSICAL column names."""
         prunable = self._prunable_cols(state, keys)
+        mapping = state["column_mapping"]
         bounds = key_df.agg(
             *[F.min(k).alias(f"mn_{k}") for k in keys],
             *[F.max(k).alias(f"mx_{k}") for k in keys],
@@ -438,7 +702,7 @@ class SnapshotTable:
             for k in keys:
                 if k not in prunable:
                     continue
-                s = meta.get("stats", {}).get(k)
+                s = meta.get("stats", {}).get(self._phys(mapping, k))
                 mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
                 if s is None or s["min"] is None or mn is None:
                     continue  # no stats -> cannot skip
@@ -454,12 +718,32 @@ class SnapshotTable:
         p = unquote(urlparse(file_uri).path) if "://" in file_uri or file_uri.startswith("file:") else file_uri
         return os.path.relpath(p, os.path.abspath(self.path))
 
-    def _read_files(self, rels: list[str], schema_json: dict) -> DataFrame:
+    def _read_files(
+        self, rels: list[str], schema_json: dict, mapping: dict | None = None
+    ) -> DataFrame:
+        """Read data files through the LOGICAL schema: the scan uses
+        physical names (what parquet stores), then one zero-cost
+        projection aliases back to logical. Old narrow files read
+        transparently through a widened schema (verified: Spark 4's
+        reader upcasts byte/short/int->long and float->double)."""
         schema = T.StructType.fromJson(schema_json)
         paths = [os.path.join(self.path, r) for r in rels]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        if not mapping:
+            return self.spark.read.schema(schema).parquet(*paths)
+        phys = T.StructType(
+            [
+                T.StructField(self._phys(mapping, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return self.spark.read.schema(phys).parquet(*paths).select(
+            *[
+                F.col(self._phys(mapping, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def merge(self, df: DataFrame, key: str | list[str]) -> dict:
         """Keyed upsert, copy-on-write at file granularity: stats-skip
@@ -470,13 +754,15 @@ class SnapshotTable:
         what the pruning did — silent caps are how scale bugs hide."""
         keys = [key] if isinstance(key, str) else list(key)
         state = self._state()
-        new_rows = df
+        schema, mapping = self._merged_schema(state, df)
+        eff_mapping = mapping if mapping is not None else state["column_mapping"]
+        new_rows = self._conform(df, schema)
         key_df = new_rows.select(*keys).distinct()
         candidates, skipped = self._candidate_files(state, keys, key_df)
         touched: list[str] = []
         if candidates:
             probe = (
-                self._read_files(candidates, state["schema"])
+                self._read_files(candidates, state["schema"], eff_mapping)
                 .withColumn("__file", F.input_file_name())
                 # no forced broadcast: a bulk upsert's key set is
                 # upsert-sized, not small by contract — AQE broadcasts
@@ -488,20 +774,25 @@ class SnapshotTable:
             touched = sorted(self._rel_path(r["__file"]) for r in probe.collect())
         adds: list[dict] = []
         if touched:
-            kept = self._read_files(touched, state["schema"]).join(
+            # survivors read (and conform) through the MERGED schema so a
+            # widening upsert unions cleanly with the incoming rows
+            kept = self._conform(
+                self._read_files(touched, state["schema"], eff_mapping), schema
+            ).join(
                 key_df, keys, "left_anti"  # AQE-sized, same reason as the probe
             )
             merged = kept.unionByName(new_rows, allowMissingColumns=True)
         else:
             merged = new_rows
-        adds = self._write_files(merged, state["cluster_by"])
+        adds = self._write_files(merged, state["cluster_by"], eff_mapping)
         self._try_commit(
             state["version"] + 1,
             {
                 "operation": "merge",
-                "schema": self._merged_schema(state, df),
+                "schema": schema,
                 "add": adds,
                 "remove": touched,
+                **({"column_mapping": mapping} if mapping is not None else {}),
             },
         )
         return {
@@ -516,9 +807,10 @@ class SnapshotTable:
         """Copy-on-write delete: probe files for rows matching the
         predicate, rewrite only those files without the matching rows."""
         state = self._state()
+        mapping = state["column_mapping"]
         all_files = sorted(state["files"])
         probe = (
-            self._read_files(all_files, state["schema"])
+            self._read_files(all_files, state["schema"], mapping)
             .withColumn("__file", F.input_file_name())
             .filter(F.expr(predicate_sql))
             .select("__file")
@@ -527,10 +819,10 @@ class SnapshotTable:
         touched = sorted(self._rel_path(r["__file"]) for r in probe.collect())
         adds = []
         if touched:
-            kept = self._read_files(touched, state["schema"]).filter(
+            kept = self._read_files(touched, state["schema"], mapping).filter(
                 ~F.expr(predicate_sql)
             )
-            adds = self._write_files(kept, state["cluster_by"])
+            adds = self._write_files(kept, state["cluster_by"], mapping)
         self._try_commit(
             state["version"] + 1,
             {"operation": "delete", "add": adds, "remove": touched},
@@ -559,7 +851,9 @@ class SnapshotTable:
                 f"version {state['version']} references {len(missing)} vacuumed "
                 f"file(s); earliest retained version is newer"
             )
-        return self._read_files(sorted(state["files"]), state["schema"])
+        return self._read_files(
+            sorted(state["files"]), state["schema"], state["column_mapping"]
+        )
 
     def read_where(
         self, ranges: dict[str, tuple], version: int | None = None
@@ -573,13 +867,14 @@ class SnapshotTable:
         because a silent cap looks like full coverage."""
         state = self._state(version)
         prunable = self._prunable_cols(state, list(ranges))
+        mapping = state["column_mapping"]
         keep, skipped = [], 0
         for rel, meta in state["files"].items():
             ok = True
             for c, (lo, hi) in ranges.items():
                 if c not in prunable:
                     continue  # untrustworthy comparator -> must read
-                s = meta.get("stats", {}).get(c)
+                s = meta.get("stats", {}).get(self._phys(mapping, c))
                 if s is None or s["min"] is None:
                     continue  # no stats -> must read
                 if hi is not None and s["min"] > _json_safe(hi):
@@ -592,7 +887,7 @@ class SnapshotTable:
                 keep.append(rel)
             else:
                 skipped += 1
-        df = self._read_files(sorted(keep), state["schema"])
+        df = self._read_files(sorted(keep), state["schema"], mapping)
         for c, (lo, hi) in ranges.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -636,6 +931,7 @@ class SnapshotTable:
             raise ValueError(f"empty change range ({from_version}, {to_version}]")
         state = self._state(to_version)  # latest schema covers all files
         schema = state["schema"]
+        mapping = state["column_mapping"]
         parts: list[DataFrame] = []
         for v in self._versions():
             if not (from_version < v <= to_version):
@@ -658,7 +954,7 @@ class SnapshotTable:
                     )
                 if rels:
                     parts.append(
-                        self._read_files(rels, schema)
+                        self._read_files(rels, schema, mapping)
                         .withColumn("_change_type", F.lit(change_type))
                         .withColumn("_commit_version", F.lit(v))
                     )
@@ -695,8 +991,12 @@ class SnapshotTable:
         normal commit, so time travel to pre-compaction versions still
         works until vacuum."""
         state = self._state()
-        df = self._read_files(sorted(state["files"]), state["schema"])
-        adds = self._write_files(df.coalesce(target_files), state["cluster_by"])
+        df = self._read_files(
+            sorted(state["files"]), state["schema"], state["column_mapping"]
+        )
+        adds = self._write_files(
+            df.coalesce(target_files), state["cluster_by"], state["column_mapping"]
+        )
         self._try_commit(
             state["version"] + 1,
             {"operation": "compact", "add": adds, "remove": sorted(state["files"]),
@@ -727,7 +1027,9 @@ class SnapshotTable:
         from pyspark.ml.feature import Bucketizer
 
         state = self._state()
-        df = self._read_files(sorted(state["files"]), state["schema"])
+        df = self._read_files(
+            sorted(state["files"]), state["schema"], state["column_mapping"]
+        )
         n_buckets = 1 << bits_per_col
         # one double-valued shadow column per z-column (strings hash
         # first); ONE sampled approxQuantile pass covers all of them
@@ -769,7 +1071,7 @@ class SnapshotTable:
             .sortWithinPartitions("_z")
             .select(*df.columns)
         )
-        adds = self._write_files(clustered, None)
+        adds = self._write_files(clustered, None, state["column_mapping"])
         self._try_commit(
             state["version"] + 1,
             {"operation": "zorder", "add": adds, "remove": sorted(state["files"]),

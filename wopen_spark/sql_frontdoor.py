@@ -15,16 +15,40 @@ internal exchanges participate in reuse like any DataFrame pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.tables import load_testdata
 
+# Connected components is ITERATIVE (each register would rerun the label
+# loop eagerly — its convergence witness collects); memoize the resolved
+# frame per sf_dir so the whole SQL surface pays the iteration once per
+# process, like the suite-shared LSH pair cache it is built from.
+_COMPONENTS_CACHE: dict[str, DataFrame] = {}
+
+
+def _near_dup_components_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.queries.registry import QUERIES
+
+    df = _COMPONENTS_CACHE.get(sf_dir)
+    if df is None:
+        df = QUERIES["near_dup_components"](spark, sf_dir).persist()
+        _COMPONENTS_CACHE[sf_dir] = df
+    return df
+
 
 def register_frontdoor(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Register base tables + operator views; returns the view names."""
+    """Register base tables + operator views; returns the view names.
+
+    The operator views reachable from pure SQL now span the flagship
+    families: exact dedup (``doc_fingerprints``), near-dup candidates
+    (``lsh_candidate_pairs``), GRAPH clustering
+    (``near_dup_components``), and SIMILARITY
+    (``fuzzy_type_brand_top1`` — the reference's J8 fuzzy top-1 join as
+    a relation)."""
     from wopen_spark.functions.text import doc_fingerprint
     from wopen_spark.operators.dedup import minhash_lsh_candidates
+    from wopen_spark.operators.similarity import fuzzy_top1_join
     from wopen_spark.queries.dedup import _lsh_reps
     from wopen_spark.queries.registry import _spread, _t
 
@@ -37,4 +61,31 @@ def register_frontdoor(spark: SparkSession, sf_dir: str) -> list[str]:
         _lsh_reps(spark, sf_dir), id_col="doc_id", text_col="text",
         n_hashes=8, n_bands=4,
     ).createOrReplaceTempView("lsh_candidate_pairs")
-    return ["doc_fingerprints", "lsh_candidate_pairs"]
+    _near_dup_components_df(spark, sf_dir).createOrReplaceTempView(
+        "near_dup_components"
+    )
+    p = _t(spark, sf_dir, "part")
+    fuzzy_top1_join(
+        p.select("p_type").distinct(), p.select("p_brand").distinct(),
+        "p_type", "p_brand",
+    ).select("p_type", "p_brand", "similarity").createOrReplaceTempView(
+        "fuzzy_type_brand_top1"
+    )
+    return [
+        "doc_fingerprints",
+        "lsh_candidate_pairs",
+        "near_dup_components",
+        "fuzzy_type_brand_top1",
+    ]
+
+
+def register_snapshot_view(
+    spark: SparkSession, table, name: str, version: int | None = None,
+    asof_ts: float | None = None,
+) -> str:
+    """Expose a SnapshotTable — at head or any historical version — as a
+    SQL view: the ``VERSION AS OF`` front-door. The view pins the file
+    list at registration (snapshot isolation), so SQL over it is stable
+    under concurrent commits; register again to follow the head."""
+    table.read(version=version, asof_ts=asof_ts).createOrReplaceTempView(name)
+    return name
