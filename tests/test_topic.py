@@ -97,3 +97,45 @@ def test_loader_committed_reads_table_ledger_not_side_state(spark, tmp_path, top
     # a different GROUP is an independent consumer: it re-reads from 0
     other = TopicLoader(topic, table, group="g2", schema=SCHEMA)
     assert other.committed(0) == 0
+
+
+def test_topic_as_structured_stream_exactly_once(spark, tmp_path, topic):
+    """Continuous consumption of the same log: readStream over the
+    segment files, landed through the transactional sink. Segments
+    produced across multiple calls arrive over multiple micro-batches
+    (maxFilesPerTrigger), the checkpoint dedups files, and a second
+    availableNow run with no new segments adds nothing."""
+    topic.produce(0, _recs(0, 3))
+    topic.produce(0, _recs(3, 3))
+    topic.produce(1, _recs(100, 3))
+    table = SnapshotTable(spark, str(tmp_path / "tbl"))
+    table.create(
+        spark.createDataFrame(
+            [], T.StructType(list(SCHEMA.fields) + [
+                T.StructField("_partition", T.IntegerType()),
+                T.StructField("_offset", T.LongType()),
+            ])
+        )
+    )
+
+    def run():
+        q = (
+            topic.stream(spark, SCHEMA)
+            .writeStream.foreachBatch(table.streaming_sink("cont"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(r["k"] for r in table.read().collect())
+    assert got == [0, 1, 2, 3, 4, 5, 100, 101, 102]
+    v = table.latest_version()
+    run()  # no new segments: checkpoint says caught up
+    assert table.read().count() == 9
+    # late segment: only IT flows through the next run
+    topic.produce(1, _recs(103, 2))
+    run()
+    assert sorted(r["k"] for r in table.read().collect())[-2:] == [103, 104]
+    assert table.read().count() == 11

@@ -145,6 +145,29 @@ class FileTopic:
     def spark_empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
         return spark.createDataFrame([], schema)
 
+    def stream(self, spark: SparkSession, schema: T.StructType) -> DataFrame:
+        """The topic as a CONTINUOUS Structured Streaming source: segments
+        are immutable and append-only, exactly what Spark's file stream
+        source tracks exactly-once in its checkpoint. Every record still
+        carries ``_partition``/``_offset``, so downstream state keyed on
+        them is replay-stable. Micro-batch pull (TopicLoader) and
+        continuous push (this) consume the SAME log — the Kafka duality.
+
+        Pair with ``SnapshotTable.streaming_sink`` for exactly-once
+        landing with processing-time triggers::
+
+            q = (topic.stream(spark, schema).writeStream
+                   .foreachBatch(table.streaming_sink("job"))
+                   .option("checkpointLocation", ...).start())
+        """
+        full = T.StructType(list(schema.fields) + _META_FIELDS)
+        return (
+            spark.readStream.schema(full)
+            .option("pathGlobFilter", "*.jsonl")
+            .option("maxFilesPerTrigger", "8")
+            .json(os.path.join(self.path, "p*"))
+        )
+
 
 class TopicLoader:
     """Exactly-once micro-batch consumption from a FileTopic into a
