@@ -529,3 +529,30 @@ def test_rename_chain_swap(spark, table):
     assert set(df.columns) == {"id", "b", "a"}
     (r,) = df.collect()
     assert (r["b"], r["a"]) == (10, 20)
+
+
+def test_append_racing_rename_raises_not_orphans(spark, table, monkeypatch):
+    """An append whose data files are already written under the old
+    physical names must NOT retry past a concurrent rename that changes
+    those physicals (the committed mapping would read the column as
+    null) — it surfaces CommitConflictError and the caller re-runs."""
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    real_write = table._write_files
+
+    def write_and_rename(df_, cluster_by, mapping=None):
+        adds = real_write(df_, cluster_by, mapping)
+        # rename lands AFTER our files are written, BEFORE our commit
+        table.rename_column("v", "w")
+        return adds
+
+    monkeypatch.setattr(table, "_write_files", write_and_rename)
+    with pytest.raises(CommitConflictError, match="raced a column rename"):
+        # the incoming frame re-adds logical "v": post-rename it needs a
+        # minted physical, but our files already carry physical "v"
+        table.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    # nothing half-committed; a clean re-run succeeds with the new mapping
+    monkeypatch.setattr(table, "_write_files", real_write)
+    table.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    rows = {r["id"]: (r["w"], r["v"]) for r in table.read().collect()}
+    assert rows[1] == ("a", None)   # renamed column maps; new "v" is fresh
+    assert rows[3] == (None, "c")

@@ -88,7 +88,17 @@ def _trade_pair_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     extras each consumer ignores cost state, not an extra pass. Exact
     scaled-long cents (a float sum could flip a BFS edge between
     engines); min over dates commutes with week truncation downstream.
+
+    Storage level is DISK_ONLY, deliberately: the pair frame is
+    |distinct (ck, sk)| — fact-proportional at sf10 (~GBs deserialized)
+    — and a MEMORY_AND_DISK cache of that size steals unified memory
+    from every other query in the process (measured: a broad +2-5 s
+    smear across the sf10 suite). Each consumer scans it exactly once,
+    so columnar-compressed disk reads cost ~nothing next to the fact
+    join they replace, and the heap stays dedicated to execution.
     """
+    from pyspark.storagelevel import StorageLevel
+
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_odate")
     )
@@ -107,7 +117,7 @@ def _trade_pair_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_odate").alias("first_date"),
             F.sum("cents").alias("cents"),
         )
-        .persist()
+        .persist(StorageLevel.DISK_ONLY)
     )
 
 
@@ -174,17 +184,19 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    # NO caller-side distinct: the operator dedups (a,b) on its hash(a)
-    # edge layout, where the aggregate is exchange-free — a caller
-    # distinct here would add a full hash(src,dst) exchange of the raw
-    # 60M-pair join output for nothing.
+    # edges_distinct=True: the pair summary is already one row per
+    # (ck, sk), and the two exploded directions cannot collide (src
+    # parity differs and each pair determines both endpoints) — without
+    # the flag the operator would re-aggregate the whole edge list it
+    # just received deduped, a second |edges| hash aggregation for
+    # nothing (measured +16 s in-suite at sf10).
     # symmetric=True: the reversed union guarantees every node appears as
     # a source, so the operator derives the node set from src alone —
     # exchange-free on the hash(a) edge layout instead of a 2|edges|-row
     # union+distinct shuffle (234M rows at sf10).
     ranks = pagerank(
         edges, src="src", dst="dst", iterations=3, damping=0.85,
-        symmetric=True,
+        symmetric=True, edges_distinct=True,
     )
     return ranks.orderBy(F.desc("rank"), "node")
 

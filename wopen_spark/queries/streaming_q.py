@@ -203,13 +203,13 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
     FROM events
-    WHERE event_id % 50 = 0
+    WHERE event_id % 200 = 0
     GROUP BY event_type
     ORDER BY event_type
     """,
 )
 def topic_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset-tracked topic consumption, end-to-end exactly-once: a 2%
+    """Offset-tracked topic consumption, end-to-end exactly-once: a 0.5%
     sample of events is produced into a 2-partition FileTopic across
     THREE segments, loaded into a SnapshotTable by TopicLoader in two
     micro-batch rounds, then the loader is rerun with no new data AND a
@@ -242,7 +242,7 @@ def topic_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 50 == 0)
+        .filter(F.col("event_id") % 200 == 0)
         .select("event_id", "user_id", "event_type", "value")
     )
     rows = [r.asDict() for r in ev.collect()]

@@ -554,11 +554,9 @@ class SnapshotTable:
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return state["version"]  # replayed batch: already committed
         schema, mapping = self._merged_schema(state, df)
+        write_mapping = mapping if mapping is not None else state["column_mapping"]
         df = self._conform(df, schema)
-        adds = self._write_files(
-            df, state["cluster_by"],
-            mapping if mapping is not None else state["column_mapping"],
-        )
+        adds = self._write_files(df, state["cluster_by"], write_mapping)
         txn = {"txn_app": txn_app, "txn_version": txn_version} if txn_app else {}
         mp = {"column_mapping": mapping} if mapping is not None else {}
         for _ in range(max_retries):
@@ -574,9 +572,25 @@ class SnapshotTable:
                 if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
                     return state["version"]  # the racer WAS our replay
                 # re-merge against the new head: our files are already
-                # written and stay valid (a racer's widening still reads
-                # them — narrow files through a wider schema)
+                # written and stay valid against a racer's WIDENING
+                # (narrow files read through a wider schema)...
                 schema, mapping = self._merged_schema(state, df)
+                # ...but NOT against a racer's rename/mint that changes
+                # any of our columns' physical names — the files on disk
+                # carry the old physicals, and committing the new mapping
+                # over them would read those columns as null. Rare
+                # (concurrent rename + append); surface it instead of
+                # silently orphaning data. The caller re-runs the append.
+                new_eff = mapping if mapping is not None else state["column_mapping"]
+                if any(
+                    self._phys(write_mapping, c) != self._phys(new_eff, c)
+                    for c in df.columns
+                ):
+                    raise CommitConflictError(
+                        f"append to {self.path} raced a column rename: "
+                        f"physical names changed under the written files — "
+                        f"re-run the append"
+                    ) from None
                 mp = {"column_mapping": mapping} if mapping is not None else {}
         raise CommitConflictError(
             f"append to {self.path} lost {max_retries} commit races"
