@@ -1076,3 +1076,25 @@ def test_brand_mask_rejects_over_64_brands(spark, tmp_path):
     ).write.parquet(str(sf / "lineitem.parquet"))
     with _pytest.raises(ValueError, match="64 distinct brands"):
         _order_brand_masks(spark, str(sf))
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    """PQ encoding: m codes per vector, each in [0, k); same input ->
+    same codes (the codebooks are seeded literals, no RNG state)."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.operators.similarity import pq_codebooks, pq_codes
+
+    cb = pq_codebooks(m=4, k=8, dim=64)
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 16
+    assert cb == pq_codebooks(m=4, k=8, dim=64)  # deterministic
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = e.select(pq_codes(F.col("embedding"), cb).alias("c")).collect()
+    assert all(len(r["c"]) == 4 for r in codes)
+    assert all(0 <= v < 8 for r in codes for v in r["c"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="split evenly"):
+        pq_codebooks(m=5, k=8, dim=64)

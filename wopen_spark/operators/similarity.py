@@ -376,3 +376,85 @@ def ivf_cosine_topk(
         .filter(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "rank")
     )
+
+
+def pq_codebooks(
+    m: int, k: int, dim: int, seed: str = "pq"
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: ``m`` subspaces of
+    ``dim/m`` dims, ``k`` centroids each, values in [-1, 1) derived from
+    md5 — the same literals embed in any engine's SQL (the
+    hyperplane_signs portability trick), so PQ encode/ADC is
+    value-checkable against an external oracle without a shared RNG or
+    a trained model artifact. Production swaps these for kmeans_train
+    output per subspace; every downstream expression is unchanged."""
+    import hashlib
+
+    if dim % m:
+        raise ValueError(f"dim {dim} must split evenly into {m} subspaces")
+    sub = dim // m
+    return [
+        [
+            [
+                (int(hashlib.md5(f"{seed}{j}_{c}_{d}".encode()).hexdigest()[:8], 16)
+                 / float(1 << 31)) - 1.0
+                for d in range(sub)
+            ]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
+def _l2sq(slice_col: Column, centroid: list[float]) -> Column:
+    """Exact sequential-sum squared L2 between a vector slice and a
+    centroid literal — F.aggregate folds left-to-right, the same order
+    DuckDB's list_sum uses, so the doubles match bit-for-bit."""
+    pairs = F.zip_with(
+        slice_col,
+        F.array(*[F.lit(x) for x in centroid]),
+        lambda a, b: (a - b) * (a - b),
+    )
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codes(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ encoding: per subspace, the index of the nearest centroid
+    (squared L2; ties -> lowest index). Returns array<int> of length m.
+    Pure Column expressions — the corpus encodes map-side with ZERO
+    shuffle, the property that makes PQ viable at billions of vectors
+    (store m bytes, not dim floats)."""
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = len(book[0])
+        sl = F.slice(vec.cast("array<double>"), j * sub + 1, sub)
+        # argmin via struct-min: (dist, idx) orders lexicographically, so
+        # equal dists fall back to the lower index — same rule as the
+        # oracle's list_position(dists, list_min(dists))
+        cands = F.array(
+            *[
+                F.struct(
+                    _l2sq(sl, c).alias("d"), F.lit(i).alias("i")
+                )
+                for i, c in enumerate(book)
+            ]
+        )
+        codes.append(F.array_min(cands)["i"])
+    return F.array(*codes)
+
+
+def pq_adc_scores(
+    corpus_codes: Column, query_vec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Asymmetric distance computation: the QUERY builds one m x k
+    distance table (its slices vs every centroid — k*m small exprs, once
+    per query row); each corpus row then sums m table LOOKUPS by its
+    codes. No corpus-side vector math at query time — the entire scan
+    cost is m element_at calls per row."""
+    total = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        sub = len(book[0])
+        qsl = F.slice(query_vec.cast("array<double>"), j * sub + 1, sub)
+        dtable = F.array(*[_l2sq(qsl, c) for c in book])
+        total = total + F.element_at(dtable, corpus_codes[j] + F.lit(1))
+    return total

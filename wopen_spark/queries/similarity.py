@@ -1007,3 +1007,99 @@ def semantic_outlier_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cos_to_centroid", "vec_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the third ANN family after brute-force and IVF):
+# the corpus compresses to m=4 one-byte codes per vector (16x smaller
+# than 64 floats), encoding is map-side argmin per subspace, and query
+# scoring is m table LOOKUPS per row (asymmetric distance computation)
+# — the memory/scan shape that serves billion-vector search. Codebooks
+# are deterministic md5-derived literals shared verbatim with the
+# DuckDB oracle, so encode AND ADC are value-checked end to end
+# (production swaps in kmeans_train per subspace, same expressions).
+# ---------------------------------------------------------------------------
+from wopen_spark.operators.similarity import (  # noqa: E402
+    pq_adc_scores,
+    pq_codebooks,
+    pq_codes,
+)
+
+_PQ_CB = pq_codebooks(m=4, k=8, dim=64, seed="pq")
+
+
+def _duck_pq_l2(slice_sql: str, centroid: list[float]) -> str:
+    lits = "[" + ", ".join(repr(x) for x in centroid) + "]"
+    return (
+        f"list_sum(list_transform(list_zip({slice_sql}, {lits}), "
+        f"x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+
+
+def _duck_pq_oracle() -> str:
+    m, sub = len(_PQ_CB), len(_PQ_CB[0][0])
+    adc_exprs = []
+    for j, book in enumerate(_PQ_CB):
+        qsl = f"qv[{j * sub + 1}:{(j + 1) * sub}]"
+        dtable = "[" + ", ".join(_duck_pq_l2(qsl, c) for c in book) + "]"
+        # list_position is 1-based, exactly the +1 the Spark element_at
+        # lookup applies to the 0-based struct-min code
+        adc_exprs.append(f"({dtable})[c{j}]")
+    # two-stage: dists arrays first, then 1-based position of the min
+    dist_cols = ", ".join(
+        "["
+        + ", ".join(_duck_pq_l2(f"v[{j * sub + 1}:{(j + 1) * sub}]", c) for c in book)
+        + f"] AS d{j}"
+        for j, book in enumerate(_PQ_CB)
+    )
+    code_cols = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) AS c{j}" for j in range(m)
+    )
+    adc = " + ".join(adc_exprs)
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    dists AS (
+      SELECT vec_id, {dist_cols}
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    ),
+    coded AS (
+      SELECT vec_id, {code_cols} FROM dists
+    ),
+    scored AS (
+      SELECT vec_id, round({adc}, 6) AS adc
+      FROM coded CROSS JOIN q
+    )
+    SELECT vec_id, adc, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY rank
+    """
+
+
+@query("pq_adc_top10", oracle=_duck_pq_oracle())
+def pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed nearest neighbours of vec_id 0 by asymmetric
+    distance: the corpus carries only its m codes (computed map-side,
+    zero shuffle), the query row expands to an m x k distance table
+    once, and the scan does m element_at lookups per row. Top-k is a
+    distributed TakeOrderedAndProject, never a global sort; the final
+    rank window runs on 10 rows."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    coded = e.select(
+        "vec_id", pq_codes(F.col("embedding"), _PQ_CB).alias("codes")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = coded.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(pq_adc_scores(F.col("codes"), F.col("qvec"), _PQ_CB), 6).alias("adc"),
+    )
+    top = scored.orderBy("adc", "vec_id").limit(10)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy("adc", "vec_id"))
+    ).orderBy("rank")
