@@ -137,3 +137,56 @@ def test_changes_skip_maintenance_rewrites(spark, table):
     table.append(_mk(spark, [(4, "d")]))
     ch = table.read_changes(head).collect()
     assert [(r["id"], r["_change_type"]) for r in ch] == [(4, "insert")]
+
+
+def test_cdf_drives_incremental_aggregate(spark, table):
+    """The point of a change feed: a downstream aggregate updates from
+    the (from, to] delta alone — O(changed files) — and lands exactly
+    where a full recompute does. Folding rule per key: +insert values,
+    -delete values (a merge's rewrite contributes both)."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    table.create(
+        spark.createDataFrame(rows, "id long, grp string, val long").coalesce(1)
+    )
+    v0 = table.latest_version()
+    # materialize the aggregate as of v0
+    agg0 = {
+        r["grp"]: r["s"]
+        for r in table.read(version=v0).groupBy("grp").agg(
+            F.sum("val").alias("s")
+        ).collect()
+    }
+    assert agg0 == {"a": 30, "b": 30}
+
+    # upstream churn: upsert id 2 (a: 20 -> 25), insert id 4 (b: +5),
+    # delete id 3 (b: -30), and a compact (must contribute NOTHING)
+    table.merge(
+        spark.createDataFrame([(2, "a", 25), (4, "b", 5)], "id long, grp string, val long"),
+        "id",
+    )
+    table.delete_where("id = 3")
+    table.compact(target_files=1)
+
+    delta = (
+        table.read_changes(v0)
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", F.col("val")).otherwise(
+                    -F.col("val")
+                )
+            ).alias("d")
+        )
+    )
+    folded = dict(agg0)
+    for r in delta.collect():
+        folded[r["grp"]] = folded.get(r["grp"], 0) + (r["d"] or 0)
+    folded = {k: v for k, v in folded.items() if v != 0}
+
+    full = {
+        r["grp"]: r["s"]
+        for r in table.read().groupBy("grp").agg(F.sum("val").alias("s")).collect()
+    }
+    assert folded == full == {"a": 35, "b": 5}

@@ -556,3 +556,36 @@ def test_append_racing_rename_raises_not_orphans(spark, table, monkeypatch):
     rows = {r["id"]: (r["w"], r["v"]) for r in table.read().collect()}
     assert rows[1] == ("a", None)   # renamed column maps; new "v" is fresh
     assert rows[3] == (None, "c")
+
+
+def test_drop_column_metadata_only_and_no_resurrection(spark, table):
+    """Drop rewrites nothing; a later re-add of the same logical name
+    must read NULL from pre-drop files (fresh physical), never the
+    dropped values; time travel before the drop still sees them."""
+    table.create(
+        spark.createDataFrame(
+            [(1, "secret", 10)], "id long, v string, x long"
+        ).coalesce(1),
+        cluster_by=["id", "v"],
+    )
+    before_bytes = _data_files(table)
+    v_pre = table.latest_version()
+    table.drop_column("v")
+    assert _data_files(table) == before_bytes  # not a byte rewritten
+    assert set(table.read().columns) == {"id", "x"}
+    assert "v" in table.read(version=v_pre).columns  # time travel intact
+
+    # re-add the SAME logical name: fresh physical, old values stay gone
+    table.append(
+        spark.createDataFrame([(2, "new", 20)], "id long, v string, x long").coalesce(1)
+    )
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {1: None, 2: "new"}
+
+    # merges still work on the surviving cluster column
+    table.merge(spark.createDataFrame([(1, "upd", 11)], "id long, v string, x long"), "id")
+    rows = {r["id"]: (r["v"], r["x"]) for r in table.read().collect()}
+    assert rows == {1: ("upd", 11), 2: ("new", 20)}
+
+    with pytest.raises(ValueError, match="no column"):
+        table.drop_column("nope")

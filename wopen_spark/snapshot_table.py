@@ -311,7 +311,12 @@ class SnapshotTable:
         if target not in vs:
             raise ValueError(f"version {target} not in log (have {vs[0]}..{vs[-1]})")
         files: dict[str, dict] = {}
-        state = {"schema": None, "cluster_by": None, "column_mapping": None}
+        state = {
+            "schema": None,
+            "cluster_by": None,
+            "column_mapping": None,
+            "retired_phys": [],
+        }
         txns: dict[str, int] = {}
         start_idx = 0
         for i in range(len(vs) - 1, -1, -1):  # newest checkpoint <= target
@@ -321,6 +326,7 @@ class SnapshotTable:
                 state["schema"] = cp["schema"]
                 state["cluster_by"] = cp.get("cluster_by")
                 state["column_mapping"] = cp.get("column_mapping")
+                state["retired_phys"] = cp.get("retired_phys", [])
                 txns = dict(cp.get("txns", {}))
                 start_idx = i + 1
                 break
@@ -338,6 +344,8 @@ class SnapshotTable:
                 state["cluster_by"] = c["cluster_by"]
             if c.get("column_mapping") is not None:
                 state["column_mapping"] = c["column_mapping"]
+            if c.get("retired_phys") is not None:
+                state["retired_phys"] = c["retired_phys"]
             if c.get("txn_app") is not None:
                 txns[c["txn_app"]] = max(
                     txns.get(c["txn_app"], -1), c.get("txn_version", -1)
@@ -372,6 +380,7 @@ class SnapshotTable:
                         "schema": st["schema"],
                         "cluster_by": st["cluster_by"],
                         "column_mapping": st["column_mapping"],
+                        "retired_phys": st["retired_phys"],
                         "txns": st["txns"],
                     }
                 ).encode(),
@@ -464,6 +473,10 @@ class SnapshotTable:
         used_phys = {self._phys(mapping, f.name) for f in current.fields}
         # physical names retired by renames still live in old data files
         used_phys.update(mapping.values())
+        # ...and so do the physicals of DROPPED columns: re-adding a
+        # dropped logical name must mint a fresh physical, or old files
+        # would resurrect the dropped column's values into the new one
+        used_phys.update(state.get("retired_phys", []))
         changed_mapping = False
         out = list(current.fields)
         for f in df.schema.fields:
@@ -673,6 +686,43 @@ class SnapshotTable:
                 "operation": "rename",
                 "schema": T.StructType(fields).jsonValue(),
                 "column_mapping": mapping,
+                "cluster_by": cluster,
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop: the field leaves the schema (and
+        the cluster spec, if present); data files are untouched — the
+        physical column simply stops being read. The physical name is
+        recorded as RETIRED so a later re-add of the same logical name
+        mints a fresh physical instead of resurrecting the dropped
+        values from old files. Time travel before the drop still reads
+        the column."""
+        state = self._state()
+        schema = T.StructType.fromJson(state["schema"])
+        names = schema.fieldNames()
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        mapping = dict(state["column_mapping"] or {})
+        retired = list(state.get("retired_phys", []))
+        retired.append(mapping.pop(name, name))
+        fields = [f for f in schema.fields if f.name != name]
+        cluster = state["cluster_by"]
+        if cluster:
+            cluster = [c for c in cluster if c != name]
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "drop",
+                "schema": T.StructType(fields).jsonValue(),
+                "column_mapping": mapping,
+                "retired_phys": retired,
                 "cluster_by": cluster,
                 "add": [],
                 "remove": [],
