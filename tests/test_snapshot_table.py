@@ -589,3 +589,42 @@ def test_drop_column_metadata_only_and_no_resurrection(spark, table):
 
     with pytest.raises(ValueError, match="no column"):
         table.drop_column("nope")
+
+
+def test_snapshot_admin_cli_actions(spark, tmp_path):
+    """The maintenance CLI (tools/snapshot_admin.py) drives every admin
+    action against a real table through the same dispatch main() uses."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.snapshot_admin import build_parser, run
+
+    path = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, path)
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "id long, v string"
+        ).repartition(4),
+        cluster_by=["id"],
+    )
+    t.append(spark.createDataFrame([(99, "x")], "id long, v string").coalesce(1))
+
+    def go(argv):
+        return run(build_parser().parse_args([path, *argv]), spark=spark)
+
+    desc = go(["describe"])
+    assert desc["rows"] == 21 and desc["n_files"] >= 2
+    assert desc["schema"][0].startswith("id:")
+
+    rep = go(["compact", "--target-files", "1"])
+    assert rep["files_after"] == 1
+    rep = go(["zorder", "--cols", "id,v", "--target-files", "2"])
+    assert rep["zorder_by"] == ["id", "v"]
+    assert go(["rename", "--old", "v", "--new", "label"])["version"] > 0
+    assert go(["drop", "--col", "label"])["version"] > 0
+    assert {h["operation"] for h in go(["history"])["history"]} >= {
+        "create", "append", "compact", "zorder", "rename", "drop"
+    }
+    deleted = go(["vacuum", "--retain-last", "1"])["files_deleted"]
+    assert deleted >= 1  # superseded pre-compaction files go
+    assert SnapshotTable(spark, path).read().count() == 21

@@ -1,0 +1,94 @@
+"""Operator CLI for SnapshotTable maintenance — the jobs a table owner
+runs on cron: inspect history, compact small files, Z-order, vacuum,
+evolve schema. One table path, one action, JSON to stdout.
+
+Usage:
+    python tools/snapshot_admin.py <table_path> history
+    python tools/snapshot_admin.py <table_path> describe
+    python tools/snapshot_admin.py <table_path> compact [--target-files N]
+    python tools/snapshot_admin.py <table_path> zorder --cols a,b [--target-files N]
+    python tools/snapshot_admin.py <table_path> vacuum [--retain-last N]
+    python tools/snapshot_admin.py <table_path> rename --old a --new b
+    python tools/snapshot_admin.py <table_path> drop --col a
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("table_path")
+    sub = p.add_subparsers(dest="action", required=True)
+    sub.add_parser("history")
+    sub.add_parser("describe")
+    c = sub.add_parser("compact")
+    c.add_argument("--target-files", type=int, default=1)
+    z = sub.add_parser("zorder")
+    z.add_argument("--cols", required=True)
+    z.add_argument("--target-files", type=int, default=8)
+    v = sub.add_parser("vacuum")
+    v.add_argument("--retain-last", type=int, default=1)
+    r = sub.add_parser("rename")
+    r.add_argument("--old", required=True)
+    r.add_argument("--new", required=True)
+    d = sub.add_parser("drop")
+    d.add_argument("--col", required=True)
+    return p
+
+
+def run(args: argparse.Namespace, spark=None) -> dict:
+    """Dispatch one admin action; returns the JSON-able report (the CLI
+    prints it). ``spark`` is injectable so tests reuse their session."""
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    if spark is None:
+        from wopen_spark.session import get_spark
+
+        spark = get_spark("snapshot-admin")
+    t = SnapshotTable(spark, args.table_path)
+    if args.action == "history":
+        return {"history": t.history()}
+    if args.action == "describe":
+        state = t._state()
+        return {
+            "version": state["version"],
+            "n_files": len(state["files"]),
+            "bytes": sum(m.get("bytes", 0) for m in state["files"].values()),
+            "rows": sum(m.get("rows", 0) for m in state["files"].values()),
+            "schema": [
+                f"{f['name']}:{f['type'] if isinstance(f['type'], str) else 'complex'}"
+                for f in state["schema"]["fields"]
+            ],
+            "cluster_by": state["cluster_by"],
+            "column_mapping": state["column_mapping"] or {},
+        }
+    if args.action == "compact":
+        return t.compact(target_files=args.target_files)
+    if args.action == "zorder":
+        return t.optimize_zorder(
+            args.cols.split(","), target_files=args.target_files
+        )
+    if args.action == "vacuum":
+        return {"files_deleted": t.vacuum(retain_last=args.retain_last)}
+    if args.action == "rename":
+        return {"version": t.rename_column(args.old, args.new)}
+    if args.action == "drop":
+        return {"version": t.drop_column(args.col)}
+    raise SystemExit(f"unknown action {args.action}")
+
+
+def main() -> int:
+    args = build_parser().parse_args()
+    print(json.dumps(run(args)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
