@@ -733,7 +733,14 @@ def test_concurrent_merges_serialize_and_both_land(spark, tmp_path):
     assert got == {1: "A1", 2: "B2", 3: "c", 4: "d"}
     import os
 
-    assert not os.path.exists(t.path + ".lock")
+    # the fcntl lockfile PERSISTS by design (unlink-on-release would
+    # reintroduce the reclaim race: a waiter could lock an fd whose path
+    # was already unlinked); the kernel record lock is what's released
+    assert os.path.exists(t.path + ".lock")
+    from wopen_spark.tables import _TableLock
+
+    with _TableLock(t.path + ".lock", timeout_s=5.0):
+        pass  # immediately acquirable: nothing holds it
 
 
 def test_per_distinct_null_key_matches_raw_key_join(spark):
@@ -1012,21 +1019,22 @@ def test_bfs_hops_dedupes_seed_frontier(spark):
     assert sorted((r["node"], r["hops"]) for r in rows) == [("a", 0), ("b", 1)]
 
 
-def test_table_lock_stale_reclaim_single_winner(tmp_path):
-    """Stale-lock reclamation (tables._TableLock): N waiters that all
-    judge the lock stale must still serialize — reclamation is a rename
-    to a unique name (only the renamer deletes), so no waiter can unlink
-    a lock another waiter just re-acquired. The invariant under test is
-    mutual exclusion: at most one holder in the critical section."""
+def test_table_lock_mutual_exclusion_and_crash_release(tmp_path):
+    """tables._TableLock is a kernel fcntl lock: N waiters serialize (at
+    most one holder ever), a pre-existing junk lockfile is harmless (no
+    mtime staleness protocol to confuse), and a holder that DIES releases
+    instantly — the kernel drops the record lock with the process, so no
+    reclaim race can delete a freshly acquired lock."""
     import os
+    import subprocess
+    import sys
     import threading
     import time as _time
 
     from wopen_spark.tables import _TableLock
 
     lock_path = str(tmp_path / "t.lock")
-    # a crashed writer's leftover, 1h old
-    with open(lock_path, "w") as f:
+    with open(lock_path, "w") as f:  # a crashed writer's leftover content
         f.write("dead")
     os.utime(lock_path, (_time.time() - 3600, _time.time() - 3600))
 
@@ -1037,7 +1045,7 @@ def test_table_lock_stale_reclaim_single_winner(tmp_path):
 
     def worker():
         try:
-            with _TableLock(lock_path, timeout_s=30.0, stale_s=60.0):
+            with _TableLock(lock_path, timeout_s=30.0):
                 with mu:
                     holders.append(1)
                     max_holders.append(len(holders))
@@ -1055,7 +1063,32 @@ def test_table_lock_stale_reclaim_single_winner(tmp_path):
     assert not errors, errors
     assert len(max_holders) == 8  # every waiter eventually acquired
     assert max(max_holders) == 1  # never two holders at once
-    assert not os.path.exists(lock_path)  # last release cleaned up
+
+    # crash release: a child process takes the lock and dies holding it;
+    # the kernel frees it, so the parent acquires immediately (no 10-min
+    # staleness window, no reclamation protocol)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import fcntl, os, sys; "
+                f"fd = os.open({lock_path!r}, os.O_CREAT | os.O_RDWR); "
+                "fcntl.lockf(fd, fcntl.LOCK_EX); "
+                "print('locked', flush=True); "
+                "import time; time.sleep(30)"
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert child.stdout.readline().strip() == "locked"
+    child.kill()
+    child.wait()
+    t0 = _time.monotonic()
+    with _TableLock(lock_path, timeout_s=10.0):
+        pass
+    assert _time.monotonic() - t0 < 5.0  # released by the kernel, not a timeout
 
 
 def test_brand_mask_rejects_over_64_brands(spark, tmp_path):

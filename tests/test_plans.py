@@ -1071,9 +1071,11 @@ def test_retention_cohorts_survives_no_broadcast(spark, monkeypatch):
 
 def test_stream_static_join_gate(spark, monkeypatch, tmp_path):
     """r5 verdict #2: the stream-static enrich broadcast is size-gated on
-    the dim's footer row count. With the gate zeroed the stream must fall
-    back to an unhinted join and still produce the same aggregate."""
-    from wopen_spark.queries import registry
+    the dim's on-disk bytes (the same estimate autoBroadcastJoinThreshold
+    uses for file relations). With the gate zeroed — simulating a 100x
+    customer dim — the stream must fall back to an unhinted join and
+    still produce the same aggregate."""
+    from wopen_spark.streaming import pipeline
     from wopen_spark.streaming.pipeline import available_now_stream_static_join
 
     base = {
@@ -1082,7 +1084,7 @@ def test_stream_static_join_gate(spark, monkeypatch, tmp_path):
             spark, SF_SMOKE, str(tmp_path / "ck1")
         ).collect()
     }
-    monkeypatch.setattr(registry, "_PER_DISTINCT_BROADCAST_MAX_ROWS", -1)
+    monkeypatch.setattr(pipeline, "_STREAM_DIM_BROADCAST_MAX_BYTES", -1)
     got = {
         tuple(r)
         for r in available_now_stream_static_join(

@@ -628,3 +628,63 @@ def test_snapshot_admin_cli_actions(spark, tmp_path):
     deleted = go(["vacuum", "--retain-last", "1"])["files_deleted"]
     assert deleted >= 1  # superseded pre-compaction files go
     assert SnapshotTable(spark, path).read().count() == 21
+
+
+def test_append_of_reintroduced_column_retries_through_plain_race(spark, table):
+    """Review finding: an append that MINTS a physical (re-adding a
+    dropped name) and then loses a commit race to a PLAIN append must
+    retry and commit with the physical it already wrote — not re-mint a
+    fresh uuid and spuriously trip the rename guard."""
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1))
+    table.drop_column("v")
+    # the incoming frame re-adds logical "v" (physical must be minted);
+    # a racer lands a plain append between our state load and commit
+    table._store.put_if_absent(
+        table._commit_name(table.latest_version() + 1),
+        json.dumps(
+            {"version": table.latest_version() + 1, "ts_unix": 0.0,
+             "operation": "append", "add": [], "remove": []}
+        ).encode(),
+    )
+    v = table.append(
+        spark.createDataFrame([(2, "fresh")], "id long, v string").coalesce(1)
+    )
+    assert v == table.latest_version()
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {1: None, 2: "fresh"}  # old 'v' stays dropped; new maps
+
+
+def test_overwrite_after_rename_handles_physical_collisions(spark, table):
+    """Review finding: an overwrite whose frame contains BOTH a renamed
+    survivor (physical = old name) and a fresh column reusing that old
+    name must mint a distinct physical — not write two columns to one
+    physical name."""
+    table.create(spark.createDataFrame([(1, 10)], "id long, a long").coalesce(1))
+    table.rename_column("a", "b")
+    table.overwrite(
+        spark.createDataFrame([(2, 20, 99)], "id long, b long, a long").coalesce(1)
+    )
+    (r,) = table.read().collect()
+    assert (r["id"], r["b"], r["a"]) == (2, 20, 99)
+
+
+def test_overwrite_retires_dropped_physicals_no_cdf_resurrection(spark, table):
+    """Review finding: an overwrite that drops a renamed column must
+    retire its physical — a later append re-adding the ORIGINAL name
+    must read NULL from history, and the change feed spanning the
+    overwrite must show the old values under the OLD schema, never
+    attributed to the new column."""
+    table.create(spark.createDataFrame([(1, 7)], "id long, a long").coalesce(1))
+    table.rename_column("a", "b")  # physical of b is 'a'
+    v_pre = table.latest_version()
+    table.overwrite(spark.createDataFrame([(2,)], "id long").coalesce(1))
+    table.append(spark.createDataFrame([(3, 55)], "id long, a long").coalesce(1))
+    rows = {r["id"]: r["a"] for r in table.read().collect()}
+    # id 2's row predates column 'a' (new physical): NULL — and id 1 is
+    # gone entirely; nothing resurrects the old physical 'a' (= logical b)
+    assert rows == {2: None, 3: 55}
+    ch = table.read_changes(v_pre).collect()
+    deleted = [r for r in ch if r["_change_type"] == "delete"]
+    # the overwritten row appears as a delete with a NULL new-'a' value —
+    # its old physical 'a' payload (logical b = 7) must NOT leak into it
+    assert [(r["id"], r["a"]) for r in deleted] == [(1, None)]

@@ -505,12 +505,16 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     USER-cardinality — small at every tested SF, but proportional to the
     user dimension of the corpus, so the broadcast is SIZE-GATED
     (the r5 verdict's remaining OOM-cliff pattern): below the threshold
-    the classic broadcast; above it a plain equi join, which reuses the
-    hash(user_id) exchanges BOTH sides already have (cohort's groupBy,
-    activity's distinct) — no md5-fingerprint indirection needed for a
-    narrow long key, and no new shuffle. The gate frame is the
-    column-pruned distinct-user set (footer-bound fast path — zero
-    extra jobs at small SF). Both engines truncate weeks to Monday."""
+    the classic broadcast; above it a plain equi join — the cohort side
+    rides its existing hash(user_id) groupBy exchange and only the
+    activity side adds a hash(user_id) exchange (its distinct keys on
+    (user_id, act_week)); no md5-fingerprint indirection needed for a
+    narrow long key, and no possible broadcast OOM. Gate cost: the
+    distinct-user footer bound equals the EVENTS row count (a distinct
+    can't be bounded tighter from footers), so past ~100k events the
+    gate pays one column-pruned count job, memoized per process — the
+    price of not hard-coding the broadcast. Both engines truncate weeks
+    to Monday."""
     ev = _t(spark, sf_dir, "events")
     cohort = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")

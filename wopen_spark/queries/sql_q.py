@@ -158,9 +158,12 @@ def sql_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wopen_spark.queries.registry import _t
     from wopen_spark.snapshot_table import SnapshotTable
-    from wopen_spark.sql_frontdoor import register_frontdoor, register_snapshot_view
+    from wopen_spark.sql_frontdoor import register_snapshot_view
 
-    register_frontdoor(spark, sf_dir)
+    # deliberately NOT register_frontdoor: this query touches only the
+    # nation table (read directly) and the two snapshot views it
+    # registers itself — pulling in the full operator-view surface would
+    # pay the eager connected-components resolution for nothing
     nation = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )

@@ -107,16 +107,18 @@ def _file_meta(fs_path: str, rel_path: str) -> dict:
                 partial.add(name)
                 continue
             if not s.has_min_max:
-                # benign when the row group is all-null for this column
-                # (nulls never participate in range pruning); dangerous
-                # when real values went unstated
-                if s.num_values:
-                    partial.add(name)
-                else:
+                # benign ONLY when the row group is PROVABLY all-null for
+                # this column (null_count covers every row — nulls never
+                # participate in range pruning). Anything weaker (falsy
+                # num_values, missing null_count) must be treated as real
+                # values left unstated -> drop the column's file stats.
+                if s.null_count is not None and s.null_count == g.num_rows:
                     cur = stats.setdefault(
                         name, {"min": None, "max": None, "nulls": 0}
                     )
-                    cur["nulls"] += s.null_count or 0
+                    cur["nulls"] += s.null_count
+                else:
+                    partial.add(name)
                 continue
             cur = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
             mn, mx = _json_safe(s.min), _json_safe(s.max)
@@ -368,23 +370,38 @@ class SnapshotTable:
                 f"version {version} of {self.path} was committed by another writer"
             ) from None
         if version % CHECKPOINT_EVERY == 0:
-            st = self._state(version)
             # checkpoints are REBUILDABLE rollups (never the source of
-            # truth), so a plain atomic put is enough
-            self._store.put(
-                self._checkpoint_name(version),
-                json.dumps(
-                    {
-                        "version": version,
-                        "files": list(st["files"].values()),
-                        "schema": st["schema"],
-                        "cluster_by": st["cluster_by"],
-                        "column_mapping": st["column_mapping"],
-                        "retired_phys": st["retired_phys"],
-                        "txns": st["txns"],
-                    }
-                ).encode(),
-            )
+            # truth) — and the commit above has already been PUBLISHED,
+            # so a checkpoint failure must not escape: the caller would
+            # believe a landed write failed and re-run it (duplicating
+            # rows for non-txn appends). Best-effort, warn, move on —
+            # state resolution just replays more commits until the next
+            # rollup succeeds.
+            try:
+                st = self._state(version)
+                self._store.put(
+                    self._checkpoint_name(version),
+                    json.dumps(
+                        {
+                            "version": version,
+                            "files": list(st["files"].values()),
+                            "schema": st["schema"],
+                            "cluster_by": st["cluster_by"],
+                            "column_mapping": st["column_mapping"],
+                            "retired_phys": st["retired_phys"],
+                            "txns": st["txns"],
+                        }
+                    ).encode(),
+                )
+            except Exception as e:  # noqa: BLE001 — advisory blob only
+                import sys
+
+                print(
+                    f"warning: checkpoint {version} of {self.path} not "
+                    f"written ({e}); log replay continues from the "
+                    f"previous checkpoint",
+                    file=sys.stderr,
+                )
 
     # ---------------------------------------------------------- data layer
 
@@ -450,7 +467,7 @@ class SnapshotTable:
     )
 
     def _merged_schema(
-        self, state: dict, df: DataFrame
+        self, state: dict, df: DataFrame, prefer_mapping: dict | None = None
     ) -> tuple[dict, dict | None]:
         """Schema evolution on write. Returns (schema_json, mapping):
 
@@ -466,7 +483,11 @@ class SnapshotTable:
         - Anything else raises TypeError.
 
         ``mapping`` is the (possibly extended) column mapping when it
-        changed, else None (commit omits it)."""
+        changed, else None (commit omits it). ``prefer_mapping`` carries
+        the physical names a retrying writer ALREADY WROTE its files
+        with: a re-merge reuses them when still unoccupied, so a lost
+        commit race doesn't re-mint fresh uuids and spuriously trip the
+        physical-name guard — appends keep commuting."""
         current = T.StructType.fromJson(state["schema"])
         by_name = {f.name: f for f in current.fields}
         mapping = dict(state.get("column_mapping") or {})
@@ -482,7 +503,12 @@ class SnapshotTable:
         for f in df.schema.fields:
             if f.name not in by_name:
                 if f.name in used_phys:
-                    phys = f"{f.name}__p{uuid.uuid4().hex[:8]}"
+                    pref = (prefer_mapping or {}).get(f.name)
+                    phys = (
+                        pref
+                        if pref is not None and pref not in used_phys
+                        else f"{f.name}__p{uuid.uuid4().hex[:8]}"
+                    )
                     mapping[f.name] = phys
                     used_phys.add(phys)
                     changed_mapping = True
@@ -586,8 +612,14 @@ class SnapshotTable:
                     return state["version"]  # the racer WAS our replay
                 # re-merge against the new head: our files are already
                 # written and stay valid against a racer's WIDENING
-                # (narrow files read through a wider schema)...
-                schema, mapping = self._merged_schema(state, df)
+                # (narrow files read through a wider schema). Pass the
+                # physicals we wrote with so an ordinary lost race (the
+                # racer was a plain append) reuses them instead of
+                # re-minting — only a GENUINE conflicting rename/mint
+                # trips the guard below.
+                schema, mapping = self._merged_schema(
+                    state, df, prefer_mapping=write_mapping
+                )
                 # ...but NOT against a racer's rename/mint that changes
                 # any of our columns' physical names — the files on disk
                 # carry the old physicals, and committing the new mapping
@@ -635,15 +667,45 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents. Non-commuting: a lost race raises
-        rather than silently dropping the other writer's commit. The
-        column mapping restricts to surviving columns (renamed columns
-        keep their physical names so log history stays coherent)."""
+        rather than silently dropping the other writer's commit.
+
+        Column mapping across an overwrite: surviving columns keep their
+        physical names (log history stays coherent); columns the
+        overwrite DROPS retire their physicals (old files still carry
+        them, and read_changes/time travel must never resurrect them
+        into a later same-named column); columns the overwrite ADDS mint
+        a fresh physical when their name is occupied by any old file's
+        physical (e.g. re-introducing a name a rename freed)."""
         state = self._state()
-        mapping = {
-            k: v
-            for k, v in (state["column_mapping"] or {}).items()
-            if k in df.columns
-        }
+        old_mapping = state["column_mapping"] or {}
+        old_fields = (
+            T.StructType.fromJson(state["schema"]).fieldNames()
+            if state["schema"] is not None
+            else []
+        )
+        retired = list(state.get("retired_phys", []))
+        # every physical any historical file may carry
+        occupied = (
+            {self._phys(old_mapping, f) for f in old_fields}
+            | set(old_mapping.values())
+            | set(retired)
+        )
+        mapping: dict = {}
+        for c in df.columns:
+            if c in old_fields:  # survivor: keep its physical
+                p = self._phys(old_mapping, c)
+            elif c in occupied:  # new logical colliding with an old physical
+                p = f"{c}__p{uuid.uuid4().hex[:8]}"
+            else:
+                p = c
+            if p != c:
+                mapping[c] = p
+        surviving = set(df.columns)
+        for f in old_fields:
+            if f not in surviving:
+                p = self._phys(old_mapping, f)
+                if p not in retired:
+                    retired.append(p)
         adds = self._write_files(df, state["cluster_by"], mapping)
         self._try_commit(
             state["version"] + 1,
@@ -651,6 +713,7 @@ class SnapshotTable:
                 "operation": "overwrite",
                 "schema": df.schema.jsonValue(),
                 "column_mapping": mapping,
+                "retired_phys": retired,
                 "add": adds,
                 "remove": sorted(state["files"]),
             },

@@ -22,18 +22,22 @@ from wopen_spark.tables import load_testdata
 
 # Connected components is ITERATIVE (each register would rerun the label
 # loop eagerly — its convergence witness collects); memoize the resolved
-# frame per sf_dir so the whole SQL surface pays the iteration once per
-# process, like the suite-shared LSH pair cache it is built from.
-_COMPONENTS_CACHE: dict[str, DataFrame] = {}
+# frame per (session, sf_dir) so the whole SQL surface pays the
+# iteration once per process, like the suite-shared LSH pair cache it is
+# built from. Keyed on the SESSION too: a frame cached under a stopped
+# (or different) SparkSession cannot be registered into another
+# session's catalog — it would fail or land in the wrong catalog.
+_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _near_dup_components_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wopen_spark.queries.registry import QUERIES
 
-    df = _COMPONENTS_CACHE.get(sf_dir)
+    key = (id(spark), sf_dir)
+    df = _COMPONENTS_CACHE.get(key)
     if df is None:
         df = QUERIES["near_dup_components"](spark, sf_dir).persist()
-        _COMPONENTS_CACHE[sf_dir] = df
+        _COMPONENTS_CACHE[key] = df
     return df
 
 

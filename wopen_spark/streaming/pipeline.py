@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Broadcast a stream-static dim only below this on-disk size — the same
+# estimate Spark's autoBroadcastJoinThreshold applies to file relations
+# (64 MB, matching the session default). Module-level so tests can
+# simulate a 100x dim by zeroing it.
+_STREAM_DIM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -304,30 +311,31 @@ def available_now_stream_static_join(
     micro-batch, so complete-mode output must equal the batch
     join+aggregate the oracle states.
 
-    The broadcast hint is SIZE-GATED, not hard-coded (r5 verdict): the
-    dim's parquet footer row count is a driver-side metadata read — no
-    job, no stream interference. At a 100x-scale customer dimension the
-    stream falls back to an unhinted stream-static join (per-batch
-    shuffle) instead of OOMing every executor on the broadcast build."""
+    The broadcast hint is SIZE-GATED, not hard-coded (r5 verdict), and
+    the gate is BYTES-based: the dim's on-disk parquet size is exactly
+    the estimate Spark's own autoBroadcastJoinThreshold compares file
+    relations against, so the hint engages iff Spark itself would
+    consider the dim broadcastable (<= 64 MB on disk — a row-count gate
+    tuned for clone-collapse frames wrongly demoted a few-MB customer
+    dim at sf1). Driver-side os.stat only — no job, no stream
+    interference. At a truly 100x-scale customer dimension the stream
+    falls back to an unhinted stream-static join (per-batch shuffle)
+    instead of OOMing every executor on the broadcast build."""
     import os
 
-    from wopen_spark.queries.registry import (
-        _PER_DISTINCT_BROADCAST_MAX_ROWS,
-        _footer_row_bound,
-    )
+    dim_path = os.path.join(sf_dir, "customer.parquet")
+    dim_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(dim_path)
+        for f in files
+        if f.endswith(".parquet")
+    ) if os.path.isdir(dim_path) else os.path.getsize(dim_path)
 
     purchases = event_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
-    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-        "c_custkey", "c_mktsegment"
-    )
-    bound = _footer_row_bound(dim)
-    cust = (
-        F.broadcast(dim)
-        if bound is not None and bound <= _PER_DISTINCT_BROADCAST_MAX_ROWS
-        else dim
-    )
+    dim = spark.read.parquet(dim_path).select("c_custkey", "c_mktsegment")
+    cust = F.broadcast(dim) if dim_bytes <= _STREAM_DIM_BROADCAST_MAX_BYTES else dim
     enriched = purchases.join(cust, purchases.user_id == cust.c_custkey).groupBy(
         F.col("c_mktsegment").alias("segment")
     )

@@ -304,65 +304,86 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 class _TableLock:
-    """POSIX O_EXCL lockfile with stale-lock reclamation: a writer that
-    died mid-commit leaves a lockfile whose mtime stops advancing; any
-    waiter older than ``stale_s`` reclaims it. Reentrancy is not needed —
-    mutating Table methods never nest."""
+    """Kernel-mediated table lock: ``fcntl.lockf`` (POSIX record lock)
+    on a persistent lockfile. A crashed holder's lock is released by the
+    KERNEL the moment its process dies, so there is no stale-lock
+    reclamation protocol at all — every reclaim scheme over mtime/rename
+    carries an unavoidable window where one waiter deletes a lock
+    another waiter just validly acquired (found in review twice). The
+    lockfile itself is created once and never unlinked: unlink-on-
+    release would reintroduce the race (a waiter can lockf an fd whose
+    path was already unlinked, i.e. lock a ghost).
+
+    fcntl locks are per-PROCESS (threads of one process all "hold" it),
+    so an in-process mutex keyed by lock path serializes threads first;
+    the fcntl lock then serializes processes (and NFS clients — lockf
+    maps to fcntl record locks, which NFS implements; flock does not).
+    Reentrancy is not needed — mutating Table methods never nest."""
+
+    _proc_mutexes: dict[str, "threading.Lock"] = {}
+    _registry_mutex = None  # created lazily to keep import side-effects nil
 
     def __init__(self, lock_path: str, timeout_s: float = 120.0, stale_s: float = 600.0):
+        # stale_s kept for signature compatibility; the kernel makes
+        # staleness a non-concept here
         self.lock_path = lock_path
         self.timeout_s = timeout_s
-        self.stale_s = stale_s
+        self._fd: int | None = None
+        self._mutex = self._mutex_for(lock_path)
+
+    @classmethod
+    def _mutex_for(cls, path: str):
+        import threading
+
+        if cls._registry_mutex is None:
+            cls._registry_mutex = threading.Lock()
+        with cls._registry_mutex:
+            m = cls._proc_mutexes.get(path)
+            if m is None:
+                m = cls._proc_mutexes[path] = threading.Lock()
+            return m
 
     def __enter__(self) -> "_TableLock":
-        deadline = time.monotonic() + self.timeout_s
-        while True:
-            try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
+        import fcntl
+
+        if not self._mutex.acquire(timeout=self.timeout_s):
+            raise TimeoutError(
+                f"could not acquire table lock {self.lock_path} within "
+                f"{self.timeout_s}s (held by another thread?)"
+            )
+        try:
+            deadline = time.monotonic() + self.timeout_s
+            fd = os.open(self.lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+            while True:
                 try:
-                    if time.time() - os.path.getmtime(self.lock_path) > self.stale_s:
-                        # reclaim by RENAME to a unique name, then delete:
-                        # rename is atomic, so of N waiters that all judge
-                        # the lock stale exactly one wins the rename (the
-                        # rest hit FileNotFoundError and re-race on the
-                        # O_EXCL create). A direct unlink is racy — waiter
-                        # A's late unlink could delete the lock waiter B
-                        # already reclaimed and re-created, letting a third
-                        # writer in alongside B.
-                        claim = f"{self.lock_path}.stale-{os.getpid()}-{time.monotonic_ns()}"
-                        os.rename(self.lock_path, claim)
-                        # re-check on the claimed file: between getmtime
-                        # and rename the stale lock may have been replaced
-                        # by a live writer's FRESH lock — hand it straight
-                        # back instead of breaking mutual exclusion
-                        if time.time() - os.path.getmtime(claim) <= self.stale_s:
-                            try:
-                                # link (EXCL), not rename: rename would
-                                # silently clobber a lock another waiter
-                                # created in the meantime
-                                os.link(claim, self.lock_path)
-                            except FileExistsError:
-                                pass
-                        os.unlink(claim)
-                        continue
-                except FileNotFoundError:
-                    continue  # holder just released — retry immediately
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire table lock {self.lock_path} within "
-                        f"{self.timeout_s}s (held by another writer?)"
-                    ) from None
-                time.sleep(0.05)
+                    fcntl.lockf(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    os.ftruncate(fd, 0)
+                    os.write(fd, str(os.getpid()).encode())
+                    self._fd = fd
+                    return self
+                except (BlockingIOError, PermissionError):
+                    if time.monotonic() > deadline:
+                        os.close(fd)
+                        raise TimeoutError(
+                            f"could not acquire table lock {self.lock_path} "
+                            f"within {self.timeout_s}s (held by another "
+                            f"process?)"
+                        ) from None
+                    time.sleep(0.05)
+        except BaseException:
+            self._mutex.release()
+            raise
 
     def __exit__(self, *exc) -> None:
+        import fcntl
+
         try:
-            os.unlink(self.lock_path)
-        except FileNotFoundError:
-            pass
+            if self._fd is not None:
+                fcntl.lockf(self._fd, fcntl.LOCK_UN)
+                os.close(self._fd)
+                self._fd = None
+        finally:
+            self._mutex.release()
 
 
 def _swap_rewrite(
