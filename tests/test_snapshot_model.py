@@ -14,7 +14,11 @@ import random
 
 import pytest
 
-from wopen_spark.snapshot_table import InMemoryLogStore, SnapshotTable
+from wopen_spark.snapshot_table import (
+    BlobDataStore,
+    InMemoryLogStore,
+    SnapshotTable,
+)
 
 N_OPS = 24
 
@@ -29,12 +33,19 @@ def _read_back(table, id_col, val_col) -> list[tuple]:
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23])
-def test_snapshot_random_op_sequence_matches_model(spark, tmp_path, seed):
+# stores=None -> local log + local data; "inmem" -> in-memory log,
+# local data; "blob" -> in-memory log AND blob data store — the fully
+# rename-free, directory-free combination where any POSIX dependence
+# left in the table protocol fails loudly.
+@pytest.mark.parametrize("seed,stores", [(7, None), (23, "inmem"), (31, "blob")])
+def test_snapshot_random_op_sequence_matches_model(spark, tmp_path, seed, stores):
     rng = random.Random(seed)
     table = SnapshotTable(
         spark, str(tmp_path / "tbl"),
-        log_store=InMemoryLogStore() if seed % 2 else None,
+        log_store=InMemoryLogStore() if stores else None,
+        data_store=(
+            BlobDataStore(str(tmp_path / "scratch")) if stores == "blob" else None
+        ),
     )
     # schema starts narrow on purpose: x is int and may widen to long
     val_col = "v"

@@ -381,7 +381,7 @@ def test_file_meta_drops_stats_when_any_row_group_lacks_minmax(tmp_path):
     w.write_table(t1)
     w.write_table(t2)
     w.close()
-    meta = _file_meta(path, "partial.parquet")
+    meta = _file_meta(path, "partial.parquet", os.path.getsize(path))
     assert meta["rows"] == 4
     assert meta["stats"]["k"] == {"min": 1, "max": 4, "nulls": 0}
     # one row group with unstated real values -> no stats for the column
@@ -404,7 +404,7 @@ def test_file_meta_allnull_row_group_keeps_other_bounds(tmp_path):
     w.write_table(t1)
     w.write_table(t2)
     w.close()
-    meta = _file_meta(path, "allnull.parquet")
+    meta = _file_meta(path, "allnull.parquet", os.path.getsize(path))
     assert meta["stats"]["k"] == {"min": 5, "max": 7, "nulls": 2}
 
 

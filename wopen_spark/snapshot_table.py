@@ -80,12 +80,14 @@ def _json_safe(v):
     return v
 
 
-def _file_meta(fs_path: str, rel_path: str) -> dict:
+def _file_meta(source, rel_path: str, nbytes: int) -> dict:
     """Footer-only add-action metadata: rows, bytes, per-column
-    min/max/nulls. Footer reads are O(row groups), never O(data)."""
+    min/max/nulls. Footer reads are O(row groups), never O(data).
+    ``source`` is anything ``pyarrow.parquet.ParquetFile`` accepts — a
+    path or a seekable binary handle from ``DataStore.open_input``."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(fs_path).metadata
+    md = pq.ParquetFile(source).metadata
     stats: dict[str, dict] = {}
     # Columns where ANY non-empty row group lacks min/max (writers omit
     # stats e.g. for oversized string values). Partial bounds UNDERSTATE
@@ -132,7 +134,7 @@ def _file_meta(fs_path: str, rel_path: str) -> dict:
     return {
         "path": rel_path,
         "rows": md.num_rows,
-        "bytes": os.path.getsize(fs_path),
+        "bytes": nbytes,
         "stats": stats,
     }
 
@@ -259,18 +261,244 @@ class InMemoryLogStore(LogStore):
             return name in self._blobs
 
 
+class DataStore:
+    """Data-plane storage contract — the LogStore pattern applied to the
+    table's parquet files, so the object-store claim is a tested property
+    rather than a docstring. Bulk bytes still flow through Spark's Hadoop
+    filesystem layer (which already speaks s3a/gs/abfs): the store's job
+    is to hand Spark the right URIs and to own every METADATA operation
+    the table protocol needs — list, exists, delete, mtime, footer reads.
+    Nothing in the vocabulary renames or mutates a published file:
+
+    - ``write_uri(rel_dir)``: URI Spark writes a fresh parquet directory
+      to (one immutable directory per commit attempt).
+    - ``publish_dir(rel_dir) -> [names]``: finalize the directory Spark
+      just wrote, returning its ``*.parquet`` file names. A staging
+      store uploads here; a direct store just lists.
+    - ``open_input(rel)``: seekable binary handle for parquet FOOTER
+      reads (pyarrow) — an object store serves this with ranged GETs.
+    - ``scan_uris(rels)``: URIs for ``spark.read.parquet`` over
+      committed files; ``uri_to_rel`` inverts ``input_file_name()``
+      URIs back to log-relative paths for the merge/delete probes.
+    - ``size`` / ``exists`` / ``delete`` / ``mtime`` /
+      ``list_data_files`` / ``cleanup_dir``: the vacuum + manifest
+      surface. ``cleanup_dir`` is advisory (object stores have no
+      directories; it may no-op).
+    """
+
+    def write_uri(self, rel_dir: str) -> str:
+        raise NotImplementedError
+
+    def publish_dir(self, rel_dir: str) -> list[str]:
+        raise NotImplementedError
+
+    def open_input(self, rel: str):
+        raise NotImplementedError
+
+    def size(self, rel: str) -> int:
+        raise NotImplementedError
+
+    def scan_uris(self, rels: list[str]) -> list[str]:
+        raise NotImplementedError
+
+    def uri_to_rel(self, uri: str) -> str:
+        raise NotImplementedError
+
+    def exists(self, rel: str) -> bool:
+        raise NotImplementedError
+
+    def delete(self, rel: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, rel: str) -> float:
+        raise NotImplementedError
+
+    def list_data_files(self) -> list[str]:
+        raise NotImplementedError
+
+    def cleanup_dir(self, rel_dir: str) -> None:
+        raise NotImplementedError
+
+
+class LocalDataStore(DataStore):
+    """POSIX data plane: Spark writes directly to the final location
+    (publish is just a listing — local directory writes are already
+    all-or-nothing per file, and the commit protocol never trusts
+    un-manifested files anyway)."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    def _p(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def write_uri(self, rel_dir: str) -> str:
+        return self._p(rel_dir)
+
+    def publish_dir(self, rel_dir: str) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self._p(rel_dir)) if n.endswith(".parquet")
+        )
+
+    def open_input(self, rel: str):
+        return open(self._p(rel), "rb")
+
+    def size(self, rel: str) -> int:
+        return os.path.getsize(self._p(rel))
+
+    def scan_uris(self, rels: list[str]) -> list[str]:
+        return [self._p(r) for r in rels]
+
+    def uri_to_rel(self, uri: str) -> str:
+        p = (
+            unquote(urlparse(uri).path)
+            if "://" in uri or uri.startswith("file:")
+            else uri
+        )
+        return os.path.relpath(p, self.root)
+
+    def exists(self, rel: str) -> bool:
+        return os.path.exists(self._p(rel))
+
+    def delete(self, rel: str) -> None:
+        os.unlink(self._p(rel))
+
+    def mtime(self, rel: str) -> float:
+        return os.path.getmtime(self._p(rel))
+
+    def list_data_files(self) -> list[str]:
+        data_root = self._p("data")
+        if not os.path.isdir(data_root):
+            return []
+        out = []
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            if not os.path.isdir(subdir):
+                continue
+            out.extend(
+                f"data/{sub}/{n}"
+                for n in sorted(os.listdir(subdir))
+                if n.endswith(".parquet")
+            )
+        return out
+
+    def cleanup_dir(self, rel_dir: str) -> None:
+        d = self._p(rel_dir)
+        if os.path.isdir(d) and not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+class BlobDataStore(DataStore):
+    """Object-store fake for tests: published data lives as whole blobs
+    in a flat key -> bytes namespace — no directories, no rename, no
+    in-place mutation, so table code that silently leaned on POSIX
+    semantics cannot pass against it. Spark still needs real files to
+    scan, so the store stages writes in a scratch directory, INGESTS the
+    bytes into the blob map at publish (deleting the staging files), and
+    materializes blobs back to a scratch read-cache on demand — the
+    local mirror of an object store's upload/download boundary."""
+
+    def __init__(self, scratch_dir: str):
+        import threading
+
+        self._blobs: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
+        self._mu = threading.Lock()
+        self._staging = os.path.join(os.path.abspath(scratch_dir), "staging")
+        self._cache = os.path.join(os.path.abspath(scratch_dir), "cache")
+
+    def write_uri(self, rel_dir: str) -> str:
+        return os.path.join(self._staging, rel_dir)
+
+    def publish_dir(self, rel_dir: str) -> list[str]:
+        src = os.path.join(self._staging, rel_dir)
+        names = sorted(n for n in os.listdir(src) if n.endswith(".parquet"))
+        with self._mu:
+            for n in names:
+                with open(os.path.join(src, n), "rb") as f:
+                    self._blobs[f"{rel_dir}/{n}"] = f.read()
+                self._mtimes[f"{rel_dir}/{n}"] = time.time()
+        shutil.rmtree(src, ignore_errors=True)
+        return names
+
+    def open_input(self, rel: str):
+        import io
+
+        with self._mu:
+            if rel not in self._blobs:
+                raise FileNotFoundError(rel)
+            return io.BytesIO(self._blobs[rel])
+
+    def size(self, rel: str) -> int:
+        with self._mu:
+            return len(self._blobs[rel])
+
+    def scan_uris(self, rels: list[str]) -> list[str]:
+        out = []
+        for r in rels:
+            local = os.path.join(self._cache, r)
+            if not os.path.exists(local):
+                with self._mu:
+                    data = self._blobs[r]
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                tmp = f"{local}.tmp-{uuid.uuid4().hex}"
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, local)  # cache-internal, not table protocol
+            out.append(local)
+        return out
+
+    def uri_to_rel(self, uri: str) -> str:
+        p = (
+            unquote(urlparse(uri).path)
+            if "://" in uri or uri.startswith("file:")
+            else uri
+        )
+        return os.path.relpath(p, self._cache)
+
+    def exists(self, rel: str) -> bool:
+        with self._mu:
+            return rel in self._blobs
+
+    def delete(self, rel: str) -> None:
+        with self._mu:
+            self._blobs.pop(rel, None)
+            self._mtimes.pop(rel, None)
+        local = os.path.join(self._cache, rel)
+        if os.path.exists(local):
+            os.unlink(local)
+
+    def mtime(self, rel: str) -> float:
+        with self._mu:
+            return self._mtimes[rel]
+
+    def list_data_files(self) -> list[str]:
+        with self._mu:
+            return sorted(k for k in self._blobs if k.startswith("data/"))
+
+    def cleanup_dir(self, rel_dir: str) -> None:
+        pass  # no directories in a blob namespace
+
+
 @dataclass
 class SnapshotTable:
     spark: SparkSession
     path: str
-    # control-plane override (object-store adapters, test fakes); data
-    # files always live under ``path`` via Spark's own filesystem layer
+    # control-plane override (object-store adapters, test fakes)
     log_store: LogStore | None = None
+    # data-plane override; default is POSIX under ``path``
+    data_store: DataStore | None = None
 
     def __post_init__(self) -> None:
         self._store: LogStore = (
             self.log_store if self.log_store is not None
             else LocalLogStore(self._log_dir)
+        )
+        self._data: DataStore = (
+            self.data_store if self.data_store is not None
+            else LocalDataStore(self.path)
         )
 
     # ----------------------------------------------------------- log layer
@@ -438,18 +666,16 @@ class SnapshotTable:
                 *[F.col(c).alias(self._phys(mapping, c)) for c in df.columns]
             )
         commit_dir = f"data/{uuid.uuid4().hex}"
-        fs_dir = os.path.join(self.path, commit_dir)
-        df.write.mode("overwrite").parquet(fs_dir)
+        df.write.mode("overwrite").parquet(self._data.write_uri(commit_dir))
         adds = []
-        for name in sorted(os.listdir(fs_dir)):
-            if name.endswith(".parquet"):
-                meta = _file_meta(
-                    os.path.join(fs_dir, name), f"{commit_dir}/{name}"
-                )
-                if meta["rows"] == 0:  # empty-partition task output: not
-                    os.unlink(os.path.join(fs_dir, name))  # worth a manifest entry
-                    continue
-                adds.append(meta)
+        for name in self._data.publish_dir(commit_dir):
+            rel = f"{commit_dir}/{name}"
+            with self._data.open_input(rel) as src:
+                meta = _file_meta(src, rel, self._data.size(rel))
+            if meta["rows"] == 0:  # empty-partition task output: not
+                self._data.delete(rel)  # worth a manifest entry
+                continue
+            adds.append(meta)
         return adds
 
     # Lossless widenings the parquet reader performs transparently when
@@ -842,8 +1068,7 @@ class SnapshotTable:
 
     def _rel_path(self, file_uri: str) -> str:
         """input_file_name() URI -> log-relative data file path."""
-        p = unquote(urlparse(file_uri).path) if "://" in file_uri or file_uri.startswith("file:") else file_uri
-        return os.path.relpath(p, os.path.abspath(self.path))
+        return self._data.uri_to_rel(file_uri)
 
     def _read_files(
         self, rels: list[str], schema_json: dict, mapping: dict | None = None
@@ -854,7 +1079,7 @@ class SnapshotTable:
         transparently through a widened schema (verified: Spark 4's
         reader upcasts byte/short/int->long and float->double)."""
         schema = T.StructType.fromJson(schema_json)
-        paths = [os.path.join(self.path, r) for r in rels]
+        paths = self._data.scan_uris(rels)
         if not paths:
             return self.spark.createDataFrame([], schema)
         if not mapping:
@@ -969,10 +1194,7 @@ class SnapshotTable:
         if asof_ts is not None:
             version = self._version_asof(asof_ts)
         state = self._state(version)
-        missing = [
-            r for r in state["files"]
-            if not os.path.exists(os.path.join(self.path, r))
-        ]
+        missing = [r for r in state["files"] if not self._data.exists(r)]
         if missing:
             raise VacuumedVersionError(
                 f"version {state['version']} references {len(missing)} vacuumed "
@@ -1070,10 +1292,7 @@ class SnapshotTable:
                 ("insert", [m["path"] for m in c.get("add", [])]),
                 ("delete", c.get("remove", [])),
             ):
-                missing = [
-                    r for r in rels
-                    if not os.path.exists(os.path.join(self.path, r))
-                ]
+                missing = [r for r in rels if not self._data.exists(r)]
                 if missing:
                     raise VacuumedVersionError(
                         f"change feed for version {v} references "
@@ -1234,24 +1453,19 @@ class SnapshotTable:
             retained.update(self._state(v)["files"])
         removed = 0
         now = time.time()
-        data_root = os.path.join(self.path, "data")
-        if not os.path.isdir(data_root):
-            return 0
-        for sub in os.listdir(data_root):
-            subdir = os.path.join(data_root, sub)
-            for name in os.listdir(subdir):
-                rel = f"data/{sub}/{name}"
-                full = os.path.join(subdir, name)
-                if not name.endswith(".parquet") or rel in retained:
+        touched_dirs: set[str] = set()
+        for rel in self._data.list_data_files():
+            if rel in retained:
+                continue
+            if rel not in ever_referenced:
+                try:
+                    if now - self._data.mtime(rel) <= orphan_grace_s:
+                        continue  # possibly an in-flight write
+                except FileNotFoundError:
                     continue
-                if rel not in ever_referenced:
-                    try:
-                        if now - os.path.getmtime(full) <= orphan_grace_s:
-                            continue  # possibly an in-flight write
-                    except FileNotFoundError:
-                        continue
-                os.unlink(full)
-                removed += 1
-            if not any(f.endswith(".parquet") for f in os.listdir(subdir)):
-                shutil.rmtree(subdir, ignore_errors=True)
+            self._data.delete(rel)
+            touched_dirs.add(rel.rsplit("/", 1)[0])
+            removed += 1
+        for d in touched_dirs:
+            self._data.cleanup_dir(d)
         return removed
