@@ -116,6 +116,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 8,
     n_bands: int = 4,
     shingle_size: int = 3,
+    cache: str | None = "disk_only",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -146,7 +147,7 @@ def minhash_lsh_candidates(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, "band_key")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -154,16 +155,23 @@ def minhash_lsh_candidates(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
-        # left CACHED on purpose (the connected_components edge-cache
-        # pattern): six registered queries + the SQL front-door views
-        # derive this exact candidate-pair plan, and the CacheManager
-        # serves them all from ONE entry via canonical-plan matching —
-        # repeated calls share the entry, they don't accumulate. The
-        # pair set is near-dup-sized (KBs) by design, so the storage
-        # cost is negligible next to re-running the signature+band
-        # pipeline per consumer.
-        .persist()
     )
+    # CACHED by default (the connected_components edge-cache pattern):
+    # six registered queries + the SQL front-door views derive this
+    # exact candidate-pair plan, and the CacheManager serves them all
+    # from ONE entry via canonical-plan matching — repeated calls share
+    # the entry, they don't accumulate. The pair set is near-dup-sized
+    # on a deduplicated corpus, but on a pathologically duplicated one
+    # it is fact-proportional, so the level is a PARAMETER: any
+    # ``StorageLevel`` attribute name (case-insensitive), defaulting to
+    # ``disk_only`` — the banked sf10 lesson is that fact-proportional
+    # suite-shared caches on the heap smear every later query via GC —
+    # or ``None`` to opt out entirely (single-consumer callers).
+    if cache is not None:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(getattr(StorageLevel, cache.upper()))
+    return pairs
 
 
 def simhash(text: Column, bits: int = 16) -> Column:

@@ -21,24 +21,15 @@ from pyspark.sql import functions as F
 from wopen_spark.tables import load_testdata
 
 # Connected components is ITERATIVE (each register would rerun the label
-# loop eagerly — its convergence witness collects); memoize the resolved
-# frame per (session, sf_dir) so the whole SQL surface pays the
-# iteration once per process, like the suite-shared LSH pair cache it is
-# built from. Keyed on the SESSION too: a frame cached under a stopped
-# (or different) SparkSession cannot be registered into another
-# session's catalog — it would fail or land in the wrong catalog.
-_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
+# loop eagerly — its convergence witness collects). The resolved frame
+# is memoized INSIDE the near_dup_components query (per session+sf_dir,
+# DISK_ONLY-persisted), so the suite run and the whole SQL surface
+# share ONE resolution per process: when the registry query already ran
+# in this session, registering the view here is free.
 def _near_dup_components_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wopen_spark.queries.registry import QUERIES
 
-    key = (id(spark), sf_dir)
-    df = _COMPONENTS_CACHE.get(key)
-    if df is None:
-        df = QUERIES["near_dup_components"](spark, sf_dir).persist()
-        _COMPONENTS_CACHE[key] = df
-    return df
+    return QUERIES["near_dup_components"](spark, sf_dir)
 
 
 def register_frontdoor(spark: SparkSession, sf_dir: str) -> list[str]:
