@@ -1,7 +1,9 @@
 """Wide-analytics coverage: pivot, exact quantiles, lateral explode
-top-N, and the approximate-aggregate toolkit (HLL / quantile sketches —
-registered rows-only since sketch outputs are engine-specific by design;
-their accuracy contract is unit-tested against exact answers instead).
+top-N, and the approximate-aggregate toolkit (HLL / KMV / CMS / Bloom /
+quantile sketches — every sketch is built from md5-derived hashes so
+both engines construct the IDENTICAL sketch and the whole registry is
+value-checked against the DuckDB oracle; accuracy contracts vs exact
+answers are additionally unit-tested).
 """
 
 from __future__ import annotations
@@ -99,18 +101,182 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sketch aggregates: engine-specific outputs, so no SQL oracle (the driver
 # records the weaker rows-only check); the accuracy contract lives in
 # tests/test_operators.py::test_approx_aggregates_within_tolerance.
-@query("approx_event_stats")
-def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct users and a t-digest-style median per event type —
-    the constant-memory sketches that replace exact distinct/quantile at
-    100 TB (exact distinct = full shuffle of the key space; HLL = a few
-    KB per group, mergeable map-side)."""
-    ev = _t(spark, sf_dir, "events")
+# ---------------------------------------------------------------------------
+# HLL distinct-count + binned-median sketch, ENGINE-EXACT: registers are
+# md5-derived (both engines hash the same bytes, so they build the
+# IDENTICAL sketch — the KMV/CMS/Bloom portability pattern), estimate
+# arithmetic rides exact integers (register weights are bit-shifts
+# summed as BIGINT), and the only transcendental (the linear-counting
+# ln) comes from a 256-entry precomputed literal table instead of each
+# engine's libm. This closes the registry's last rows-only entry.
+#
+# Sketch layout (m=256 registers, 52-bit hashes): h = md5('hll|'||user),
+# register index = first byte, rho = leading-zeros-of-remaining-52-bits
+# + 1 (via length(bin(v)) — exact integer on both engines). Scale shape
+# unchanged from real HLL: one map-combined shuffle on (event_type,
+# register) — 256 rows per group max — then a per-group rollup;
+# constant memory regardless of user cardinality.
+# ---------------------------------------------------------------------------
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)  # E_raw = C / denom
+_HLL_LN = [0.0] + [
+    _HLL_M * __import__("math").log(_HLL_M / v) for v in range(1, _HLL_M + 1)
+]  # 1-indexed by zero-register count V; LN[0] unused
+_HLL_SMALL = 2.5 * _HLL_M
+_MED_BINS = 1024
+
+
+def _hll_est_case(denom: str, v: str, ln_elem: str) -> str:
+    """Shared estimate expression: linear counting below 2.5m with empty
+    registers present, else the raw harmonic-mean estimate."""
+    raw = f"{_HLL_C!r} / CAST({denom} AS DOUBLE)"
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        f"CASE WHEN {v} > 0 AND {raw} <= {_HLL_SMALL!r} "
+        f"THEN {ln_elem} ELSE {raw} END"
+    )
+
+
+@query(
+    "approx_event_stats",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) AS idx,
+             CAST(('0x' || substr(hx, 3, 13)) AS BIGINT) AS hv
+      FROM (SELECT event_type,
+                   md5('hll|' || CAST(user_id AS VARCHAR)) AS hx
+            FROM events)
+    ),
+    regs AS (
+      SELECT event_type, idx,
+             MAX(CASE WHEN hv = 0 THEN 53 ELSE 53 - length(bin(hv)) END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    hll AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << (53 - r)) AS sum_s,
+             {_HLL_M} - COUNT(*) AS v
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             round({_hll_est_case(
+                 f"sum_s + v * {1 << 53}", "v",
+                 f"([{', '.join(repr(x) for x in _HLL_LN)}])[v + 1]")}, 6)
+               AS approx_users
+      FROM hll
+    ),
+    bounds AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+             COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE LEAST(CAST(FLOOR((e.value - b.mn)
+                         / ((b.mx - b.mn) / {_MED_BINS}.0)) AS INTEGER),
+                       {_MED_BINS - 1}) END AS bin
+      FROM events e JOIN bounds b USING (event_type)
+    ),
+    hist AS (
+      SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+    ),
+    med_bin AS (
+      SELECT event_type, MIN(bin) AS bin FROM (
+        SELECT hist.event_type, hist.bin,
+               SUM(c) OVER (PARTITION BY hist.event_type ORDER BY bin) AS cum,
+               b.n
+        FROM hist JOIN bounds b USING (event_type)
+      ) WHERE cum >= (n + 1) // 2 GROUP BY 1
+    )
+    SELECT est.event_type, approx_users,
+           round(CASE WHEN b.mx = b.mn THEN b.mn
+                 ELSE b.mn + (m.bin + 0.5) * ((b.mx - b.mn) / {_MED_BINS}.0)
+                 END, 6) AS approx_median_value
+    FROM est
+    JOIN bounds b USING (event_type)
+    JOIN med_bin m USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a deterministic 256-register
+    HLL, and an approximate median via a 1024-bin histogram — the
+    constant-memory sketches that replace exact distinct/quantile at
+    100 TB (exact distinct = full shuffle of the key space; HLL = a few
+    KB per group, mergeable map-side; the histogram shuffles 1024 rows
+    per group, never the values)."""
+    ev = _t(spark, sf_dir, "events")
+    hx = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("int").alias("idx"),
+        F.conv(F.substring(hx, 3, 13), 16, 10).cast("long").alias("hv"),
+    )
+    regs = h.groupBy("event_type", "idx").agg(
+        F.max(
+            F.when(F.col("hv") == 0, 53).otherwise(
+                53 - F.length(F.bin(F.col("hv")))
+            )
+        ).alias("r")
+    )
+    hll = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - r)")).alias("sum_s"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+    )
+    est = hll.select(
+        "event_type",
+        F.round(
+            F.expr(
+                _hll_est_case(
+                    f"sum_s + v * {1 << 53}",
+                    "v",
+                    f"element_at(array({', '.join(repr(x) for x in _HLL_LN)}), "
+                    f"cast(v + 1 as int))",
+                )
+            ),
+            6,
+        ).alias("approx_users"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / float(_MED_BINS)
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width).cast("int"),
+                F.lit(_MED_BINS - 1),
+            )
+        )
+        .alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    med_bin = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .join(F.broadcast(bounds.select("event_type", "n")), "event_type")
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        est.join(F.broadcast(bounds), "event_type")
+        .join(F.broadcast(med_bin), "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            F.round(
+                F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+                    F.col("mn") + (F.col("bin") + 0.5) * width
+                ),
+                6,
+            ).alias("approx_median_value"),
         )
         .orderBy("event_type")
     )
