@@ -114,6 +114,17 @@ def cosine_from_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> C
     return _dot(a, b) / (norm_a * norm_b)
 
 
+def l2sq_cols(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two array<double> columns — sequential
+    left-to-right fold (F.aggregate), the same order DuckDB's list_sum
+    walks a list, so the doubles match bit-for-bit across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -195,8 +206,9 @@ def ivf_assign(
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
     n_assign: int = 1,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign each vector to its ``n_assign`` nearest centroids by cosine,
+    """Assign each vector to its ``n_assign`` nearest centroids,
     entirely map-side: ZERO shuffle of the corpus.
 
     The centroid set (always small, ~sqrt(corpus)) is collapsed to a
@@ -206,14 +218,22 @@ def ivf_assign(
     partitioned on the vector id — correct, but that shuffles the ENTIRE
     corpus once per call (and once per k-means iteration), which is the
     dominant cost at 1B vectors. The comparator reproduces the window's
-    exact order: cosine rounded to 6 decimals descending, centroid id
-    ascending, so assignments are bit-identical to the windowed form and
-    engine-reproducible.
+    exact order — score rounded to 6 decimals (cosine descending / L2
+    ascending), centroid id ascending — so assignments are bit-identical
+    to the windowed form and engine-reproducible.
+
+    ``metric``: ``'cosine'`` (IVF probing, semantic dedup) or ``'l2'``
+    (squared Euclidean — the standard quantizer objective PQ codebook
+    training minimizes; exact sequential-fold arithmetic, see
+    :func:`l2sq_cols`).
     """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    use_cos = metric == "cosine"
     carr = centroids.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
-        vec_norm(F.col(vec_col)).alias("cnorm"),
+        (vec_norm(F.col(vec_col)) if use_cos else F.lit(0.0)).alias("cnorm"),
     ).agg(
         F.array_sort(F.collect_list(F.struct("cid", "cvec", "cnorm"))).alias("__cents")
     )
@@ -223,17 +243,23 @@ def ivf_assign(
             F.round(
                 cosine_from_norms(
                     F.col(vec_col), c["cvec"], F.col("__vnorm"), c["cnorm"]
-                ),
+                )
+                if use_cos
+                else l2sq_cols(F.col(vec_col), c["cvec"]),
                 6,
             ).alias("cs"),
             c["cid"].alias("cid"),
         ),
     )
+    # "better" = higher cosine / lower L2; the two when-branches flip
+    better, worse = (F.lit(-1), F.lit(1))
     ranked = F.slice(
         F.array_sort(
             scored,
-            lambda l, r: F.when(l["cs"] > r["cs"], F.lit(-1))
-            .when(l["cs"] < r["cs"], F.lit(1))
+            lambda l, r: F.when(
+                l["cs"] > r["cs"] if use_cos else l["cs"] < r["cs"], better
+            )
+            .when(l["cs"] < r["cs"] if use_cos else l["cs"] > r["cs"], worse)
             .when(l["cid"] < r["cid"], F.lit(-1))
             .when(l["cid"] > r["cid"], F.lit(1))
             .otherwise(F.lit(0)),
@@ -242,9 +268,11 @@ def ivf_assign(
         n_assign,
     )
     out_cols = df.columns
+    base = (
+        df.withColumn("__vnorm", vec_norm(F.col(vec_col))) if use_cos else df
+    )
     return (
-        df.withColumn("__vnorm", vec_norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(carr))
+        base.crossJoin(F.broadcast(carr))
         .select(*out_cols, F.explode(ranked).alias("__pick"))
         .select(*out_cols, F.col("__pick")["cid"].alias(centroid_id_col))
     )
@@ -257,10 +285,13 @@ def kmeans_train(
     id_col: str = "vec_id",
     iterations: int = 2,
     weight_col: str | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — trains the centroids
     that ``ivf_cosine_topk`` probes (completing the IVF story: index
-    build, not just search).
+    build, not just search). ``metric='l2'`` assigns by exact squared
+    Euclidean instead of cosine — the quantizer objective PQ codebook
+    training minimizes (``pq_train_codebooks``).
 
     Scale shape per iteration:
 
@@ -305,6 +336,7 @@ def kmeans_train(
             vec_col=vec_col,
             id_col=id_col,
             n_assign=1,
+            metric=metric,
         )
         dims = assigned.select(
             "centroid_id", "__w", F.posexplode(F.col(vec_col)).alias("pos", "val")
@@ -404,6 +436,63 @@ def pq_codebooks(
         ]
         for j in range(m)
     ]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 1,
+    weight_col: str | None = None,
+) -> list[list[list[float]]]:
+    """TRAINED product-quantization codebooks: per subspace, L2 Lloyd's
+    k-means (``kmeans_train(metric='l2')``) seeded from the ``k``
+    lowest-id vectors' slices. Returns the same nested-literal structure
+    ``pq_codes``/``pq_adc_scores`` consume, so the md5-random
+    ``pq_codebooks`` and this trainer are drop-in interchangeable — the
+    production swap the pq_codebooks docstring promises, now exercised.
+
+    The collect here is a MODEL ARTIFACT (m x k x dim/m doubles — a few
+    KB regardless of corpus size), not a data collect: codebooks are
+    broadcast back into the encode/ADC expressions as literals, exactly
+    how a trained quantizer ships to a scan at 1B vectors. Each
+    subspace's training is one map-side assignment pass plus a
+    k x sub-sized shuffle per iteration (see kmeans_train); the corpus
+    is never shuffled. Empty clusters drop out (standard Lloyd's), so a
+    book may hold fewer than ``k`` centroids; code indices are the rank
+    of the surviving centroid ids in ascending order on BOTH engines.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} must split evenly into {m} subspaces")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = corpus.select(
+            F.col(id_col),
+            *([F.col(weight_col)] if weight_col else []),
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias(
+                "__s"
+            ),
+        )
+        cents = kmeans_train(
+            sl,
+            sl.filter(F.col(id_col) < k),
+            vec_col="__s",
+            id_col=id_col,
+            iterations=iterations,
+            weight_col=weight_col,
+            metric="l2",
+        )
+        books.append(
+            [
+                [float(x) for x in r["centroid"]]
+                for r in cents.orderBy("centroid_id").collect()
+            ]
+        )
+    return books
 
 
 def _l2sq(slice_col: Column, centroid: list[float]) -> Column:

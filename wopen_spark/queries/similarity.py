@@ -418,12 +418,44 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lands in its original's cluster (the perturbation moves cosine-to-
 # centroid by ~1e-4; both engines compute the identical argmax either
 # way) and is dropped by its lower-id original.
+#
+# Centroid count SCALES WITH THE CORPUS: k = smallest power of two with
+# k² >= n (floored at 16), so expected cluster size ~ sqrt(n) and the
+# in-cluster pair stage stays O(n) total at any scale — a fixed k would
+# make clusters (and their pair joins) grow linearly with a 100x
+# corpus. Both engines derive k from the same exact-integer ladder over
+# count(*) (the Spark side reads n from parquet footers — zero jobs),
+# so the rule can never diverge between engine and oracle.
+_SEMDEDUP_K_MIN, _SEMDEDUP_K_MAX = 16, 1 << 17
+
+
+def _semantic_dedup_k(n: int) -> int:
+    k = _SEMDEDUP_K_MIN
+    while k * k < n and k < _SEMDEDUP_K_MAX:
+        k *= 2
+    return k
+
+
+_SEMDEDUP_K_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN n <= {k * k} THEN {k}"
+        for k in (1 << j for j in range(4, 18))
+    )
+    + f" ELSE {_SEMDEDUP_K_MAX} END"
+)
+
+
 @query(
     "semantic_dedup_clusters",
     oracle=f"""
-    WITH cents AS (
+    WITH k AS (
+      SELECT {_SEMDEDUP_K_SQL} AS k
+      FROM (SELECT count(*) AS n FROM embeddings)
+    ),
+    cents AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings WHERE vec_id < (SELECT k FROM k)
     ),
     reps AS (
       SELECT min(vec_id) AS vec_id, embedding::DOUBLE[] AS v
@@ -464,8 +496,13 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_norm,
     )
 
+    from wopen_spark.queries.registry import _footer_row_bound
+
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < 16).select(
+    # bare scan -> the footer bound IS the exact count, zero Spark jobs
+    n = _footer_row_bound(e)
+    k = _semantic_dedup_k(e.count() if n is None else n)
+    cents = e.filter(F.col("vec_id") < k).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     reps = (
@@ -1076,6 +1113,186 @@ def _duck_pq_oracle() -> str:
       FROM scored
     ) WHERE rank <= 10 ORDER BY rank
     """
+
+
+# Trained PQ: the codebooks come out of per-subspace L2 k-means
+# (pq_train_codebooks -> kmeans_train(metric='l2')) instead of md5
+# literals, and the query measures recall@10 of trained-PQ ADC against
+# the exact squared-L2 ranking — the accuracy dial a PQ deployment
+# tunes m/k against, mirroring ann_recall_ivf_top5 for the IVF family.
+# Training runs on clone-collapsed reps weighted by clone count (exact
+# in fidelity, removes the clone share of assignment work at the
+# replicated large SFs); the oracle re-derives the identical centroids
+# via the same rounded-L2 assignment + scaled-long means, so encode,
+# ADC, and both top-10 sets are engine-identical and the recall is
+# exact.
+_PQT_M, _PQT_K, _PQT_SUB = 4, 8, 16  # 4 subspaces x 16 dims, 8 centroids
+
+
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+
+
+def _duck_pq_trained_oracle() -> str:
+    s, k, m = _PQT_SUB, _PQT_K, _PQT_M
+    return f"""
+    WITH reps AS (
+      SELECT min(vec_id) AS vec_id, COUNT(*) AS w, embedding::DOUBLE[] AS v
+      FROM embeddings GROUP BY embedding
+    ),
+    sub AS (
+      SELECT vec_id, w, j, v[j*{s}+1:(j+1)*{s}] AS sl
+      FROM reps, range(0, {m}) t(j)
+    ),
+    seeds AS (SELECT j, vec_id AS centroid_id, sl AS c FROM sub WHERE vec_id < {k}),
+    assigned AS (
+      SELECT j, vec_id, w, centroid_id, sl FROM (
+        SELECT sub.j, sub.vec_id, sub.w, se.centroid_id, sub.sl,
+               ROW_NUMBER() OVER (PARTITION BY sub.j, sub.vec_id
+                 ORDER BY round({_duck_l2("sub.sl", "se.c")}, 6), se.centroid_id
+               ) AS rn
+        FROM sub JOIN seeds se USING (j)
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT j, centroid_id, pos,
+             CAST(SUM(CAST(round(sl[pos + 1] * 1000000000000) AS BIGINT) * w)
+                  AS DOUBLE) / 1000000000000.0 / SUM(w) AS val
+      FROM assigned, range(0, {s}) t(pos)
+      GROUP BY 1, 2, 3
+    ),
+    books AS (
+      SELECT j, centroid_id, list(val ORDER BY pos) AS c
+      FROM dims GROUP BY 1, 2
+    ),
+    fsub AS (
+      SELECT vec_id, j, (embedding::DOUBLE[])[j*{s}+1:(j+1)*{s}] AS sl
+      FROM embeddings, range(0, {m}) t(j)
+    ),
+    coded AS (
+      SELECT vec_id, j, centroid_id FROM (
+        SELECT f.vec_id, f.j, b.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY f.vec_id, f.j
+                 ORDER BY {_duck_l2("f.sl", "b.c")}, b.centroid_id) AS rn
+        FROM fsub f JOIN books b USING (j)
+      ) WHERE rn = 1
+    ),
+    qsub AS (SELECT vec_id AS query_id, j, sl FROM fsub WHERE vec_id IN (0, 1, 2)),
+    adc AS (
+      SELECT query_id, vec_id, round(list_sum(list(d ORDER BY j)), 6) AS adc
+      FROM (
+        SELECT q.query_id, co.vec_id, co.j, {_duck_l2("q.sl", "b.c")} AS d
+        FROM coded co
+        JOIN books b ON co.j = b.j AND co.centroid_id = b.centroid_id
+        JOIN qsub q ON q.j = co.j
+      ) GROUP BY 1, 2
+    ),
+    pq_top10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc, vec_id) AS rank
+        FROM adc
+      ) WHERE rank <= 10
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ),
+    exact_top10 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_duck_l2("e.embedding::DOUBLE[]", "q.qv")}, 6),
+                          e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / 10.0 AS recall_at10
+    FROM exact_top10 e
+    LEFT JOIN pq_top10 p ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("pq_trained_recall_top10", oracle=_duck_pq_trained_oracle())
+def pq_trained_recall_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of TRAINED product quantization against the exact
+    squared-L2 ranking. Codebooks are per-subspace L2 k-means output
+    (the pq_codebooks production swap); encode stays map-side (zero
+    corpus shuffle), ADC stays m table lookups per row, and both
+    rankings share the rounded-score + vec_id tie-break so the top-10
+    sets — and therefore the recall — are engine-exact."""
+    from pyspark.sql import Window
+
+    from wopen_spark.operators.similarity import (
+        l2sq_cols,
+        pq_train_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    reps = (
+        e.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("w"))
+        .select(
+            "vec_id", "w",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    books = pq_train_codebooks(
+        reps, dim=_PQT_M * _PQT_SUB, m=_PQT_M, k=_PQT_K, vec_col="v",
+        id_col="vec_id", iterations=1, weight_col="w",
+    )
+    coded = e.select("vec_id", pq_codes(F.col("embedding"), books).alias("codes"))
+    q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    adc = coded.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(pq_adc_scores(F.col("codes"), F.col("qvec"), books), 6).alias("adc"),
+    )
+    wq = Window.partitionBy("query_id")
+    pq_top = (
+        adc.withColumn("rank", F.row_number().over(wq.orderBy("adc", "vec_id")))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                l2sq_cols(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.transform("qvec", lambda x: x.cast("double")),
+                ),
+                6,
+            ).alias("d"),
+        )
+        .withColumn("rank", F.row_number().over(wq.orderBy("d", "vec_id")))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(F.broadcast(pq_top), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / 10.0).alias("recall_at10"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @query("pq_adc_top10", oracle=_duck_pq_oracle())
