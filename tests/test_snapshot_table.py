@@ -197,6 +197,41 @@ def test_vacuum_removes_unreferenced_files(spark, table):
         table.read(version=1).collect()
 
 
+def test_vacuum_and_merge_on_blob_data_store(spark, tmp_path):
+    # the full data-plane surface over the object-store fake: vacuum
+    # enumeration/mtime/delete and the merge probe's input_file_name ->
+    # rel mapping all go through the DataStore, no POSIX assumptions
+    from wopen_spark.snapshot_table import (
+        BlobDataStore,
+        InMemoryLogStore,
+        SnapshotTable,
+        VacuumedVersionError,
+    )
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "tbl"),
+        log_store=InMemoryLogStore(),
+        data_store=BlobDataStore(str(tmp_path / "scratch")),
+    )
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)
+    )
+    rep = t.merge(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), "id"
+    )
+    assert rep["files_rewritten"] == 1
+    assert sorted(
+        (r["id"], r["v"]) for r in t.read().collect()
+    ) == [(1, "a"), (2, "B"), (3, "c")]
+    removed = t.vacuum(retain_last=1, orphan_grace_s=3600)
+    assert removed == 1  # version-1 file superseded by the merge
+    with pytest.raises(VacuumedVersionError):
+        t.read(version=1).collect()
+    assert sorted(
+        (r["id"], r["v"]) for r in t.read().collect()
+    ) == [(1, "a"), (2, "B"), (3, "c")]
+
+
 def test_schema_evolution_additive(spark, table):
     table.create(spark.createDataFrame([(1, "a")], "id long, v string"))
     table.append(

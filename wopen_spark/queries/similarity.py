@@ -1115,6 +1115,152 @@ def _duck_pq_oracle() -> str:
     """
 
 
+# IVF-PQ — the composed billion-vector ANN layout (public FAISS IVFPQ
+# design): a coarse L2 quantizer partitions the corpus into inverted
+# lists, each vector stores only the PQ codes of its RESIDUAL from its
+# list centroid, and a query probes its nprobe nearest lists computing
+# ADC against its per-list residual. Memory per vector: one int + m
+# bytes; query cost: nprobe lists' worth of m-lookup scans. Everything
+# below composes the already-verified pieces — ivf_assign(metric='l2'),
+# pq_codes, pq_adc_scores — and the oracle re-derives the same coarse
+# assignment, residuals, codes, and ADC, so the composed index is
+# value-checked end to end.
+_IVFPQ_NLIST, _IVFPQ_NPROBE = 16, 4
+
+
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+
+
+def _duck_ivfpq_oracle() -> str:
+    m, sub = len(_PQ_CB), len(_PQ_CB[0][0])
+    code_dists = ", ".join(
+        "["
+        + ", ".join(_duck_pq_l2(f"res[{j * sub + 1}:{(j + 1) * sub}]", c) for c in book)
+        + f"] AS d{j}"
+        for j, book in enumerate(_PQ_CB)
+    )
+    code_cols = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) AS c{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        "(["
+        + ", ".join(
+            _duck_pq_l2(f"qres[{j * sub + 1}:{(j + 1) * sub}]", c) for c in book
+        )
+        + f"])[c{j}]"
+        for j, book in enumerate(_PQ_CB)
+    )
+    coarse = f"round({_duck_l2('s.v', 'c.cvec')}, 6)"
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM corpus
+      WHERE vec_id < {_IVFPQ_NLIST}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id, v FROM (
+        SELECT s.vec_id, c.centroid_id, s.v,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {coarse}, c.centroid_id) AS rn
+        FROM corpus s CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT a.vec_id, a.centroid_id,
+             list_transform(list_zip(a.v, c.cvec), x -> x[1] - x[2]) AS res
+      FROM assigned a JOIN cents c USING (centroid_id)
+    ),
+    coded AS (
+      SELECT vec_id, centroid_id, {code_cols} FROM (
+        SELECT vec_id, centroid_id, {code_dists} FROM res
+      )
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id, v FROM (
+        SELECT s.vec_id, c.centroid_id, s.v,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {coarse}, c.centroid_id) AS rn
+        FROM (SELECT * FROM corpus WHERE vec_id IN (0, 1, 2)) s
+        CROSS JOIN cents c
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT p.query_id, p.centroid_id,
+             list_transform(list_zip(p.v, c.cvec), x -> x[1] - x[2]) AS qres
+      FROM probes p JOIN cents c USING (centroid_id)
+    ),
+    scored AS (
+      SELECT q.query_id, co.vec_id, round({adc}, 6) AS adc
+      FROM coded co JOIN qres q USING (centroid_id)
+    )
+    SELECT query_id, vec_id, adc, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("ivfpq_adc_top10", oracle=_duck_ivfpq_oracle())
+def ivfpq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-10: coarse-quantize the corpus into
+    inverted lists (map-side L2 argmin over broadcast centroids — zero
+    corpus shuffle), PQ-encode each vector's residual (map-side), then
+    probe each query's nprobe nearest lists with residual ADC. The only
+    corpus-touching join keys on centroid_id with the (queries x
+    nprobe)-row probe side broadcast — the plan a 1000-executor scan of
+    a billion-code index would want."""
+    from pyspark.sql import Window
+
+    from wopen_spark.operators.similarity import ivf_assign
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < _IVFPQ_NLIST)
+    cvecs = cents.select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec")
+    )
+    residual = F.zip_with("v", "cvec", lambda a, b: a - b)
+    coded = (
+        ivf_assign(e, cents, vec_col="v", id_col="vec_id", metric="l2")
+        .join(F.broadcast(cvecs), "centroid_id")
+        .select(
+            "vec_id", "centroid_id", pq_codes(residual, _PQ_CB).alias("codes")
+        )
+    )
+    q = e.filter(F.col("vec_id").isin(0, 1, 2))
+    probes = (
+        ivf_assign(
+            q, cents, vec_col="v", id_col="vec_id",
+            n_assign=_IVFPQ_NPROBE, metric="l2",
+        )
+        .join(F.broadcast(cvecs), "centroid_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            residual.alias("qres"),
+        )
+    )
+    scored = coded.join(F.broadcast(probes), "centroid_id").select(
+        "query_id",
+        "vec_id",
+        F.round(pq_adc_scores(F.col("codes"), F.col("qres"), _PQ_CB), 6).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
 # Trained PQ: the codebooks come out of per-subspace L2 k-means
 # (pq_train_codebooks -> kmeans_train(metric='l2')) instead of md5
 # literals, and the query measures recall@10 of trained-PQ ADC against
@@ -1127,13 +1273,6 @@ def _duck_pq_oracle() -> str:
 # ADC, and both top-10 sets are engine-identical and the recall is
 # exact.
 _PQT_M, _PQT_K, _PQT_SUB = 4, 8, 16  # 4 subspaces x 16 dims, 8 centroids
-
-
-def _duck_l2(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"x -> (x[1] - x[2]) * (x[1] - x[2])))"
-    )
 
 
 def _duck_pq_trained_oracle() -> str:
