@@ -207,6 +207,7 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     n_assign: int = 1,
     metric: str = "cosine",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroids,
     entirely map-side: ZERO shuffle of the corpus.
@@ -226,16 +227,29 @@ def ivf_assign(
     (squared Euclidean — the standard quantizer objective PQ codebook
     training minimizes; exact sequential-fold arithmetic, see
     :func:`l2sq_cols`).
+
+    ``group_col``: when set, rows and centroids carry a group key and
+    each row argmins ONLY over its group's centroids — one broadcast
+    join on the key instead of N separate assignment passes (PQ trains
+    all m subspaces in a single pass this way). Same comparator, same
+    results as per-group calls.
     """
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     use_cos = metric == "cosine"
-    carr = centroids.select(
+    cstruct = centroids.select(
+        *([F.col(group_col)] if group_col else []),
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
         (vec_norm(F.col(vec_col)) if use_cos else F.lit(0.0)).alias("cnorm"),
-    ).agg(
-        F.array_sort(F.collect_list(F.struct("cid", "cvec", "cnorm"))).alias("__cents")
+    )
+    agg_cents = F.array_sort(
+        F.collect_list(F.struct("cid", "cvec", "cnorm"))
+    ).alias("__cents")
+    carr = (
+        cstruct.groupBy(group_col).agg(agg_cents)
+        if group_col
+        else cstruct.agg(agg_cents)
     )
     scored = F.transform(
         F.col("__cents"),
@@ -271,9 +285,13 @@ def ivf_assign(
     base = (
         df.withColumn("__vnorm", vec_norm(F.col(vec_col))) if use_cos else df
     )
+    joined = (
+        base.join(F.broadcast(carr), group_col)
+        if group_col
+        else base.crossJoin(F.broadcast(carr))
+    )
     return (
-        base.crossJoin(F.broadcast(carr))
-        .select(*out_cols, F.explode(ranked).alias("__pick"))
+        joined.select(*out_cols, F.explode(ranked).alias("__pick"))
         .select(*out_cols, F.col("__pick")["cid"].alias(centroid_id_col))
     )
 
@@ -286,12 +304,16 @@ def kmeans_train(
     iterations: int = 2,
     weight_col: str | None = None,
     metric: str = "cosine",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column — trains the centroids
     that ``ivf_cosine_topk`` probes (completing the IVF story: index
     build, not just search). ``metric='l2'`` assigns by exact squared
     Euclidean instead of cosine — the quantizer objective PQ codebook
-    training minimizes (``pq_train_codebooks``).
+    training minimizes (``pq_train_codebooks``). ``group_col`` trains
+    INDEPENDENT k-means per group in one pass (grouped assignment +
+    group-keyed update shuffles) — m PQ subspaces cost one pipeline,
+    not m.
 
     Scale shape per iteration:
 
@@ -324,24 +346,29 @@ def kmeans_train(
     """
     scale = 10**12
     w_expr = F.col(weight_col) if weight_col else F.lit(1)
+    grp = [group_col] if group_col else []
     cents = seeds.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
+        *grp, F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cent")
     )
     for _ in range(iterations):
         assigned = ivf_assign(
             corpus.withColumn("__w", w_expr),
             cents.select(
-                F.col("centroid_id").alias(id_col), F.col("__cent").alias(vec_col)
+                *grp,
+                F.col("centroid_id").alias(id_col),
+                F.col("__cent").alias(vec_col),
             ),
             vec_col=vec_col,
             id_col=id_col,
             n_assign=1,
             metric=metric,
+            group_col=group_col,
         )
         dims = assigned.select(
-            "centroid_id", "__w", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            *grp, "centroid_id", "__w",
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
         )
-        per_dim = dims.groupBy("centroid_id", "pos").agg(
+        per_dim = dims.groupBy(*grp, "centroid_id", "pos").agg(
             (
                 F.sum(F.round(F.col("val") * scale).cast("long") * F.col("__w"))
                 .cast("double")
@@ -350,7 +377,7 @@ def kmeans_train(
             ).alias("val"),
             F.sum("__w").alias("n"),
         )
-        cents = per_dim.groupBy("centroid_id").agg(
+        cents = per_dim.groupBy(*grp, "centroid_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "val"))),
                 lambda s: s["val"],
@@ -358,7 +385,7 @@ def kmeans_train(
             F.first("n").alias("n_members"),
         )
     return cents.select(
-        "centroid_id", F.col("__cent").alias("centroid"), "n_members"
+        *grp, "centroid_id", F.col("__cent").alias("centroid"), "n_members"
     )
 
 
@@ -468,30 +495,48 @@ def pq_train_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} must split evenly into {m} subspaces")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sl = corpus.select(
-            F.col(id_col),
-            *([F.col(weight_col)] if weight_col else []),
-            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias(
-                "__s"
-            ),
-        )
-        cents = kmeans_train(
-            sl,
-            sl.filter(F.col(id_col) < k),
-            vec_col="__s",
-            id_col=id_col,
-            iterations=iterations,
-            weight_col=weight_col,
-            metric="l2",
-        )
-        books.append(
-            [
-                [float(x) for x in r["centroid"]]
-                for r in cents.orderBy("centroid_id").collect()
-            ]
-        )
+    # all m subspaces train in ONE grouped pipeline: each vector
+    # contributes m (subspace, slice) rows, assignment argmins only over
+    # its subspace's centroids (group-keyed broadcast join), and the
+    # update shuffles key on (subspace, centroid, dim) — one pass and
+    # one model collect instead of m sequential trainings
+    slices = corpus.select(
+        F.col(id_col),
+        *([F.col(weight_col)] if weight_col else []),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(
+                            F.col(vec_col).cast("array<double>"),
+                            j * sub + 1,
+                            sub,
+                        ).alias("s"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(
+        F.col(id_col),
+        *([F.col(weight_col)] if weight_col else []),
+        F.col("__e.j").alias("__j"),
+        F.col("__e.s").alias("__s"),
+    )
+    cents = kmeans_train(
+        slices,
+        slices.filter(F.col(id_col) < k),
+        vec_col="__s",
+        id_col=id_col,
+        iterations=iterations,
+        weight_col=weight_col,
+        metric="l2",
+        group_col="__j",
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in cents.orderBy("__j", "centroid_id").collect():
+        books[r["__j"]].append([float(x) for x in r["centroid"]])
     return books
 
 
