@@ -327,3 +327,37 @@ def test_rate_source_continuous_trigger_multibatch(spark, tmp_path):
     # keyed state is deterministic: only the three synthetic types appear
     assert {r.event_type for r in rows} <= {"click", "view", "purchase"}
     assert all(r.n > 0 for r in rows)
+
+
+def test_event_stream_reads_table_directory_layout(spark, tmp_path):
+    """Regression for the r7 sf1 oracle-gate catch: when events.parquet is
+    a Spark-written table DIRECTORY (part-*.parquet leaves — the benchdata
+    and production layout) rather than a single file, the old
+    pathGlobFilter="events.parquet" over sf_dir matched zero leaf files
+    and the stream silently produced 0 rows. event_stream must read the
+    directory itself in that layout."""
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.streaming.pipeline import event_stream
+
+    sf_dir = str(tmp_path / "sfdir")
+    _t(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    expected = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert expected > 0
+    out = (
+        event_stream(spark, sf_dir)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dir_layout_events")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dir_layout_events").collect()
+    assert got and got[0]["n"] == expected

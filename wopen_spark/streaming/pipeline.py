@@ -55,21 +55,30 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     resolved = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp_ntz")
-    if resolved == "bigint":  # TIMESTAMP(NANOS) via nanos-as-long
-        raw = (
-            spark.readStream.schema(_events_schema(T.LongType()))
+
+    def _reader(schema):
+        # two on-disk layouts: testdata keeps events.parquet as a single
+        # FILE inside sf_dir (stream the dir, glob-filter the leaf name),
+        # benchdata/production write it as a Spark table DIRECTORY whose
+        # leaves are part-*.parquet — a leaf-name glob of
+        # "events.parquet" there matches NOTHING and the stream silently
+        # reads zero rows (caught by the r7 sf1 oracle gate), so stream
+        # the directory itself
+        if os.path.isdir(path):
+            return spark.readStream.schema(schema).parquet(path)
+        return (
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
+
+    if resolved == "bigint":  # TIMESTAMP(NANOS) via nanos-as-long
+        raw = _reader(_events_schema(T.LongType()))
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ts_type = (
         T.TimestampNTZType() if resolved == "timestamp_ntz" else T.TimestampType()
     )
-    raw = (
-        spark.readStream.schema(_events_schema(ts_type))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _reader(_events_schema(ts_type))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
