@@ -12,6 +12,7 @@ plan construction.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -68,6 +69,15 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop the query's py4j refs NOW: JVM blocks (localCheckpoints,
+        # per-query persists) stay pinned until Python GC releases the
+        # proxy objects, and CPython's lazy collection let ~100 queries
+        # of sf10 checkpoint blocks accumulate until the ContextCleaner
+        # itself OOM'd the 8g heap mid-suite (r7). Intentional suite
+        # caches (CC memo, LSH/trade-pair frames) hold live refs and are
+        # unaffected. Cost: ~ms per query.
+        del df
+        gc.collect()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

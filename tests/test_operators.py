@@ -1131,3 +1131,27 @@ def test_pq_codes_shape_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="split evenly"):
         pq_codebooks(m=5, k=8, dim=64)
+
+
+def test_pq_train_seeds_rank_based_on_sparse_ids(spark):
+    """pq_train_codebooks must seed from the k LOWEST IDS PRESENT, not
+    ids < k: a clone-collapsed rep corpus keeps min-id per distinct
+    vector, so a literal id < k filter can find zero (or one) seeds and
+    silently train a degenerate book with constant ADC distances."""
+    import random
+
+    from wopen_spark.operators.similarity import pq_train_codebooks
+
+    rng = random.Random(7)
+    rows = [
+        (100 + 37 * i, [rng.uniform(-1.0, 1.0) for _ in range(16)])
+        for i in range(12)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    books = pq_train_codebooks(
+        corpus, dim=16, m=2, k=4, vec_col="v", id_col="vec_id", iterations=1
+    )
+    assert len(books) == 2
+    # every seed is a data point, so its own cluster is non-empty and all
+    # k centroids survive one Lloyd's round — despite no id being < k
+    assert all(len(b) == 4 for b in books)

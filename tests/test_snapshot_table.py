@@ -723,3 +723,44 @@ def test_overwrite_retires_dropped_physicals_no_cdf_resurrection(spark, table):
     # the overwritten row appears as a delete with a NULL new-'a' value —
     # its old physical 'a' payload (logical b = 7) must NOT leak into it
     assert [(r["id"], r["a"]) for r in deleted] == [(1, None)]
+
+
+def test_blob_mtime_missing_key_raises_filenotfound(tmp_path):
+    """The DataStore contract pins FileNotFoundError for a missing key:
+    vacuum's orphan-grace guard catches exactly that type, so a store
+    leaking KeyError would abort a vacuum racing a concurrent delete."""
+    from wopen_spark.snapshot_table import BlobDataStore
+
+    store = BlobDataStore(str(tmp_path / "scratch"))
+    with pytest.raises(FileNotFoundError):
+        store.mtime("data/nope/part-00000.parquet")
+
+
+def test_vacuum_sweeps_stale_parquetless_commit_dirs(spark, table):
+    """A zero-row append publishes no parquet (empty part files are
+    deleted at write time), leaving a _SUCCESS-only commit dir that
+    list_data_files never enumerates. Vacuum must sweep such dirs once
+    they age past the orphan grace window — and must NOT touch fresh
+    ones, which may be a concurrent writer's in-flight output."""
+    table.create(spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1))
+    table.append(spark.createDataFrame([], "id long, v string"))
+    data_root = os.path.join(table.path, "data")
+
+    def parquetless_dirs():
+        return [
+            d
+            for d in os.listdir(data_root)
+            if not any(
+                n.endswith(".parquet")
+                for n in os.listdir(os.path.join(data_root, d))
+            )
+        ]
+
+    stale = parquetless_dirs()
+    assert stale, "empty append should leave a parquet-less commit dir"
+    table.vacuum(retain_last=1)  # default grace: fresh dirs survive
+    assert parquetless_dirs() == stale
+    table.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert parquetless_dirs() == []
+    # the real commit's data is untouched
+    assert _rows(table.read().select("id", "v")) == [(1, "a")]

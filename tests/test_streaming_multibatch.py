@@ -358,6 +358,8 @@ def test_event_stream_reads_table_directory_layout(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    from wopen_spark.streaming.pipeline import await_available_now
+
+    await_available_now(q, timeout_s=120)
     got = spark.table("dir_layout_events").collect()
     assert got and got[0]["n"] == expected

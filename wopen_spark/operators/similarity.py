@@ -476,8 +476,11 @@ def pq_train_codebooks(
     weight_col: str | None = None,
 ) -> list[list[list[float]]]:
     """TRAINED product-quantization codebooks: per subspace, L2 Lloyd's
-    k-means (``kmeans_train(metric='l2')``) seeded from the ``k``
-    lowest-id vectors' slices. Returns the same nested-literal structure
+    k-means (``kmeans_train(metric='l2')``) seeded from the slices of
+    the ``k`` lowest ids PRESENT in the corpus (rank-based — a literal
+    ``id < k`` filter would under-seed any corpus whose ids are sparse,
+    e.g. clone-collapsed reps keeping min-id per distinct vector, and a
+    1-seed book silently trains constant ADC distances). Returns the same nested-literal structure
     ``pq_codes``/``pq_adc_scores`` consume, so the md5-random
     ``pq_codebooks`` and this trainer are drop-in interchangeable — the
     production swap the pq_codebooks docstring promises, now exercised.
@@ -524,9 +527,10 @@ def pq_train_codebooks(
         F.col("__e.j").alias("__j"),
         F.col("__e.s").alias("__s"),
     )
+    seed_ids = corpus.select(id_col).orderBy(id_col).limit(k)
     cents = kmeans_train(
         slices,
-        slices.filter(F.col(id_col) < k),
+        slices.join(F.broadcast(seed_ids), id_col),
         vec_col="__s",
         id_col=id_col,
         iterations=iterations,

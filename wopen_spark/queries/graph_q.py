@@ -23,9 +23,13 @@ from wopen_spark.queries.registry import _inherit, _spread, _t, query
 # and every later consumer reads the persisted frame (DISK_ONLY:
 # doc-level components are fact-proportional, and fact-proportional
 # suite caches on the heap smeared +2-5 s/query at sf10). Keyed on the
-# session id so a frame from a stopped/other SparkSession is never
-# served.
-_ND_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Spark APPLICATION id (not id(spark): CPython reuses addresses, so a
+# new session allocated where a stopped one lived would be served the
+# dead session's frame) so a frame from a stopped/other SparkSession is
+# never served. Known limit shared with every plan-level cache: if the
+# parquet under sf_dir is rewritten mid-process, the memo (like Spark's
+# own CacheManager) serves pre-rewrite labels until the process restarts.
+_ND_COMPONENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @query(
@@ -62,7 +66,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative's component through one broadcast-size text join, so
     the output stays doc-level. Component ids are min doc_ids, and reps
     are min-per-text, so the labels are identical either way."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _ND_COMPONENTS_CACHE.get(key)
     if cached is not None:
         return cached

@@ -164,11 +164,12 @@ def _footer_row_bound(dk: DataFrame) -> int | None:
     if not files or len(files) > 64:
         return None
     import pyarrow.parquet as pq
-    from urllib.parse import unquote, urlparse
+
+    from wopen_spark.snapshot_table import uri_to_path
 
     total = 0
     for uri in files:
-        path = unquote(urlparse(uri).path) if "://" in uri else uri
+        path = uri_to_path(uri)
         try:
             total += pq.ParquetFile(path).metadata.num_rows
         except Exception:  # noqa: BLE001 — unreadable footer: just count

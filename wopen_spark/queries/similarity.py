@@ -1286,7 +1286,9 @@ def _duck_pq_trained_oracle() -> str:
       SELECT vec_id, w, j, v[j*{s}+1:(j+1)*{s}] AS sl
       FROM reps, range(0, {m}) t(j)
     ),
-    seeds AS (SELECT j, vec_id AS centroid_id, sl AS c FROM sub WHERE vec_id < {k}),
+    seed_ids AS (SELECT vec_id FROM reps ORDER BY vec_id LIMIT {k}),
+    seeds AS (SELECT j, vec_id AS centroid_id, sl AS c FROM sub
+              WHERE vec_id IN (SELECT vec_id FROM seed_ids)),
     assigned AS (
       SELECT j, vec_id, w, centroid_id, sl FROM (
         SELECT sub.j, sub.vec_id, sub.w, se.centroid_id, sub.sl,

@@ -54,6 +54,11 @@ def get_spark(app_name: str = "wopen_spark", shuffle_partitions: int | None = No
         # bench (84s -> 181s) — G1 on a huge mostly-empty heap costs more
         # than the extra headroom buys at this SF. Cluster deployments set
         # per-container memory through the submit environment instead.
+        # The sf10 campaign (r7) needs SPARK_GRAFT_DRIVER_MEM=16g: the
+        # 60M-event stateful stage runs 32 concurrent Arrow-batching
+        # tasks in this one JVM (256 MB/thread at 8g — tighter than any
+        # real executor would be); on a cluster the same stage spreads
+        # across containers and the default is right.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -66,6 +66,17 @@ class VacuumedVersionError(RuntimeError):
     """Time travel target references files removed by vacuum."""
 
 
+def uri_to_path(uri: str) -> str:
+    """Normalize a Spark ``input_file_name()`` URI (``file:/…``,
+    ``file:///…``, ``s3a://…``) or a bare path to a plain filesystem
+    path for relpath arithmetic. THE single copy of this parsing — both
+    data stores and the registry's footer-bound probe route through it,
+    so a future scheme fix lands everywhere at once."""
+    if "://" in uri or uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return uri
+
+
 def _json_safe(v):
     """Parquet footer stat -> JSON-storable value that compares the same
     way the column does (ISO dates/timestamps sort lexicographically;
@@ -281,9 +292,13 @@ class DataStore:
       committed files; ``uri_to_rel`` inverts ``input_file_name()``
       URIs back to log-relative paths for the merge/delete probes.
     - ``size`` / ``exists`` / ``delete`` / ``mtime`` /
-      ``list_data_files`` / ``cleanup_dir``: the vacuum + manifest
-      surface. ``cleanup_dir`` is advisory (object stores have no
-      directories; it may no-op).
+      ``list_data_files`` / ``list_data_dirs`` / ``cleanup_dir``: the
+      vacuum + manifest surface. ``mtime`` raises ``FileNotFoundError``
+      for a missing key on EVERY store — vacuum's orphan-grace guard
+      catches exactly that type, so a store that raised anything else
+      would abort a vacuum mid-delete on a concurrent-writer race.
+      ``cleanup_dir`` / ``list_data_dirs`` are advisory (object stores
+      have no directories; they may no-op / return []).
     """
 
     def write_uri(self, rel_dir: str) -> str:
@@ -314,6 +329,9 @@ class DataStore:
         raise NotImplementedError
 
     def list_data_files(self) -> list[str]:
+        raise NotImplementedError
+
+    def list_data_dirs(self) -> list[str]:
         raise NotImplementedError
 
     def cleanup_dir(self, rel_dir: str) -> None:
@@ -350,12 +368,7 @@ class LocalDataStore(DataStore):
         return [self._p(r) for r in rels]
 
     def uri_to_rel(self, uri: str) -> str:
-        p = (
-            unquote(urlparse(uri).path)
-            if "://" in uri or uri.startswith("file:")
-            else uri
-        )
-        return os.path.relpath(p, self.root)
+        return os.path.relpath(uri_to_path(uri), self.root)
 
     def exists(self, rel: str) -> bool:
         return os.path.exists(self._p(rel))
@@ -381,6 +394,16 @@ class LocalDataStore(DataStore):
                 if n.endswith(".parquet")
             )
         return out
+
+    def list_data_dirs(self) -> list[str]:
+        data_root = self._p("data")
+        if not os.path.isdir(data_root):
+            return []
+        return sorted(
+            f"data/{sub}"
+            for sub in os.listdir(data_root)
+            if os.path.isdir(os.path.join(data_root, sub))
+        )
 
     def cleanup_dir(self, rel_dir: str) -> None:
         d = self._p(rel_dir)
@@ -451,12 +474,7 @@ class BlobDataStore(DataStore):
         return out
 
     def uri_to_rel(self, uri: str) -> str:
-        p = (
-            unquote(urlparse(uri).path)
-            if "://" in uri or uri.startswith("file:")
-            else uri
-        )
-        return os.path.relpath(p, self._cache)
+        return os.path.relpath(uri_to_path(uri), self._cache)
 
     def exists(self, rel: str) -> bool:
         with self._mu:
@@ -472,11 +490,20 @@ class BlobDataStore(DataStore):
 
     def mtime(self, rel: str) -> float:
         with self._mu:
-            return self._mtimes[rel]
+            try:
+                return self._mtimes[rel]
+            except KeyError:
+                # the DataStore contract: missing key -> FileNotFoundError,
+                # the one type vacuum's orphan-grace guard skips — a bare
+                # KeyError would abort a vacuum racing a concurrent delete
+                raise FileNotFoundError(rel) from None
 
     def list_data_files(self) -> list[str]:
         with self._mu:
             return sorted(k for k in self._blobs if k.startswith("data/"))
+
+    def list_data_dirs(self) -> list[str]:
+        return []  # no directories in a blob namespace
 
     def cleanup_dir(self, rel_dir: str) -> None:
         pass  # no directories in a blob namespace
@@ -1467,5 +1494,20 @@ class SnapshotTable:
             touched_dirs.add(rel.rsplit("/", 1)[0])
             removed += 1
         for d in touched_dirs:
+            self._data.cleanup_dir(d)
+        # Commit dirs that never held a parquet file (a zero-row append
+        # deletes its empty part at write time, leaving _SUCCESS only)
+        # are invisible to list_data_files, so sweep the directory
+        # listing too — gated by the same grace window as orphan files
+        # so a writer's in-flight output dir (pre-commit, no published
+        # parquet yet) is never rmtree'd from under it.
+        for d in self._data.list_data_dirs():
+            if d in touched_dirs:
+                continue
+            try:
+                if now - self._data.mtime(d) <= orphan_grace_s:
+                    continue
+            except FileNotFoundError:
+                continue
             self._data.cleanup_dir(d)
         return removed

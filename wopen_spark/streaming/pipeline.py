@@ -25,6 +25,24 @@ from pyspark.sql import types as T
 _STREAM_DIM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
+def await_available_now(q, timeout_s: int = 3600) -> None:
+    """Block until an AvailableNow query actually TERMINATES.
+
+    ``awaitTermination(120)`` returns False on timeout without stopping
+    the query — the caller then reads the memory sink while micro-batches
+    are still committing and silently gets a PARTIAL result (first
+    reachable at sf10, where the 60M-event sessionizer legitimately runs
+    past 120 s). AvailableNow guarantees termination once the snapshot of
+    input is drained, so the only reason to ever hit the bound is a hung
+    stream — make that loud: stop the query and raise instead of racing
+    its sink."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"AvailableNow query {q.name!r} still running after {timeout_s}s"
+        )
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -54,17 +72,27 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    resolved = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp_ntz")
+    batch = spark.read.parquet(path)
+    resolved = dict(batch.dtypes).get("ts", "timestamp_ntz")
+    # two on-disk layouts: testdata keeps events.parquet as a single FILE
+    # inside sf_dir (stream the dir, glob-filter the leaf name),
+    # benchdata/production write it as a Spark table DIRECTORY whose
+    # leaves are part-*.parquet — a leaf-name glob of "events.parquet"
+    # there matches NOTHING and the stream silently reads zero rows
+    # (caught by the r7 sf1 oracle gate), so stream the directory itself.
+    # Layout is detected from the batch read's resolved leaf files, which
+    # works on ANY Hadoop filesystem (s3a/hdfs/abfs) — an os.path.isdir
+    # probe would be local-only and silently pick the zero-row glob
+    # branch on object stores; empty-table fallback keeps the local stat.
+    leaves = batch.inputFiles()
+    is_table_dir = (
+        any("events.parquet/" in f for f in leaves)
+        if leaves
+        else os.path.isdir(path)
+    )
 
     def _reader(schema):
-        # two on-disk layouts: testdata keeps events.parquet as a single
-        # FILE inside sf_dir (stream the dir, glob-filter the leaf name),
-        # benchdata/production write it as a Spark table DIRECTORY whose
-        # leaves are part-*.parquet — a leaf-name glob of
-        # "events.parquet" there matches NOTHING and the stream silently
-        # reads zero rows (caught by the r7 sf1 oracle gate), so stream
-        # the directory itself
-        if os.path.isdir(path):
+        if is_table_dir:
             return spark.readStream.schema(schema).parquet(path)
         return (
             spark.readStream.schema(schema)
@@ -155,7 +183,7 @@ def available_now_aggregate(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_available_now(q)
     return spark.table(query_name)
 
 
@@ -225,7 +253,7 @@ def available_now_interval_join(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_available_now(q)
     return spark.table("wopen_stream_interval_join")
 
 
@@ -269,7 +297,7 @@ def available_now_to_table(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_available_now(q)
     return written
 
 
@@ -302,7 +330,7 @@ def available_now_distinct(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_available_now(q)
     return spark.table("wopen_stream_distinct")
 
 
@@ -333,18 +361,24 @@ def available_now_stream_static_join(
     import os
 
     dim_path = os.path.join(sf_dir, "customer.parquet")
-    dim_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(dim_path)
-        for f in files
-        if f.endswith(".parquet")
-    ) if os.path.isdir(dim_path) else os.path.getsize(dim_path)
+    try:
+        dim_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(dim_path)
+            for f in files
+            if f.endswith(".parquet")
+        ) if os.path.isdir(dim_path) else os.path.getsize(dim_path)
+    except OSError:
+        # non-POSIX sf_dir (s3a/hdfs): no local stat — skip the hint and
+        # let Spark's own size estimate decide the join strategy
+        dim_bytes = None
+    small = dim_bytes is not None and dim_bytes <= _STREAM_DIM_BROADCAST_MAX_BYTES
 
     purchases = event_stream(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
     dim = spark.read.parquet(dim_path).select("c_custkey", "c_mktsegment")
-    cust = F.broadcast(dim) if dim_bytes <= _STREAM_DIM_BROADCAST_MAX_BYTES else dim
+    cust = F.broadcast(dim) if small else dim
     enriched = purchases.join(cust, purchases.user_id == cust.c_custkey).groupBy(
         F.col("c_mktsegment").alias("segment")
     )
@@ -361,7 +395,7 @@ def available_now_stream_static_join(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_available_now(q)
     return spark.table("wopen_stream_static_join")
 
 

@@ -148,7 +148,11 @@ def sessionize_available_now(
     ``stream_factory`` overrides the source (tests feed a sequenced
     multi-file directory so sessions spanning micro-batch boundaries
     exercise the carried-state merge path)."""
-    from wopen_spark.streaming.pipeline import _state_partitions, event_stream
+    from wopen_spark.streaming.pipeline import (
+        _state_partitions,
+        await_available_now,
+        event_stream,
+    )
 
     make = stream_factory or (lambda: event_stream(spark, sf_dir))
     ev = make().select("user_id", "ts", "value")
@@ -162,5 +166,5 @@ def sessionize_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_available_now(q)
     return spark.table("wopen_sessions")
