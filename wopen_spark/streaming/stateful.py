@@ -150,6 +150,7 @@ def sessionize_available_now(
     exercise the carried-state merge path)."""
     from wopen_spark.streaming.pipeline import (
         _state_partitions,
+        _suggest_state_partitions,
         await_available_now,
         event_stream,
     )
@@ -157,7 +158,7 @@ def sessionize_available_now(
     make = stream_factory or (lambda: event_stream(spark, sf_dir))
     ev = make().select("user_id", "ts", "value")
     sessions = sessionize(ev, gap_seconds=gap_seconds)
-    with _state_partitions(spark, None):
+    with _state_partitions(spark, _suggest_state_partitions(spark, sf_dir)):
         q = (
             sessions.writeStream.format("memory")
             .queryName("wopen_sessions")
