@@ -255,7 +255,10 @@ def event_type_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_src AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(CAST(n_chars AS BIGINT)) AS total_chars
+             -- outer CAST: DuckDB's BIGINT SUM yields HUGEINT, which
+             -- reaches pandas as float64 and breaks the comparator's
+             -- integer formatting once values pass ~1e6 (first at sf10)
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
       FROM documents GROUP BY source
     ),
     scaled AS (
