@@ -323,7 +323,9 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM words WHERE length(word) >= 2
     ),
     pairs AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, w FROM idx)
-    SELECT pair, SUM(w) AS cnt
+    -- outer CAST: HUGEINT SUM -> float64 breaks integer formatting
+    -- above ~1e6 (first at sf10, gate batch 5)
+    SELECT pair, CAST(SUM(w) AS BIGINT) AS cnt
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair LIMIT 40
     """,
