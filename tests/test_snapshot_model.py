@@ -16,6 +16,7 @@ import pytest
 
 from wopen_spark.snapshot_table import (
     BlobDataStore,
+    HadoopFsDataStore,
     InMemoryLogStore,
     SnapshotTable,
 )
@@ -36,16 +37,25 @@ def _read_back(table, id_col, val_col) -> list[tuple]:
 # stores=None -> local log + local data; "inmem" -> in-memory log,
 # local data; "blob" -> in-memory log AND blob data store — the fully
 # rename-free, directory-free combination where any POSIX dependence
-# left in the table protocol fails loudly.
-@pytest.mark.parametrize("seed,stores", [(7, None), (23, "inmem"), (31, "blob")])
+# left in the table protocol fails loudly; "hadoop" -> local log +
+# HadoopFsDataStore on a file:// URI — the deployable store exercised
+# end-to-end through Spark's Hadoop FileSystem API (URI scans,
+# FileStatus mtimes, ranged footer reads), same class that would serve
+# s3a/gs/abfs in production.
+@pytest.mark.parametrize(
+    "seed,stores", [(7, None), (23, "inmem"), (31, "blob"), (41, "hadoop")]
+)
 def test_snapshot_random_op_sequence_matches_model(spark, tmp_path, seed, stores):
     rng = random.Random(seed)
+    data_store = None
+    if stores == "blob":
+        data_store = BlobDataStore(str(tmp_path / "scratch"))
+    elif stores == "hadoop":
+        data_store = HadoopFsDataStore(spark, f"file://{tmp_path}/tbl")
     table = SnapshotTable(
         spark, str(tmp_path / "tbl"),
-        log_store=InMemoryLogStore() if stores else None,
-        data_store=(
-            BlobDataStore(str(tmp_path / "scratch")) if stores == "blob" else None
-        ),
+        log_store=InMemoryLogStore() if stores in ("inmem", "blob") else None,
+        data_store=data_store,
     )
     # schema starts narrow on purpose: x is int and may widen to long
     val_col = "v"
@@ -136,3 +146,49 @@ def test_snapshot_random_op_sequence_matches_model(spark, tmp_path, seed, stores
             (r["id"], r["x"]) for r in table.read(version=version).collect()
         )
         assert got == sorted((k, v[1]) for k, v in expected), version
+
+
+def test_hadoop_store_relativize_is_scheme_and_bucket_aware(spark):
+    """The ADVICE trap: urlparse().path on s3a://bucket/key drops the
+    bucket, so two buckets' keys would collide. HadoopFsDataStore owns
+    its own inversion — same (scheme, netloc) relativizes, anything
+    else raises instead of mis-relativizing."""
+    s3 = HadoopFsDataStore.__new__(HadoopFsDataStore)  # no FS handle needed
+    s3.root = "s3a://bucket-a/tables/t1"
+    assert s3.relativize("s3a://bucket-a/tables/t1/data/x/f.parquet") == (
+        "data/x/f.parquet"
+    )
+    with pytest.raises(ValueError):
+        s3.relativize("s3a://bucket-b/tables/t1/data/x/f.parquet")
+    with pytest.raises(ValueError):
+        s3.relativize("gs://bucket-a/tables/t1/data/x/f.parquet")
+    with pytest.raises(ValueError):
+        s3.relativize("s3a://bucket-a/other/data/x/f.parquet")
+
+    local = HadoopFsDataStore.__new__(HadoopFsDataStore)
+    local.root = "file:///tmp/tbl"
+    # Hadoop renders file URIs as file:/p, Spark input_file_name as
+    # file:///p — both must invert
+    assert local.relativize("file:/tmp/tbl/data/a/f.parquet") == "data/a/f.parquet"
+    assert local.relativize("file:///tmp/tbl/data/a/f.parquet") == "data/a/f.parquet"
+    with pytest.raises(ValueError):
+        local.relativize("s3a://bucket/tmp/tbl/data/a/f.parquet")
+
+
+def test_hadoop_store_missing_paths_follow_the_contract(spark, tmp_path):
+    """mtime/size/open_input on a missing key must raise FileNotFoundError
+    (vacuum's orphan-grace guard catches exactly that type); listings on
+    a table with no data/ yet return empty, and delete of a missing key
+    raises like the POSIX store."""
+    store = HadoopFsDataStore(spark, f"file://{tmp_path}/t")
+    with pytest.raises(FileNotFoundError):
+        store.mtime("data/none/f.parquet")
+    with pytest.raises(FileNotFoundError):
+        store.size("data/none/f.parquet")
+    with pytest.raises(FileNotFoundError):
+        store.open_input("data/none/f.parquet")
+    with pytest.raises(FileNotFoundError):
+        store.delete("data/none/f.parquet")
+    assert store.list_data_files() == []
+    assert store.list_data_dirs() == []
+    assert not store.exists("data/none")

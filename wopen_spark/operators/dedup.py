@@ -167,10 +167,23 @@ def minhash_lsh_candidates(
     # ``disk_only`` — the banked sf10 lesson is that fact-proportional
     # suite-shared caches on the heap smear every later query via GC —
     # or ``None`` to opt out entirely (single-consumer callers).
+    # NOTE: Spark's CacheManager keys on the canonical plan, so when two
+    # consumers pass different levels the FIRST persist wins and the
+    # second is a no-op — the parameter only takes effect for the first
+    # consumer of a given plan in a session.
     if cache is not None:
         from pyspark import StorageLevel
 
-        pairs = pairs.persist(getattr(StorageLevel, cache.upper()))
+        level = getattr(StorageLevel, cache.upper(), None)
+        if not isinstance(level, StorageLevel):
+            valid = sorted(
+                n for n, v in vars(StorageLevel).items()
+                if isinstance(v, StorageLevel)
+            )
+            raise ValueError(
+                f"unknown storage level {cache!r}; valid names: {valid}"
+            )
+        pairs = pairs.persist(level)
     return pairs
 
 

@@ -66,10 +66,22 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative's component through one broadcast-size text join, so
     the output stays doc-level. Component ids are min doc_ids, and reps
     are min-per-text, so the labels are identical either way."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     cached = _ND_COMPONENTS_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict entries from other applications: their frames are unusable
+    # (a stopped session's persisted blocks are gone; a different live
+    # session can't serve this one), and without eviction a long-lived
+    # process cycling sessions accumulates dead refs and — for the rare
+    # same-process multi-session case — dead disk-cache blocks.
+    for stale in [k for k in _ND_COMPONENTS_CACHE if k[0] != app_id]:
+        stale_df = _ND_COMPONENTS_CACHE.pop(stale)
+        try:
+            stale_df.unpersist()
+        except Exception:
+            pass  # session already stopped; blocks died with it
     reps = _lsh_reps(spark, sf_dir)
     pairs = minhash_lsh_candidates(
         reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4

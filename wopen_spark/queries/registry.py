@@ -169,9 +169,10 @@ def _footer_row_bound(dk: DataFrame) -> int | None:
 
     total = 0
     for uri in files:
-        path = uri_to_path(uri)
         try:
-            total += pq.ParquetFile(path).metadata.num_rows
+            # uri_to_path raises on non-file schemes (remote tables):
+            # footers aren't locally readable there, so just count.
+            total += pq.ParquetFile(uri_to_path(uri)).metadata.num_rows
         except Exception:  # noqa: BLE001 — unreadable footer: just count
             return None
     return total

@@ -43,6 +43,7 @@ also pruning on ANY stats column, which hive layouts cannot.
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import shutil
@@ -67,12 +68,27 @@ class VacuumedVersionError(RuntimeError):
 
 
 def uri_to_path(uri: str) -> str:
-    """Normalize a Spark ``input_file_name()`` URI (``file:/…``,
-    ``file:///…``, ``s3a://…``) or a bare path to a plain filesystem
-    path for relpath arithmetic. THE single copy of this parsing — both
+    """Normalize a *local* Spark ``input_file_name()`` URI (``file:/…``,
+    ``file:///…``) or a bare path to a plain filesystem path for
+    relpath arithmetic. THE single copy of this parsing — both local
     data stores and the registry's footer-bound probe route through it,
-    so a future scheme fix lands everywhere at once."""
-    if "://" in uri or uri.startswith("file:"):
+    so a future scheme fix lands everywhere at once.
+
+    Non-file schemes (``s3a://bucket/key``, ``gs://…``) are REJECTED:
+    ``urlparse().path`` would drop the netloc (bucket), so two buckets'
+    keys would collide and relpath arithmetic would mis-relativize.
+    Remote stores own their own URI->relative-key inversion (see
+    ``HadoopFsDataStore.relativize``)."""
+    if "://" in uri:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            raise ValueError(
+                f"uri_to_path only handles file:/bare paths; got scheme "
+                f"{parsed.scheme!r} in {uri!r} — remote stores must "
+                f"relativize their own URIs (netloc would be dropped)"
+            )
+        return unquote(parsed.path)
+    if uri.startswith("file:"):
         return unquote(urlparse(uri).path)
     return uri
 
@@ -507,6 +523,218 @@ class BlobDataStore(DataStore):
 
     def cleanup_dir(self, rel_dir: str) -> None:
         pass  # no directories in a blob namespace
+
+
+class _HadoopInputHandle(io.RawIOBase):
+    """Seekable Python file over a Hadoop ``FSDataInputStream`` — the
+    ranged-read bridge that lets pyarrow read a parquet FOOTER from any
+    Hadoop filesystem (s3a/gs/abfs/file) without downloading the file.
+    Reads go ``seek(pos)`` + ``readNBytes(n)`` (Java 11+), so each call
+    is one bounded ranged fetch; py4j returns the byte[] as bytes."""
+
+    def __init__(self, jstream, size: int):
+        self._s = jstream
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == io.SEEK_SET:
+            self._pos = pos
+        elif whence == io.SEEK_CUR:
+            self._pos += pos
+        elif whence == io.SEEK_END:
+            self._pos = self._size + pos
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        self._s.seek(self._pos)
+        data = bytes(self._s.readNBytes(n))
+        self._pos += len(data)
+        return data
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        if not self.closed:
+            try:
+                self._s.close()
+            finally:
+                super().close()
+
+
+class HadoopFsDataStore(DataStore):
+    """Data plane over Spark's own Hadoop ``FileSystem`` API — the
+    deployable counterpart of ``BlobDataStore``'s in-memory fake. One
+    class serves every scheme the cluster's Hadoop conf speaks
+    (``s3a://``, ``gs://``, ``abfs://``, ``hdfs://``, ``file://``):
+    bulk bytes flow through Spark's readers/writers on the root URI,
+    and every metadata operation the table protocol needs (list,
+    exists, delete, mtime, ranged footer reads) goes through the same
+    ``FileSystem`` handle Spark itself uses, so there is no second
+    credential/config path to keep in sync.
+
+    Object-store semantics notes:
+    - Spark writes each commit attempt into a FRESH ``data/<uuid>``
+      directory (never renamed, never mutated), so the store needs no
+      rename atomicity — matching the LogStore design.
+    - ``uri_to_rel`` does its own scheme-aware relativization
+      (``relativize``); it must NOT use ``uri_to_path``, which rejects
+      remote schemes precisely because dropping the netloc would
+      collide buckets.
+    - No ``os.path`` anywhere: all path arithmetic is on URIs.
+    """
+
+    def __init__(self, spark: SparkSession, root_uri: str):
+        self.root = root_uri.rstrip("/")
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._jroot = self._Path(self.root)
+        self._fs = self._jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # ------------------------------------------------------------ helpers
+
+    def _jp(self, rel: str):
+        return self._Path(f"{self.root}/{rel}")
+
+    @staticmethod
+    def _is_fnf(exc) -> bool:
+        je = getattr(exc, "java_exception", None)
+        return je is not None and "FileNotFoundException" in je.getClass().getName()
+
+    def relativize(self, uri: str) -> str:
+        """Invert a fully-qualified URI (``input_file_name()``, Hadoop
+        ``FileStatus`` paths) to a root-relative key. Scheme-aware: for
+        remote schemes the (scheme, netloc) must match the root's —
+        never drop the netloc (that is the bucket). ``file:`` URIs
+        compare by path alone (Hadoop renders them ``file:/p``,
+        ``file:///p`` interchangeably)."""
+        pu, pr = urlparse(uri), urlparse(self.root)
+        local = {"", "file"}
+        if pr.scheme in local:
+            if pu.scheme not in local:
+                raise ValueError(f"{uri!r} is not under local root {self.root!r}")
+            upath = unquote(pu.path) if pu.scheme else uri
+            rpath = unquote(pr.path) if pr.scheme else self.root
+        else:
+            if (pu.scheme, pu.netloc) != (pr.scheme, pr.netloc):
+                raise ValueError(f"{uri!r} is not under root {self.root!r}")
+            upath, rpath = unquote(pu.path), unquote(pr.path)
+        rpath = rpath.rstrip("/")
+        if not upath.startswith(rpath + "/"):
+            raise ValueError(f"{uri!r} is not under root {self.root!r}")
+        return upath[len(rpath) + 1 :]
+
+    # ----------------------------------------------------------- contract
+
+    def write_uri(self, rel_dir: str) -> str:
+        return f"{self.root}/{rel_dir}"
+
+    def publish_dir(self, rel_dir: str) -> list[str]:
+        # direct-write store: Spark's committer already finalized the
+        # directory; publish is just the authoritative listing
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._jp(rel_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    def open_input(self, rel: str):
+        jp = self._jp(rel)
+        try:
+            size = int(self._fs.getFileStatus(jp).getLen())
+            return io.BufferedReader(
+                _HadoopInputHandle(self._fs.open(jp), size)
+            )
+        except Exception as exc:  # noqa: BLE001 — py4j-wrapped Java FNF
+            if self._is_fnf(exc):
+                raise FileNotFoundError(rel) from None
+            raise
+
+    def size(self, rel: str) -> int:
+        try:
+            return int(self._fs.getFileStatus(self._jp(rel)).getLen())
+        except Exception as exc:  # noqa: BLE001
+            if self._is_fnf(exc):
+                raise FileNotFoundError(rel) from None
+            raise
+
+    def scan_uris(self, rels: list[str]) -> list[str]:
+        return [f"{self.root}/{r}" for r in rels]
+
+    def uri_to_rel(self, uri: str) -> str:
+        return self.relativize(uri)
+
+    def exists(self, rel: str) -> bool:
+        return bool(self._fs.exists(self._jp(rel)))
+
+    def delete(self, rel: str) -> None:
+        # Hadoop delete() returns false for a missing path — map to the
+        # same FileNotFoundError the POSIX store raises
+        if not self._fs.delete(self._jp(rel), False):
+            raise FileNotFoundError(rel)
+
+    def mtime(self, rel: str) -> float:
+        try:
+            return self._fs.getFileStatus(self._jp(rel)).getModificationTime() / 1000.0
+        except Exception as exc:  # noqa: BLE001 — contract: missing -> FNF
+            if self._is_fnf(exc):
+                raise FileNotFoundError(rel) from None
+            raise
+
+    def list_data_files(self) -> list[str]:
+        try:
+            it = self._fs.listFiles(self._jp("data"), True)
+        except Exception as exc:  # noqa: BLE001 — no data/ yet
+            if self._is_fnf(exc):
+                return []
+            raise
+        out = []
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if p.endswith(".parquet"):
+                out.append(self.relativize(p))
+        return sorted(out)
+
+    def list_data_dirs(self) -> list[str]:
+        try:
+            stats = self._fs.listStatus(self._jp("data"))
+        except Exception as exc:  # noqa: BLE001 — no data/ yet
+            if self._is_fnf(exc):
+                return []
+            raise
+        return sorted(
+            f"data/{st.getPath().getName()}" for st in stats if st.isDirectory()
+        )
+
+    def cleanup_dir(self, rel_dir: str) -> None:
+        jp = self._jp(rel_dir)
+        try:
+            stats = self._fs.listStatus(jp)
+        except Exception as exc:  # noqa: BLE001 — already gone
+            if self._is_fnf(exc):
+                return
+            raise
+        if not any(st.getPath().getName().endswith(".parquet") for st in stats):
+            self._fs.delete(jp, True)
 
 
 @dataclass

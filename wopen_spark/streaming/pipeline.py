@@ -182,11 +182,25 @@ def _suggest_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
     costs +8 s of pure provider overhead. None (-> the capped default)
     when the source can't be sized."""
     import os
+    import warnings
 
     try:
         rel = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    except Exception:  # noqa: BLE001 — non-parquet/missing source: default
+        return None
+    try:
+        # Private py4j path (no public driver-side stats API in PySpark);
+        # a Spark version bump breaking it must be LOUD, not a silent
+        # fall-back to the 16-partition cap that re-regresses sf10.
         size = int(rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — non-parquet/unsizable source: default
+    except Exception as exc:  # noqa: BLE001 — log then default
+        warnings.warn(
+            "per-core state-partition sizing unavailable (private "
+            f"optimizedPlan().stats() path failed: {exc!r}); falling back "
+            "to the capped default — large stateful queries may regress",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
     if size >= _STATE_PER_CORE_MIN_BYTES:
         return int(spark.sparkContext.defaultParallelism)
