@@ -363,3 +363,47 @@ def test_event_stream_reads_table_directory_layout(spark, tmp_path):
     await_available_now(q, timeout_s=120)
     got = spark.table("dir_layout_events").collect()
     assert got and got[0]["n"] == expected
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (not shipped here)",
+)
+def test_tws_sessionizer_matches_classic(spark, tmp_path):
+    """Spark 4 successor API parity: the transformWithStateInPandas
+    sessionizer shares _fold_sessions with the classic operator, so over
+    the same static input both must emit identical session sets."""
+    from wopen_spark.streaming.stateful import sessionize_available_now
+
+    def rows(impl, ckpt):
+        out = sessionize_available_now(
+            spark, SF_SMOKE, str(tmp_path / ckpt), gap_seconds=1800, impl=impl
+        )
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             round(r.total_value, 2), r.closed)
+            for r in out.collect()
+        )
+
+    assert rows("tws", "ckpt_tws") == rows("classic", "ckpt_classic")
+
+
+def test_tws_sessionizer_errors_clearly_without_protobuf(spark):
+    """Without protobuf the TWS operator must fail with a clear
+    ImportError at construction — not a JVM-side runner crash mid-query."""
+    if _has_protobuf():
+        pytest.skip("protobuf present — the guard path is not reachable")
+    from wopen_spark.streaming.stateful import sessionize_tws
+
+    ev = spark.createDataFrame([(1, 0.0)], "user_id long, value double")
+    with pytest.raises(ImportError, match="protobuf"):
+        sessionize_tws(ev)

@@ -762,28 +762,54 @@ def cross_source_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "prefix_filter_jaccard_pairs",
+    # Clone-collapsed oracle (the r7 sf10 lesson): the old form ran the
+    # token self-join over ALL doc_ids, so on the clone-heavy benchdata
+    # corpus (~100 copies per distinct text at sf10) the verification
+    # join grew with clone multiplicity SQUARED and exhausted temp disk.
+    # This one mirrors the engine's exactness-preserving structure: the
+    # quadratic token join runs per DISTINCT text (md5 fingerprint as
+    # rep id), rep pairs expand back to doc pairs through two equi
+    # joins, and same-text clone pairs are jaccard=1.0 by construction
+    # (only for texts with >= 3 tokens — the shingle-set exclusion both
+    # sides share). Temp tables bound per-statement state; CREATE OR
+    # REPLACE keeps re-runs on one connection idempotent.
     oracle="""
-    WITH words AS (
-      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS w
-      FROM documents
-    ),
-    toks AS (
-      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
-      FROM words, LATERAL unnest(range(1, len(w) - 1)) AS g(i)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON inter.id_a = sa.doc_id
-    JOIN sizes sb ON inter.id_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
-    ORDER BY id_a, id_b
+    CREATE OR REPLACE TEMP TABLE pfj_docs AS
+      SELECT doc_id, md5(text) AS fp,
+             len(regexp_extract_all(lower(trim(text)), '\\S+')) >= 3 AS shingled
+      FROM documents;
+    CREATE OR REPLACE TEMP TABLE pfj_toks AS
+      WITH reps AS (SELECT DISTINCT md5(text) AS rid, text FROM documents),
+      words AS (
+        SELECT rid, regexp_extract_all(lower(trim(text)), '\\S+') AS w FROM reps
+      )
+      SELECT DISTINCT rid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+      FROM words, LATERAL unnest(range(1, len(w) - 1)) AS g(i);
+    CREATE OR REPLACE TEMP TABLE pfj_rep_pairs AS
+      WITH sizes AS (SELECT rid, COUNT(*) AS sz FROM pfj_toks GROUP BY rid),
+      inter AS (
+        SELECT a.rid AS ra, b.rid AS rb, COUNT(*) AS i
+        FROM pfj_toks a JOIN pfj_toks b ON a.tok = b.tok AND a.rid < b.rid
+        GROUP BY 1, 2
+      )
+      SELECT ra, rb, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.ra = sa.rid
+      JOIN sizes sb ON inter.rb = sb.rid
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5;
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b,
+             p.jaccard AS jaccard
+      FROM pfj_rep_pairs p
+      JOIN pfj_docs a ON a.fp = p.ra
+      JOIN pfj_docs b ON b.fp = p.rb
+      UNION ALL
+      SELECT x.doc_id, y.doc_id, CAST(1.0 AS DOUBLE)
+      FROM pfj_docs x
+      JOIN pfj_docs y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      WHERE x.shingled
+    ) ORDER BY id_a, id_b
     """,
 )
 def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -160,42 +160,56 @@ def _trade_pair_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
-    """Unrolled fixed-iteration PageRank as chained CTEs — the iterative
-    operator stays value-checked (same scaled-long arithmetic as
-    ``operators.graph.pagerank``), not just row-counted."""
-    ctes = [
-        """directed AS (
+    """Fixed-iteration PageRank as a multi-statement temp-table loop —
+    the iterative operator stays value-checked (same scaled-long
+    arithmetic as ``operators.graph.pagerank``), not just row-counted.
+
+    Scale shape (the r7 sf10 lesson): the old single-query chained-CTE
+    form forced DuckDB to keep the 234M-row edge CTE plus every
+    iteration's intermediates alive inside ONE pipeline and exhausted
+    the box's temp disk at sf10. Materializing each step as a temp
+    table bounds peak state to one join at a time, and dropping
+    ``pr_r{i-1}`` after each round keeps the loop constant-memory — the
+    same reason the Spark side persists only the current rank frame.
+    ``CREATE OR REPLACE`` keeps the script idempotent across gate
+    re-runs on one connection; the final SELECT is the last statement,
+    which is what ``con.execute(...).df()`` returns."""
+    stmts = [
+        """CREATE OR REPLACE TEMP TABLE pr_edges AS
+        WITH directed AS (
           SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        ),
-        edges AS (SELECT a, b FROM directed UNION SELECT b, a FROM directed),
-        nodes AS (SELECT DISTINCT a AS node FROM edges),
-        outdeg AS (SELECT a, COUNT(*) AS outdeg FROM edges GROUP BY a),
-        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_s FROM nodes)"""
+        )
+        SELECT a, b FROM directed UNION SELECT b, a FROM directed""",
+        "CREATE OR REPLACE TEMP TABLE pr_nodes AS "
+        "SELECT DISTINCT a AS node FROM pr_edges",
+        "CREATE OR REPLACE TEMP TABLE pr_outdeg AS "
+        "SELECT a, COUNT(*) AS outdeg FROM pr_edges GROUP BY a",
+        "CREATE OR REPLACE TEMP TABLE pr_r0 AS "
+        "SELECT node, CAST(1000000000 AS BIGINT) AS pr_s FROM pr_nodes",
     ]
     for i in range(1, iterations + 1):
-        ctes.append(f"""c{i} AS (
+        stmts.append(f"""CREATE OR REPLACE TEMP TABLE pr_r{i} AS
+        WITH c AS (
           SELECT e.b AS node,
                  SUM(CAST(round(CAST(r.pr_s AS DOUBLE) / o.outdeg) AS BIGINT)) AS csum
-          FROM edges e
-          JOIN r{i - 1} r ON e.a = r.node
-          JOIN outdeg o ON e.a = o.a
+          FROM pr_edges e
+          JOIN pr_r{i - 1} r ON e.a = r.node
+          JOIN pr_outdeg o ON e.a = o.a
           GROUP BY e.b
-        ),
-        r{i} AS (
-          SELECT n.node,
-                 CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1000000000
-                            + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c.csum, 0) AS DOUBLE))
-                      AS BIGINT) AS pr_s
-          FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
-        )""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-    SELECT node, CAST(pr_s AS DOUBLE) / 1000000000 AS rank
-    FROM r{iterations} ORDER BY rank DESC, node"""
+        )
+        SELECT n.node,
+               CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1000000000
+                          + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c.csum, 0) AS DOUBLE))
+                    AS BIGINT) AS pr_s
+        FROM pr_nodes n LEFT JOIN c ON n.node = c.node""")
+        stmts.append(f"DROP TABLE pr_r{i - 1}")
+    stmts.append("DROP TABLE pr_edges")
+    stmts.append(
+        f"""SELECT node, CAST(pr_s AS DOUBLE) / 1000000000 AS rank
+        FROM pr_r{iterations} ORDER BY rank DESC, node"""
     )
+    return ";\n".join(stmts)
 
 
 @query("pagerank_customer_supplier", oracle=_pagerank_oracle(3))

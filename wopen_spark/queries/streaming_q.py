@@ -38,9 +38,11 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
-@query(
-    "streaming_user_sessions",
-    oracle="""
+# Shared by both stateful-API variants: the session fixpoint is the
+# semantics; the operator API (applyInPandasWithState vs Spark 4's
+# transformWithStateInPandas) is an implementation knob, so both gate
+# against the SAME SQL statement.
+_SESSIONS_ORACLE = """
     WITH ev AS (
       SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
       FROM events
@@ -69,19 +71,36 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            sid < MAX(sid) OVER (PARTITION BY user_id) AS closed
     FROM agg
     ORDER BY user_id, session_start
-    """,
-)
+    """
+
+
+@query("streaming_user_sessions", oracle=_SESSIONS_ORACLE)
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) in the gate: gap
     sessionization over the events stream, AvailableNow. One static file =
     one micro-batch, so the emitted sessions must equal batch
     sessionization with the open (last) session flagged closed=false —
-    which is what the SQL oracle states."""
+    which is what the SQL oracle states.
+
+    Production note (r7 verdict #5): for PLAIN gap sessions the
+    JVM-native ``session_window_stats`` query is the 100 TB default
+    (~3x faster at sf10); this operator is the template for stateful
+    logic session_window can't express."""
     from wopen_spark.streaming.stateful import sessionize_available_now
 
     ckpt = tempfile.mkdtemp(prefix="wopen_sess_ckpt_")
     out = sessionize_available_now(spark, sf_dir, ckpt, gap_seconds=1800)
     return out.orderBy("user_id", "session_start")
+
+
+# NOT registered: Spark 4's transformWithStateInPandas sessionizer
+# (wopen_spark.streaming.stateful.sessionize_tws) shares the fold core
+# and would gate against _SESSIONS_ORACLE, but the operator's state
+# protocol requires google.protobuf, which this container does not ship
+# (verified: the TWS driver worker crashes with ImportError at stream
+# start). The operator + its oracle parity test live behind a
+# dependency skip (tests/test_streaming_multibatch.py) — same honest
+# boundary as the PyAV-gated media decodes.
 
 
 @query(
