@@ -38,12 +38,15 @@ def _read_back(table, id_col, val_col) -> list[tuple]:
 # local data; "blob" -> in-memory log AND blob data store — the fully
 # rename-free, directory-free combination where any POSIX dependence
 # left in the table protocol fails loudly; "hadoop" -> local log +
-# HadoopFsDataStore on a file:// URI — the deployable store exercised
-# end-to-end through Spark's Hadoop FileSystem API (URI scans,
-# FileStatus mtimes, ranged footer reads), same class that would serve
-# s3a/gs/abfs in production.
+# HadoopFsDataStore on a file:// URI — the deployable data store
+# exercised end-to-end through Spark's Hadoop FileSystem API (URI
+# scans, FileStatus mtimes, ranged footer reads); "uri" -> the table
+# constructed straight from a file:// URI, auto-routing BOTH planes to
+# the Hadoop stores (HadoopFsLogStore rename-atomic commits +
+# HadoopFsDataStore) — the zero-wiring deployment path for hdfs/abfs.
 @pytest.mark.parametrize(
-    "seed,stores", [(7, None), (23, "inmem"), (31, "blob"), (41, "hadoop")]
+    "seed,stores",
+    [(7, None), (23, "inmem"), (31, "blob"), (41, "hadoop"), (53, "uri")],
 )
 def test_snapshot_random_op_sequence_matches_model(spark, tmp_path, seed, stores):
     rng = random.Random(seed)
@@ -52,8 +55,9 @@ def test_snapshot_random_op_sequence_matches_model(spark, tmp_path, seed, stores
         data_store = BlobDataStore(str(tmp_path / "scratch"))
     elif stores == "hadoop":
         data_store = HadoopFsDataStore(spark, f"file://{tmp_path}/tbl")
+    path = f"file://{tmp_path}/tbl" if stores == "uri" else str(tmp_path / "tbl")
     table = SnapshotTable(
-        spark, str(tmp_path / "tbl"),
+        spark, path,
         log_store=InMemoryLogStore() if stores in ("inmem", "blob") else None,
         data_store=data_store,
     )
@@ -192,3 +196,43 @@ def test_hadoop_store_missing_paths_follow_the_contract(spark, tmp_path):
     assert store.list_data_files() == []
     assert store.list_data_dirs() == []
     assert not store.exists("data/none")
+
+
+def test_s3_paths_refuse_unsafe_default_log_store(spark):
+    """The commit protocol needs rename atomicity (or conditional PUT);
+    plain Hadoop-FS rename on S3 is copy+delete. Constructing an s3a
+    table without an explicit conditional-PUT log store must refuse
+    loudly rather than run an unsafe protocol."""
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    with pytest.raises(ValueError, match="conditional-PUT"):
+        SnapshotTable(spark, "s3a://bucket/tables/t")
+    # with an explicit (conditional-PUT-semantics) log store it wires up
+    t = SnapshotTable(spark, "s3a://bucket/tables/t", log_store=InMemoryLogStore())
+    assert t.latest_version() is None
+
+
+def test_hadoop_log_store_commit_race_and_content_atomicity(spark, tmp_path):
+    """put_if_absent must lose exactly one of two racing publishes with
+    FileExistsError, never clobber, and a reader must only ever see the
+    complete winning blob (rename-after-close, no partial reads)."""
+    from wopen_spark.snapshot_table import HadoopFsLogStore
+
+    store = HadoopFsLogStore(spark, f"file://{tmp_path}/_log")
+    store.put_if_absent("00000001.json", b'{"writer": "a"}')
+    with pytest.raises(FileExistsError):
+        store.put_if_absent("00000001.json", b'{"writer": "b"}')
+    assert store.read("00000001.json") == b'{"writer": "a"}'
+    # advisory blobs (checkpoints) replace atomically
+    store.put("cp.json", b"v1")
+    store.put("cp.json", b"v2")
+    assert store.read("cp.json") == b"v2"
+    assert store.list() == ["00000001.json", "cp.json"]
+    assert store.exists("00000001.json") and not store.exists("nope.json")
+    with pytest.raises(FileNotFoundError):
+        store.read("nope.json")
+    # the lost race left no temp litter behind
+    import os
+
+    litter = [f for f in os.listdir(tmp_path / "_log") if f.startswith(".tmp-")]
+    assert litter == []

@@ -288,6 +288,99 @@ class InMemoryLogStore(LogStore):
             return name in self._blobs
 
 
+class HadoopFsLogStore(LogStore):
+    """Control plane over Spark's Hadoop filesystem layer for
+    RENAME-ATOMIC filesystems — HDFS, ABFS, and local ``file://`` (the
+    public Delta ``HDFSLogStore`` design). Publish = write a temp blob,
+    fsync-equivalent close, then ``FileContext.rename`` with the default
+    ``Rename.NONE`` semantics: the rename FAILS with
+    ``FileAlreadyExistsException`` when the destination exists, which is
+    simultaneously the lost-race signal and the content-atomicity
+    guarantee (a reader never sees a partial commit blob, only the
+    complete renamed one).
+
+    Deployment boundary, stated loudly: this store is NOT safe on plain
+    S3A — S3 rename is copy+delete and checks nothing atomically. S3
+    needs a conditional-PUT (``If-None-Match: *``) LogStore, which the
+    generic Hadoop FS vocabulary cannot express; ``InMemoryLogStore``
+    models those semantics for tests, and a boto-backed store would
+    implement them in deployment. HDFS/ABFS/file get the real protocol
+    from this class."""
+
+    def __init__(self, spark: SparkSession, root_uri: str):
+        self.root = root_uri.rstrip("/")
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        jroot = self._Path(self.root)
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = jroot.getFileSystem(conf)
+        self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jroot.toUri(), conf
+        )
+        rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+        self._no_overwrite = sc._gateway.new_array(rename_cls, 0)
+        self._overwrite = sc._gateway.new_array(rename_cls, 1)
+        self._overwrite[0] = rename_cls.OVERWRITE
+
+    def _jp(self, name: str):
+        return self._Path(f"{self.root}/{name}")
+
+    def _write_tmp(self, data: bytes):
+        tmp = self._jp(f".tmp-{uuid.uuid4().hex}.json")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return tmp
+
+    def _rename(self, tmp, name: str, options) -> None:
+        try:
+            self._fc.rename(tmp, self._jp(name), options)
+        except Exception as exc:  # noqa: BLE001 — py4j-wrapped Java error
+            self._fs.delete(tmp, False)
+            je = getattr(exc, "java_exception", None)
+            if je is not None and "FileAlreadyExists" in je.getClass().getName():
+                raise FileExistsError(name) from None
+            raise
+
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        self._fs.mkdirs(self._Path(self.root))
+        self._rename(self._write_tmp(data), name, self._no_overwrite)
+
+    def put(self, name: str, data: bytes) -> None:
+        self._fs.mkdirs(self._Path(self.root))
+        # atomic replace — rebuildable advisory blobs (checkpoints) only
+        self._rename(self._write_tmp(data), name, self._overwrite)
+
+    def read(self, name: str) -> bytes:
+        try:
+            stream = self._fs.open(self._jp(name))
+        except Exception as exc:  # noqa: BLE001
+            je = getattr(exc, "java_exception", None)
+            if je is not None and "FileNotFoundException" in je.getClass().getName():
+                raise FileNotFoundError(name) from None
+            raise
+        try:
+            return bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+
+    def list(self) -> list[str]:
+        try:
+            stats = self._fs.listStatus(self._Path(self.root))
+        except Exception as exc:  # noqa: BLE001 — no log dir yet
+            je = getattr(exc, "java_exception", None)
+            if je is not None and "FileNotFoundException" in je.getClass().getName():
+                return []
+            raise
+        return sorted(st.getPath().getName() for st in stats)
+
+    def exists(self, name: str) -> bool:
+        return bool(self._fs.exists(self._jp(name)))
+
+
 class DataStore:
     """Data-plane storage contract — the LogStore pattern applied to the
     table's parquet files, so the object-store claim is a tested property
@@ -605,12 +698,24 @@ class HadoopFsDataStore(DataStore):
 
     def __init__(self, spark: SparkSession, root_uri: str):
         self.root = root_uri.rstrip("/")
-        jvm = spark._jvm
-        self._Path = jvm.org.apache.hadoop.fs.Path
-        self._jroot = self._Path(self.root)
-        self._fs = self._jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._spark = spark
+        self._fs_handle = None
 
     # ------------------------------------------------------------ helpers
+
+    @property
+    def _Path(self):
+        return self._spark._jvm.org.apache.hadoop.fs.Path
+
+    @property
+    def _fs(self):
+        # resolved lazily: constructing a store must not require the
+        # scheme's FS impl/credentials to be loadable — only USING it
+        if self._fs_handle is None:
+            self._fs_handle = self._Path(self.root).getFileSystem(
+                self._spark._jsc.hadoopConfiguration()
+            )
+        return self._fs_handle
 
     def _jp(self, rel: str):
         return self._Path(f"{self.root}/{rel}")
@@ -747,12 +852,30 @@ class SnapshotTable:
     data_store: DataStore | None = None
 
     def __post_init__(self) -> None:
+        # Scheme URIs auto-route to the Hadoop-FS planes so
+        # ``SnapshotTable(spark, "hdfs://nn/tables/t")`` (or abfs/file)
+        # works end-to-end with no store wiring. S3A data is fine
+        # (immutable writes, no rename), but the LOG protocol needs
+        # rename atomicity Hadoop can't give on S3 — so s3a/s3/gs
+        # require an explicit conditional-PUT log_store and we refuse
+        # loudly instead of silently running an unsafe commit protocol.
+        remote = "://" in self.path
+        if remote:
+            scheme = self.path.split("://", 1)[0]
+            if self.log_store is None and scheme in ("s3", "s3a", "s3n", "gs"):
+                raise ValueError(
+                    f"{scheme}:// tables need an explicit conditional-PUT "
+                    "log_store (rename is not atomic there); pass one, or "
+                    "use hdfs/abfs/file where HadoopFsLogStore is safe"
+                )
         self._store: LogStore = (
             self.log_store if self.log_store is not None
+            else HadoopFsLogStore(self.spark, f"{self.path}/_log") if remote
             else LocalLogStore(self._log_dir)
         )
         self._data: DataStore = (
             self.data_store if self.data_store is not None
+            else HadoopFsDataStore(self.spark, self.path) if remote
             else LocalDataStore(self.path)
         )
 
