@@ -43,6 +43,86 @@ def await_available_now(q, timeout_s: int = 3600) -> None:
         )
 
 
+# One batch-reader probe per (application, sf_dir): resolved ts dtype,
+# table-dir-vs-single-file layout, and Catalyst's relation-size estimate.
+# The streaming family calls event_stream / _suggest_state_partitions
+# 10+ times per suite (the interval join alone probes three times), and
+# each un-memoized probe is a driver-side parquet footer read + file
+# listing — measured ~1 s of the interval-join cell at sf0.1. Same
+# staleness contract as registry._PER_DISTINCT_COUNT_CACHE: sources are
+# immutable snapshots for the process; a long-lived service re-ingesting
+# under the same path should clear this at ingest boundaries. Keyed on
+# applicationId with dead-app eviction so session restarts re-probe and
+# the dict cannot grow without bound.
+_SOURCE_PROBE_CACHE: dict[tuple[str, str], tuple[str, bool, int | None]] = {}
+
+
+def _probe_events_source(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, bool, int | None]:
+    """Probe ``sf_dir/events.parquet`` once per session: returns
+    ``(resolved_ts_dtype, is_table_dir, size_bytes)``.
+
+    ``size_bytes`` is Catalyst's own file-index relation estimate (the
+    number broadcast planning uses — any Hadoop FS, zero jobs), or None
+    when the private stats path is unavailable (warned loudly once — a
+    silent fallback would quietly re-regress sf10 stateful queries to
+    the capped partition default).
+
+    Raises whatever the batch reader raises for a missing/non-parquet
+    source — callers decide whether that's fatal (a stream must fail)
+    or a soft default (partition sizing).
+    """
+    import os
+    import warnings
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _SOURCE_PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _SOURCE_PROBE_CACHE if k[0] != app]:
+        del _SOURCE_PROBE_CACHE[stale]
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path)
+    resolved = dict(batch.dtypes).get("ts", "timestamp_ntz")
+    # two on-disk layouts: testdata keeps events.parquet as a single FILE
+    # inside sf_dir (stream the dir, glob-filter the leaf name),
+    # benchdata/production write it as a Spark table DIRECTORY whose
+    # leaves are part-*.parquet — a leaf-name glob of "events.parquet"
+    # there matches NOTHING and the stream silently reads zero rows
+    # (caught by the r7 sf1 oracle gate), so stream the directory itself.
+    # Layout is detected from the batch read's resolved leaf files, which
+    # works on ANY Hadoop filesystem (s3a/hdfs/abfs) — an os.path.isdir
+    # probe would be local-only and silently pick the zero-row glob
+    # branch on object stores; empty-table fallback keeps the local stat.
+    leaves = batch.inputFiles()
+    is_table_dir = (
+        any("events.parquet/" in f for f in leaves)
+        if leaves
+        else os.path.isdir(path)
+    )
+    try:
+        # Private py4j path (no public driver-side stats API in PySpark);
+        # a Spark version bump breaking it must be LOUD, not a silent
+        # fall-back to the 16-partition cap that re-regresses sf10.
+        size = int(batch._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception as exc:  # noqa: BLE001 — warn then default
+        warnings.warn(
+            "per-core state-partition sizing unavailable (private "
+            f"optimizedPlan().stats() path failed: {exc!r}); falling back "
+            "to the capped default — large stateful queries may regress",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        size = None
+    probe = (resolved, is_table_dir, size)
+    _SOURCE_PROBE_CACHE[key] = probe
+    return probe
+
+
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -70,26 +150,8 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    batch = spark.read.parquet(path)
-    resolved = dict(batch.dtypes).get("ts", "timestamp_ntz")
-    # two on-disk layouts: testdata keeps events.parquet as a single FILE
-    # inside sf_dir (stream the dir, glob-filter the leaf name),
-    # benchdata/production write it as a Spark table DIRECTORY whose
-    # leaves are part-*.parquet — a leaf-name glob of "events.parquet"
-    # there matches NOTHING and the stream silently reads zero rows
-    # (caught by the r7 sf1 oracle gate), so stream the directory itself.
-    # Layout is detected from the batch read's resolved leaf files, which
-    # works on ANY Hadoop filesystem (s3a/hdfs/abfs) — an os.path.isdir
-    # probe would be local-only and silently pick the zero-row glob
-    # branch on object stores; empty-table fallback keeps the local stat.
-    leaves = batch.inputFiles()
-    is_table_dir = (
-        any("events.parquet/" in f for f in leaves)
-        if leaves
-        else os.path.isdir(path)
-    )
+    resolved, is_table_dir, _ = _probe_events_source(spark, sf_dir)
 
     def _reader(schema):
         if is_table_dir:
@@ -181,28 +243,11 @@ def _suggest_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
     per-core (101.5 -> 74.7 s), while per-core on the 600k-event family
     costs +8 s of pure provider overhead. None (-> the capped default)
     when the source can't be sized."""
-    import os
-    import warnings
-
     try:
-        rel = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _, _, size = _probe_events_source(spark, sf_dir)
     except Exception:  # noqa: BLE001 — non-parquet/missing source: default
         return None
-    try:
-        # Private py4j path (no public driver-side stats API in PySpark);
-        # a Spark version bump breaking it must be LOUD, not a silent
-        # fall-back to the 16-partition cap that re-regresses sf10.
-        size = int(rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception as exc:  # noqa: BLE001 — log then default
-        warnings.warn(
-            "per-core state-partition sizing unavailable (private "
-            f"optimizedPlan().stats() path failed: {exc!r}); falling back "
-            "to the capped default — large stateful queries may regress",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return None
-    if size >= _STATE_PER_CORE_MIN_BYTES:
+    if size is not None and size >= _STATE_PER_CORE_MIN_BYTES:
         return int(spark.sparkContext.defaultParallelism)
     return None
 
