@@ -43,22 +43,49 @@ def _read_back(table, id_col, val_col) -> list[tuple]:
 # scans, FileStatus mtimes, ranged footer reads); "uri" -> the table
 # constructed straight from a file:// URI, auto-routing BOTH planes to
 # the Hadoop stores (HadoopFsLogStore rename-atomic commits +
-# HadoopFsDataStore) — the zero-wiring deployment path for hdfs/abfs.
+# HadoopFsDataStore) — the zero-wiring deployment path for hdfs/abfs;
+# "s3log" -> the control plane on REAL S3 semantics (boto3 against a
+# moto-mocked endpoint, If-None-Match conditional PUTs) with local data
+# — the deployment shape the s3a refusal message prescribes.
 @pytest.mark.parametrize(
     "seed,stores",
-    [(7, None), (23, "inmem"), (31, "blob"), (41, "hadoop"), (53, "uri")],
+    [
+        (7, None),
+        (23, "inmem"),
+        (31, "blob"),
+        (41, "hadoop"),
+        (53, "uri"),
+        (61, "s3log"),
+    ],
 )
-def test_snapshot_random_op_sequence_matches_model(spark, tmp_path, seed, stores):
+def test_snapshot_random_op_sequence_matches_model(
+    spark, tmp_path, seed, stores, request
+):
     rng = random.Random(seed)
     data_store = None
+    log_store = InMemoryLogStore() if stores in ("inmem", "blob") else None
     if stores == "blob":
         data_store = BlobDataStore(str(tmp_path / "scratch"))
     elif stores == "hadoop":
         data_store = HadoopFsDataStore(spark, f"file://{tmp_path}/tbl")
+    elif stores == "s3log":
+        moto = pytest.importorskip("moto")
+        import boto3
+
+        from wopen_spark.snapshot_table import S3ConditionalPutLogStore
+
+        mock_ctx = moto.mock_aws()
+        mock_ctx.start()
+        request.addfinalizer(mock_ctx.stop)
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="wopen-model-test")
+        log_store = S3ConditionalPutLogStore(
+            "s3://wopen-model-test/tables/t/_log", client=client
+        )
     path = f"file://{tmp_path}/tbl" if stores == "uri" else str(tmp_path / "tbl")
     table = SnapshotTable(
         spark, path,
-        log_store=InMemoryLogStore() if stores in ("inmem", "blob") else None,
+        log_store=log_store,
         data_store=data_store,
     )
     # schema starts narrow on purpose: x is int and may widen to long
@@ -236,3 +263,43 @@ def test_hadoop_log_store_commit_race_and_content_atomicity(spark, tmp_path):
 
     litter = [f for f in os.listdir(tmp_path / "_log") if f.startswith(".tmp-")]
     assert litter == []
+
+
+def test_s3_log_store_conditional_put_contract():
+    """The S3 control plane: If-None-Match publish loses exactly one of
+    two racing writers (HTTP 412 -> FileExistsError) and the winner's
+    bytes survive; read/list/exists honor the LogStore error contract;
+    list stays inside the table's key prefix."""
+    moto = pytest.importorskip("moto")
+    import boto3
+
+    from wopen_spark.snapshot_table import S3ConditionalPutLogStore
+
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="wopen-log-test")
+        store = S3ConditionalPutLogStore(
+            "s3a://wopen-log-test/tables/t/_log", client=client
+        )
+        store.put_if_absent("00000001.json", b'{"writer": "a"}')
+        with pytest.raises(FileExistsError):
+            store.put_if_absent("00000001.json", b'{"writer": "b"}')
+        assert store.read("00000001.json") == b'{"writer": "a"}'
+        store.put("cp.json", b"v1")
+        store.put("cp.json", b"v2")  # advisory blobs replace atomically
+        assert store.read("cp.json") == b"v2"
+        # a sibling table's log must not leak into this store's listing
+        client.put_object(
+            Bucket="wopen-log-test", Key="tables/OTHER/_log/zzz.json", Body=b"x"
+        )
+        assert store.list() == ["00000001.json", "cp.json"]
+        assert store.exists("00000001.json") and not store.exists("nope.json")
+        with pytest.raises(FileNotFoundError):
+            store.read("nope.json")
+
+
+def test_s3_refusal_names_the_conditional_store(spark):
+    """The s3a ValueError must tell the caller exactly which store to
+    pass — the refusal is a deployment instruction, not a dead end."""
+    with pytest.raises(ValueError, match="S3ConditionalPutLogStore"):
+        SnapshotTable(spark, "s3a://bucket/tables/t")

@@ -381,6 +381,100 @@ class HadoopFsLogStore(LogStore):
         return bool(self._fs.exists(self._jp(name)))
 
 
+class S3ConditionalPutLogStore(LogStore):
+    """Control plane for S3, where rename cannot commit (it is a copy +
+    delete that checks nothing): publish is ONE conditional PUT with
+    ``If-None-Match: *`` — S3 evaluates the precondition atomically
+    against the key's existence, so exactly one racing writer wins, and
+    because an S3 PUT is all-or-nothing a GET can only ever return the
+    complete winning object (there is no partial-blob read to guard
+    against). HTTP 412 ``PreconditionFailed`` is the lost-race signal;
+    409 ``ConditionalRequestConflict`` (another conditional PUT in
+    flight on the same key) also means THIS writer did not commit, so
+    both map to the protocol's ``FileExistsError``.
+
+    Takes an ``s3://``/``s3a://`` URI. The boto3 client is created
+    lazily — constructing a table must not require credentials — and is
+    injectable for tests (moto) and for S3-compatible endpoints (MinIO,
+    R2, GCS's XML interop layer). Pairs with ``HadoopFsDataStore`` for
+    the data plane: data files are immutable write-once objects, which
+    plain S3 already serves safely; only the LOG needs the conditional
+    primitive."""
+
+    def __init__(self, uri: str, client=None):
+        rest = uri.split("://", 1)[1] if "://" in uri else uri
+        bucket, _, prefix = rest.partition("/")
+        if not bucket:
+            raise ValueError(f"no bucket in {uri!r}")
+        self.bucket = bucket
+        self.prefix = prefix.strip("/") + "/" if prefix.strip("/") else ""
+        self._client = client
+
+    @property
+    def _s3(self):
+        if self._client is None:
+            import boto3
+
+            self._client = boto3.client("s3")
+        return self._client
+
+    def _key(self, name: str) -> str:
+        return f"{self.prefix}{name}"
+
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        from botocore.exceptions import ClientError
+
+        try:
+            self._s3.put_object(
+                Bucket=self.bucket,
+                Key=self._key(name),
+                Body=data,
+                IfNoneMatch="*",
+            )
+        except ClientError as exc:
+            code = exc.response.get("Error", {}).get("Code", "")
+            if code in ("PreconditionFailed", "ConditionalRequestConflict"):
+                raise FileExistsError(name) from None
+            raise
+
+    def put(self, name: str, data: bytes) -> None:
+        # unconditional PUT is an atomic replace on S3 — rebuildable
+        # advisory blobs (checkpoints) only, never the source of truth
+        self._s3.put_object(Bucket=self.bucket, Key=self._key(name), Body=data)
+
+    def read(self, name: str) -> bytes:
+        from botocore.exceptions import ClientError
+
+        try:
+            obj = self._s3.get_object(Bucket=self.bucket, Key=self._key(name))
+        except ClientError as exc:
+            if exc.response.get("Error", {}).get("Code") == "NoSuchKey":
+                raise FileNotFoundError(name) from None
+            raise
+        return obj["Body"].read()
+
+    def list(self) -> list[str]:
+        names = []
+        for page in self._s3.get_paginator("list_objects_v2").paginate(
+            Bucket=self.bucket, Prefix=self.prefix
+        ):
+            for obj in page.get("Contents", []):
+                names.append(obj["Key"][len(self.prefix):])
+        return sorted(names)
+
+    def exists(self, name: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        try:
+            self._s3.head_object(Bucket=self.bucket, Key=self._key(name))
+        except ClientError as exc:
+            status = exc.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if status == 404:
+                return False
+            raise
+        return True
+
+
 class DataStore:
     """Data-plane storage contract — the LogStore pattern applied to the
     table's parquet files, so the object-store claim is a tested property
@@ -865,8 +959,13 @@ class SnapshotTable:
             if self.log_store is None and scheme in ("s3", "s3a", "s3n", "gs"):
                 raise ValueError(
                     f"{scheme}:// tables need an explicit conditional-PUT "
-                    "log_store (rename is not atomic there); pass one, or "
-                    "use hdfs/abfs/file where HadoopFsLogStore is safe"
+                    "log_store (rename is not atomic there): pass "
+                    f"log_store=S3ConditionalPutLogStore('{self.path}/_log')"
+                    " — kept explicit rather than auto-wired so the log's "
+                    "boto3 credentials are a visible choice instead of "
+                    "silently diverging from the Hadoop credentials the "
+                    "data plane uses — or use hdfs/abfs/file where "
+                    "HadoopFsLogStore is safe"
                 )
         self._store: LogStore = (
             self.log_store if self.log_store is not None
