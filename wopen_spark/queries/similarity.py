@@ -1461,3 +1461,177 @@ def pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy("adc", "vec_id"))
     ).orderBy("rank")
+
+
+def _l2s_scaled(a, b):
+    """Squared-L2 distance as an EXACT scaled integer: each per-dimension
+    squared difference is rounded at 1e-9 and summed as a long, so the
+    sum is order-independent and bit-equal across engines (the house
+    sum_scaled trick — float SUM order differs between Spark partial
+    aggregation and DuckDB and can flip a rounded 6th decimal)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+# SQ8 search — the missing rung between embedding_int8_quantization
+# (which TRAINS per-dim min/max and measures reconstruction MSE) and the
+# PQ family: score the query against the int8-RECONSTRUCTED corpus, the
+# way a scalar-quantized index (FAISS SQfp8-style) actually serves
+# top-k. 4x memory cut vs float32 with near-exact recall; at 100 TB the
+# stats pass is one partial-agg over posexploded dims, the encode/score
+# pass is map-side column arithmetic against one broadcast stats row —
+# no shuffle touches the corpus, and top-k is TakeOrderedAndProject.
+@query(
+    "sq8_adc_top10",
+    oracle="""
+    WITH idx AS (
+      SELECT vec_id, embedding,
+             CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS i
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v FROM idx
+    ),
+    stats AS (
+      SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax FROM flat GROUP BY dim
+    ),
+    recon AS (
+      SELECT f.vec_id, f.dim,
+             CASE WHEN s.vmax = s.vmin THEN s.vmin
+                  ELSE s.vmin
+                       + CAST(round((f.v - s.vmin) / ((s.vmax - s.vmin) / 255))
+                              AS INTEGER)
+                         * ((s.vmax - s.vmin) / 255)
+             END AS r
+      FROM flat f JOIN stats s USING (dim)
+    ),
+    q AS (SELECT dim, v AS qv FROM flat WHERE vec_id = 0),
+    dist AS (
+      SELECT r.vec_id,
+             SUM(CAST(round((r.r - q.qv) * (r.r - q.qv) * 1e9) AS BIGINT))
+               AS d_s
+      FROM recon r JOIN q USING (dim) GROUP BY r.vec_id
+    )
+    SELECT vec_id, adc, rank FROM (
+      SELECT vec_id, CAST(d_s AS DOUBLE) / 1e9 AS adc,
+             ROW_NUMBER() OVER (ORDER BY d_s, vec_id) AS rank
+      FROM dist
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def sq8_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbours of vec_id 0 against the SQ8-reconstructed
+    corpus: per-dim (vmin, vmax) trained over the corpus, code =
+    round((v - vmin)/scale) with scale = (vmax - vmin)/255, distance
+    computed against vmin + code*scale. The stats frame is ONE row of
+    two 64-float arrays (collected nowhere — broadcast cross join), so
+    encode+score is a single map-side pass over the corpus."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("dim", "vf"))
+    stats = (
+        flat.groupBy("dim")
+        .agg(
+            F.min(F.col("vf").cast("double")).alias("vmin"),
+            F.max(F.col("vf").cast("double")).alias("vmax"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "vmin", "vmax"))).alias("st"))
+        .select(
+            F.transform("st", lambda s: s.vmin).alias("vmins"),
+            F.transform("st", lambda s: s.vmax).alias("vmaxs"),
+        )
+    )
+
+    def _recon(vec):
+        # mirrors the oracle: scale 0 (constant dim) reconstructs vmin
+        def elem(x, i):
+            vmin = F.element_at("vmins", i + 1)
+            vmax = F.element_at("vmaxs", i + 1)
+            scale = (vmax - vmin) / 255
+            code = F.round((x.cast("double") - vmin) / scale).cast("int")
+            return F.when(vmax == vmin, vmin).otherwise(vmin + code * scale)
+
+        return F.transform(vec, elem)
+
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _l2s_scaled(_recon("embedding"), F.col("qv")).alias("d_s"))
+    )
+    top = scored.orderBy("d_s", "vec_id").limit(10)
+    return (
+        top.withColumn("adc", F.col("d_s").cast("double") / 1e9)
+        .withColumn("rank", F.row_number().over(Window.orderBy("d_s", "vec_id")))
+        .select("vec_id", "adc", "rank")
+        .orderBy("rank")
+    )
+
+
+# Matryoshka / adaptive-retrieval check: how much of the exact top-10
+# does a 16-dim PREFIX ranking recover? The production pattern behind
+# truncatable embeddings — rank cheaply in the prefix space, rescore the
+# short list at full width. Both arms here are exact scaled-integer
+# rankings with the same (distance, vec_id) tie-break, so the
+# intersection — and the recall — is engine-exact. Map-side only: two
+# column-arithmetic scores per row, two TakeOrdered top-10s, a 10x10
+# join.
+@query(
+    "matryoshka_prefix_recall16",
+    oracle="""
+    WITH idx AS (
+      SELECT vec_id, embedding,
+             CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS i
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v FROM idx
+    ),
+    q AS (SELECT dim, v AS qv FROM flat WHERE vec_id = 0),
+    dist AS (
+      SELECT f.vec_id,
+             SUM(CAST(round((f.v - q.qv) * (f.v - q.qv) * 1e9) AS BIGINT))
+               AS d_full,
+             SUM(CASE WHEN f.dim < 16
+                      THEN CAST(round((f.v - q.qv) * (f.v - q.qv) * 1e9)
+                                AS BIGINT)
+                      ELSE 0 END) AS d_pre
+      FROM flat f JOIN q USING (dim) GROUP BY f.vec_id
+    ),
+    tf AS (SELECT vec_id FROM dist ORDER BY d_full, vec_id LIMIT 10),
+    tp AS (SELECT vec_id FROM dist ORDER BY d_pre, vec_id LIMIT 10)
+    SELECT COUNT(*) AS n_overlap,
+           CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+    FROM tf JOIN tp USING (vec_id)
+    """,
+)
+def matryoshka_prefix_recall16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 16-dim prefix ranking against the exact 64-dim
+    ranking for query vec_id 0 — both arms exact scaled-long distances
+    with the shared (distance, vec_id) tie-break."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        _l2s_scaled(dv, F.col("qv")).alias("d_full"),
+        _l2s_scaled(F.slice(dv, 1, 16), F.slice(F.col("qv"), 1, 16)).alias(
+            "d_pre"
+        ),
+    )
+    top_full = scored.orderBy("d_full", "vec_id").limit(10).select("vec_id")
+    top_pre = scored.orderBy("d_pre", "vec_id").limit(10).select("vec_id")
+    return top_full.join(top_pre, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
+    )
