@@ -1635,3 +1635,130 @@ def matryoshka_prefix_recall16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall_at_10"),
     )
+
+
+# Hybrid retrieval: reciprocal-rank fusion (k=60, the Cormack/Clarke
+# constant) of a lexical term-match ranking over documents and an exact
+# embedding ranking — the standard way BM25-ish and dense arms combine
+# in production search. Scale shape: each arm reduces to its top-100 via
+# TakeOrderedAndProject BEFORE any window runs (ranking windows touch
+# 100 rows, never the corpus), the lexical token scan is clone-collapsed
+# to distinct texts, and the fuse is a 100x100 full outer join. RRF
+# scores are 1/(60+rank) sums of integer ranks — bit-equal across
+# engines with no float-sum ordering hazard.
+@query(
+    "rrf_hybrid_top10",
+    oracle="""
+    WITH texts AS (
+      SELECT md5(text) AS tid,
+             len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                             x -> x IN ('spark', 'sort', 'stream'))) AS score
+      FROM (SELECT DISTINCT text FROM documents)
+    ),
+    lex AS (
+      SELECT d.doc_id, t.score
+      FROM documents d JOIN texts t ON md5(d.text) = t.tid
+      ORDER BY t.score DESC, d.doc_id LIMIT 100
+    ),
+    lexr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM lex
+    ),
+    idx AS (
+      SELECT vec_id, embedding,
+             CAST(unnest(generate_series(1, len(embedding))) AS INTEGER) AS i
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v FROM idx
+    ),
+    q AS (SELECT dim, v AS qv FROM flat WHERE vec_id = 0),
+    dist AS (
+      SELECT f.vec_id AS doc_id,
+             SUM(CAST(round((f.v - q.qv) * (f.v - q.qv) * 1e9) AS BIGINT))
+               AS d_s
+      FROM flat f JOIN q USING (dim) GROUP BY f.vec_id
+    ),
+    sem AS (SELECT doc_id, d_s FROM dist ORDER BY d_s, doc_id LIMIT 100),
+    semr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY d_s, doc_id) AS r_sem
+      FROM sem
+    ),
+    fused AS (
+      SELECT doc_id,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_sem), 0) AS rrf
+      FROM lexr FULL JOIN semr USING (doc_id)
+    )
+    SELECT doc_id, rrf, rank FROM (
+      SELECT doc_id, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10 ORDER BY rank
+    """,
+)
+def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by reciprocal-rank fusion of (a) a lexical
+    term-match ranking ('spark sort stream' token hits, clone-collapsed
+    to distinct texts) and (b) the exact embedding ranking for query
+    vec_id 0. Each arm is cut to top-100 by TakeOrderedAndProject before
+    its 100-row rank window; absent arms contribute 0."""
+    from pyspark.sql import Window
+
+    from wopen_spark.queries.retrieval_q import _QUERY_TERMS
+
+    d = _t(spark, sf_dir, "documents")
+    texts = d.select("text").distinct().select(
+        F.md5("text").alias("tid"),
+        F.size(
+            F.filter(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0)
+                ),
+                lambda x: x.isin(*_QUERY_TERMS),
+            )
+        ).alias("score"),
+    )
+    lex = (
+        d.select("doc_id", F.md5("text").alias("tid"))
+        .join(texts, "tid")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
+    )
+    lexr = lex.withColumn(
+        "r_lex",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    ).select("doc_id", "r_lex")
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    dist = e.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        _l2s_scaled(dv, F.col("qv")).alias("d_s"),
+    )
+    sem = dist.orderBy("d_s", "doc_id").limit(100)
+    semr = sem.withColumn(
+        "r_sem", F.row_number().over(Window.orderBy("d_s", "doc_id"))
+    ).select("doc_id", "r_sem")
+
+    one = F.lit(1.0)
+    fused = lexr.join(semr, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(one / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("doc_id"))),
+        )
+        .orderBy("rank")
+    )
