@@ -1092,3 +1092,34 @@ def test_stream_static_join_gate(spark, monkeypatch, tmp_path):
         ).collect()
     }
     assert got == base and base
+
+
+@pytest.mark.parametrize(
+    "name", ["sq8_adc_top10", "matryoshka_prefix_recall16"]
+)
+def test_sq8_and_matryoshka_score_map_side(spark, name):
+    """The SQ8/matryoshka scoring pass must be a broadcast cross join
+    (one-row stats/query sides) over the corpus scan — a shuffled
+    cartesian or a SortMergeJoin here would be corpus x corpus at
+    100 TB. Top-k must be TakeOrderedAndProject, never a global sort."""
+    df = _q(spark, name)
+    plan_joins = join_strategies(df)
+    assert plan_joins and all(
+        j in ("BroadcastNestedLoopJoin", "BroadcastHashJoin")
+        for j in plan_joins
+    ), (name, plan_joins)
+
+
+def test_sq8_topk_is_take_ordered(spark):
+    plan = _q(spark, "sq8_adc_top10")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_windows_run_after_topn_cut(spark):
+    """RRF's rank windows must sit above LIMIT-100 cuts (TakeOrdered),
+    so the single-partition window never sees more than 100 rows; the
+    only corpus-shaped joins are broadcast."""
+    df = _q(spark, "rrf_hybrid_top10")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in join_strategies(df)
