@@ -106,8 +106,8 @@ def test_snapshot_random_op_sequence_matches_model(
 
     for step in range(N_OPS):
         op = rng.choice(
-            ["append", "append", "merge", "delete", "rename", "widen",
-             "compact", "zorder"]
+            ["append", "append", "merge", "delete", "dvdelete", "rename",
+             "widen", "compact", "zorder"]
         )
         if op == "append":
             rows = [
@@ -143,6 +143,18 @@ def test_snapshot_random_op_sequence_matches_model(
                 victim = rng.choice(sorted(model))
                 del model[victim]
                 table.delete_where(f"id = {victim}")
+        elif op == "dvdelete":
+            # merge-on-read delete: same model semantics as cow delete,
+            # exercised against every other op (a dv'd file may then be
+            # merged, compacted, zordered, renamed across, widened over,
+            # or dv'd again) — the interactions no single-feature test hits
+            if len(model) > 2:
+                victims = rng.sample(sorted(model), min(2, len(model) - 2))
+                for k in victims:
+                    del model[k]
+                table.delete_where(
+                    f"id in ({', '.join(str(k) for k in victims)})", mode="dv"
+                )
         elif op == "rename":
             new = f"{val_col}_r{step}"
             table.rename_column(val_col, new)

@@ -29,6 +29,17 @@ Delta Lake / Iceberg build it (public designs), sized for 100 TB:
   not O(table) — the property BigQuery partition loads gave the
   reference (custom_search_extraction.py:215-218), generalized beyond
   one partition column.
+- **Deletion vectors (merge-on-read).** ``delete_where(mode="dv")``
+  commits a parquet of (file basename, ``_metadata.row_index``) pairs
+  instead of rewriting data files — at 100 TB a 3-row delete must not
+  rewrite a 1 GB file (the Delta/Iceberg-v2 position-delete design).
+  Readers anti-join masks over MASKED files only; clean files scan
+  untouched. Any rewrite of a masked file (merge/compact/zorder/cow
+  delete) reads through the mask, materializes the delete, and retires
+  the mask with the file. Stacked dv deletes compose (each dv scan is
+  itself dv-applied); CDF emits masked rows as deletes at their dv
+  commit; vacuum retires mask parquets with the versions referencing
+  them.
 - **Log checkpoints.** Every ``CHECKPOINT_EVERY`` commits the full file
   manifest is rolled up into ``<version>.checkpoint.json``; state
   resolution replays O(commits since last checkpoint), not O(history).
@@ -57,6 +68,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CHECKPOINT_EVERY = 10
+
+# Reserved row-identity column names for deletion-vector plumbing; the
+# __sn_ prefix keeps them out of any plausible user schema.
+_DV_FILE = "__sn_dv_file"
+_DV_ROW = "__sn_dv_row"
 
 
 class CommitConflictError(RuntimeError):
@@ -1018,6 +1034,7 @@ class SnapshotTable:
         if target not in vs:
             raise ValueError(f"version {target} not in log (have {vs[0]}..{vs[-1]})")
         files: dict[str, dict] = {}
+        dvs: dict[str, list[str]] = {}
         state = {
             "schema": None,
             "cluster_by": None,
@@ -1030,6 +1047,7 @@ class SnapshotTable:
             if vs[i] <= target and self._store.exists(self._checkpoint_name(vs[i])):
                 cp = json.loads(self._store.read(self._checkpoint_name(vs[i])))
                 files = {m["path"]: m for m in cp["files"]}
+                dvs = {k: list(v) for k, v in cp.get("dvs", {}).items()}
                 state["schema"] = cp["schema"]
                 state["cluster_by"] = cp.get("cluster_by")
                 state["column_mapping"] = cp.get("column_mapping")
@@ -1043,8 +1061,16 @@ class SnapshotTable:
             c = self._read_commit(v)
             for rel in c.get("remove", []):
                 files.pop(rel, None)
+                # a removed file's mask dies with it: the rewrite that
+                # removed the file read it THROUGH the mask, so the new
+                # files already exclude the deleted rows
+                dvs.pop(rel, None)
             for m in c.get("add", []):
                 files[m["path"]] = m
+            for e in c.get("dv_add", []):
+                for rel in e["for"]:
+                    cur = dvs.setdefault(rel, [])
+                    cur.extend(p for p in e["paths"] if p not in cur)
             if c.get("schema") is not None:
                 state["schema"] = c["schema"]
             if c.get("cluster_by") is not None:
@@ -1057,7 +1083,7 @@ class SnapshotTable:
                 txns[c["txn_app"]] = max(
                     txns.get(c["txn_app"], -1), c.get("txn_version", -1)
                 )
-        return {"files": files, "version": target, "txns": txns, **state}
+        return {"files": files, "dvs": dvs, "version": target, "txns": txns, **state}
 
     def _try_commit(self, version: int, record: dict) -> None:
         """The atomic publish: one put-if-absent of the next log blob,
@@ -1090,6 +1116,7 @@ class SnapshotTable:
                         {
                             "version": version,
                             "files": list(st["files"].values()),
+                            "dvs": st["dvs"],
                             "schema": st["schema"],
                             "cluster_by": st["cluster_by"],
                             "column_mapping": st["column_mapping"],
@@ -1128,6 +1155,11 @@ class SnapshotTable:
         return their add-action metadata. Clustering narrows per-file key
         ranges so stats-based file skipping stays sharp. ``df`` arrives
         with LOGICAL column names; physical names go to disk."""
+        if _DV_FILE in df.columns or _DV_ROW in df.columns:
+            raise ValueError(
+                f"{_DV_FILE}/{_DV_ROW} are reserved for deletion-vector "
+                "row identity and cannot be table columns"
+            )
         # a subset-schema append (legal: missing columns null-fill on
         # read) may omit cluster columns — cluster on what's present
         cluster_cols = [c for c in (cluster_by or []) if c in df.columns]
@@ -1548,19 +1580,44 @@ class SnapshotTable:
         return self._data.uri_to_rel(file_uri)
 
     def _read_files(
-        self, rels: list[str], schema_json: dict, mapping: dict | None = None
+        self,
+        rels: list[str],
+        schema_json: dict,
+        mapping: dict | None = None,
+        lineage: bool = False,
     ) -> DataFrame:
         """Read data files through the LOGICAL schema: the scan uses
         physical names (what parquet stores), then one zero-cost
         projection aliases back to logical. Old narrow files read
         transparently through a widened schema (verified: Spark 4's
-        reader upcasts byte/short/int->long and float->double)."""
+        reader upcasts byte/short/int->long and float->double).
+
+        ``lineage=True`` appends the two row-identity columns deletion
+        vectors key on — the scan's ``_metadata.file_name`` (part-file
+        names carry a write-job uuid, so the basename is globally
+        unique) and ``_metadata.row_index`` (the row's position in its
+        file — the reader computes it pre-filter, so it is stable
+        across scans). Costs nothing when the reader prunes them."""
         schema = T.StructType.fromJson(schema_json)
         paths = self._data.scan_uris(rels)
+        lin_fields = [(_DV_FILE, T.StringType()), (_DV_ROW, T.LongType())]
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            empty = schema
+            if lineage:
+                for n, t in lin_fields:
+                    empty = empty.add(n, t)
+            return self.spark.createDataFrame([], empty)
+        lin_cols = (
+            [
+                F.col("_metadata.file_name").alias(_DV_FILE),
+                F.col("_metadata.row_index").alias(_DV_ROW),
+            ]
+            if lineage
+            else []
+        )
         if not mapping:
-            return self.spark.read.schema(schema).parquet(*paths)
+            scan = self.spark.read.schema(schema).parquet(*paths)
+            return scan.select("*", *lin_cols) if lineage else scan
         phys = T.StructType(
             [
                 T.StructField(self._phys(mapping, f.name), f.dataType, f.nullable)
@@ -1571,8 +1628,66 @@ class SnapshotTable:
             *[
                 F.col(self._phys(mapping, f.name)).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *lin_cols,
         )
+
+    # ----------------------------------------------------- deletion vectors
+
+    def _dv_frame(self, dv_rels: list[str]) -> DataFrame:
+        """Union scan of deletion-vector parquets: (file basename,
+        row index) pairs naming masked rows."""
+        return self.spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField(_DV_FILE, T.StringType()),
+                    T.StructField(_DV_ROW, T.LongType()),
+                ]
+            )
+        ).parquet(*self._data.scan_uris(sorted(dv_rels)))
+
+    def _read_snapshot(
+        self,
+        state: dict,
+        rels: list[str] | None = None,
+        keep_lineage: bool = False,
+        schema_json: dict | None = None,
+        dvs: dict[str, list[str]] | None = None,
+    ) -> DataFrame:
+        """The LIVE rows of ``rels`` (default: every file) at ``state``:
+        files without deletion vectors scan straight through; masked
+        files scan with row identity and anti-join their DV union —
+        merge-on-read, cost proportional to the MASKED files only, zero
+        touch on clean ones. ``keep_lineage`` keeps the row-identity
+        columns in the output (probes); ``schema_json``/``dvs`` override
+        the state's (CDF reads removed files through the target schema
+        but the PRE-removal masks)."""
+        schema_json = state["schema"] if schema_json is None else schema_json
+        dvs = state["dvs"] if dvs is None else dvs
+        mapping = state["column_mapping"]
+        rels = sorted(state["files"] if rels is None else rels)
+        masked = [r for r in rels if dvs.get(r)]
+        clean = [r for r in rels if not dvs.get(r)]
+        parts: list[DataFrame] = []
+        if clean or not masked:  # empty-rels case still yields a frame
+            parts.append(
+                self._read_files(clean, schema_json, mapping, lineage=keep_lineage)
+            )
+        if masked:
+            dv_rels = sorted({p for r in masked for p in dvs[r]})
+            live = self._read_files(
+                masked, schema_json, mapping, lineage=True
+            ).join(self._dv_frame(dv_rels), [_DV_FILE, _DV_ROW], "left_anti")
+            parts.append(live if keep_lineage else live.drop(_DV_FILE, _DV_ROW))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _rels_by_basename(self, state: dict) -> dict[str, str]:
+        """Basename -> log-relative path for the state's data files (DV
+        probes identify files by ``_metadata.file_name``)."""
+        return {rel.rsplit("/", 1)[-1]: rel for rel in state["files"]}
 
     def merge(self, df: DataFrame, key: str | list[str]) -> dict:
         """Keyed upsert, copy-on-write at file granularity: stats-skip
@@ -1590,23 +1705,29 @@ class SnapshotTable:
         candidates, skipped = self._candidate_files(state, keys, key_df)
         touched: list[str] = []
         if candidates:
+            by_base = self._rels_by_basename(state)
             probe = (
-                self._read_files(candidates, state["schema"], eff_mapping)
-                .withColumn("__file", F.input_file_name())
+                # DV-applied probe: a row already masked by a deletion
+                # vector must neither count its file as touched nor
+                # resurrect through the rewrite
+                self._read_snapshot(state, candidates, keep_lineage=True)
                 # no forced broadcast: a bulk upsert's key set is
                 # upsert-sized, not small by contract — AQE broadcasts
                 # when it actually fits, else this is a shuffled semi
                 .join(key_df, keys, "left_semi")
-                .select("__file")
+                .select(_DV_FILE)
                 .distinct()
             )
-            touched = sorted(self._rel_path(r["__file"]) for r in probe.collect())
+            touched = sorted(by_base[r[_DV_FILE]] for r in probe.collect())
         adds: list[dict] = []
         if touched:
             # survivors read (and conform) through the MERGED schema so a
-            # widening upsert unions cleanly with the incoming rows
+            # widening upsert unions cleanly with the incoming rows; the
+            # snapshot read applies the files' deletion vectors, so the
+            # rewrite drops masked rows for good (their DVs retire with
+            # the removed files)
             kept = self._conform(
-                self._read_files(touched, state["schema"], eff_mapping), schema
+                self._read_snapshot(state, touched), schema
             ).join(
                 key_df, keys, "left_anti"  # AQE-sized, same reason as the probe
             )
@@ -1632,23 +1753,78 @@ class SnapshotTable:
             "files_rewritten": len(touched),
         }
 
-    def delete_where(self, predicate_sql: str) -> dict:
-        """Copy-on-write delete: probe files for rows matching the
-        predicate, rewrite only those files without the matching rows."""
+    def delete_where(self, predicate_sql: str, mode: str = "cow") -> dict:
+        """Delete rows matching the predicate.
+
+        ``mode="cow"`` (copy-on-write): probe files for matching rows,
+        rewrite only those files without them — read-optimal, but a
+        3-row delete rewrites a whole file.
+
+        ``mode="dv"`` (merge-on-read deletion vectors): write a parquet
+        of (file basename, row index) pairs naming the matched rows and
+        commit only that reference — NO data file is rewritten, which is
+        the only delete that scales when files are GBs and deletes are
+        rows (the Delta/Iceberg v2 deletion-vector design). Readers
+        anti-join the masks of masked files only; compaction or any
+        rewrite of a masked file materializes the delete and retires the
+        mask. Both modes stack: a dv-delete over dv-masked files matches
+        only still-live rows."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         state = self._state()
         mapping = state["column_mapping"]
         all_files = sorted(state["files"])
+        if mode == "dv":
+            matches = (
+                self._read_snapshot(state, keep_lineage=True)
+                .filter(F.expr(predicate_sql))
+                .select(_DV_FILE, _DV_ROW)
+            )
+            dv_dir = f"data/{uuid.uuid4().hex}"
+            matches.write.mode("overwrite").parquet(self._data.write_uri(dv_dir))
+            dv_rels, n_rows = [], 0
+            for name in self._data.publish_dir(dv_dir):
+                rel = f"{dv_dir}/{name}"
+                with self._data.open_input(rel) as src:
+                    meta = _file_meta(src, rel, self._data.size(rel))
+                if meta["rows"] == 0:
+                    self._data.delete(rel)
+                    continue
+                dv_rels.append(rel)
+                n_rows += meta["rows"]
+            dv_add = []
+            masked_rels: list[str] = []
+            if dv_rels:
+                by_base = self._rels_by_basename(state)
+                masked_rels = sorted(
+                    by_base[r[_DV_FILE]]
+                    for r in self._dv_frame(dv_rels).select(_DV_FILE).distinct().collect()
+                )
+                dv_add = [{"paths": dv_rels, "for": masked_rels, "rows": n_rows}]
+            self._try_commit(
+                state["version"] + 1,
+                {"operation": "delete", "dv_add": dv_add},
+            )
+            return {
+                "version": state["version"] + 1,
+                "files_total": len(all_files),
+                "files_rewritten": 0,
+                "files_masked": len(masked_rels),
+                "rows_masked": n_rows,
+            }
         probe = (
-            self._read_files(all_files, state["schema"], mapping)
-            .withColumn("__file", F.input_file_name())
+            self._read_snapshot(state, keep_lineage=True)
             .filter(F.expr(predicate_sql))
-            .select("__file")
+            .select(_DV_FILE)
             .distinct()
         )
-        touched = sorted(self._rel_path(r["__file"]) for r in probe.collect())
+        by_base = self._rels_by_basename(state)
+        touched = sorted(by_base[r[_DV_FILE]] for r in probe.collect())
         adds = []
         if touched:
-            kept = self._read_files(touched, state["schema"], mapping).filter(
+            # snapshot read: existing DV masks apply, so the rewrite
+            # cannot resurrect previously dv-deleted rows
+            kept = self._read_snapshot(state, touched).filter(
                 ~F.expr(predicate_sql)
             )
             adds = self._write_files(kept, state["cluster_by"], mapping)
@@ -1671,15 +1847,16 @@ class SnapshotTable:
         if asof_ts is not None:
             version = self._version_asof(asof_ts)
         state = self._state(version)
-        missing = [r for r in state["files"] if not self._data.exists(r)]
+        referenced = list(state["files"]) + [
+            p for rels in state["dvs"].values() for p in rels
+        ]
+        missing = [r for r in referenced if not self._data.exists(r)]
         if missing:
             raise VacuumedVersionError(
                 f"version {state['version']} references {len(missing)} vacuumed "
                 f"file(s); earliest retained version is newer"
             )
-        return self._read_files(
-            sorted(state["files"]), state["schema"], state["column_mapping"]
-        )
+        return self._read_snapshot(state)
 
     def read_where(
         self, ranges: dict[str, tuple], version: int | None = None
@@ -1713,7 +1890,7 @@ class SnapshotTable:
                 keep.append(rel)
             else:
                 skipped += 1
-        df = self._read_files(sorted(keep), state["schema"], mapping)
+        df = self._read_snapshot(state, keep)
         for c, (lo, hi) in ranges.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -1765,6 +1942,7 @@ class SnapshotTable:
             c = self._read_commit(v)
             if not c.get("dataChange", True):
                 continue  # compact/zorder: same logical rows, no changes
+            prev_dvs: dict[str, list[str]] | None = None
             for change_type, rels in (
                 ("insert", [m["path"] for m in c.get("add", [])]),
                 ("delete", c.get("remove", [])),
@@ -1775,12 +1953,47 @@ class SnapshotTable:
                         f"change feed for version {v} references "
                         f"{len(missing)} vacuumed file(s)"
                     )
-                if rels:
-                    parts.append(
-                        self._read_files(rels, schema, mapping)
-                        .withColumn("_change_type", F.lit(change_type))
-                        .withColumn("_commit_version", F.lit(v))
+                if not rels:
+                    continue
+                if change_type == "delete":
+                    # a removed file's rows were live MINUS its masks as
+                    # of v-1 — dv-deleted rows were already emitted as
+                    # deletes by their own dv commit
+                    if prev_dvs is None:
+                        prev_dvs = self._state(v - 1)["dvs"]
+                    df = self._read_snapshot(
+                        {"files": {}, "column_mapping": mapping},
+                        rels,
+                        schema_json=schema,
+                        dvs=prev_dvs,
                     )
+                else:
+                    df = self._read_files(rels, schema, mapping)
+                parts.append(
+                    df.withColumn("_change_type", F.lit(change_type))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+            for e in c.get("dv_add", []):
+                # the rows a dv commit masked: its data files semi-joined
+                # with exactly the NEW masks (stacked older masks cannot
+                # overlap — the dv scan that produced this mask was
+                # itself dv-applied)
+                needed = e["paths"] + e["for"]
+                missing = [r for r in needed if not self._data.exists(r)]
+                if missing:
+                    raise VacuumedVersionError(
+                        f"change feed for version {v} references "
+                        f"{len(missing)} vacuumed file(s)"
+                    )
+                masked = (
+                    self._read_files(e["for"], schema, mapping, lineage=True)
+                    .join(self._dv_frame(e["paths"]), [_DV_FILE, _DV_ROW], "left_semi")
+                    .drop(_DV_FILE, _DV_ROW)
+                )
+                parts.append(
+                    masked.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_commit_version", F.lit(v))
+                )
         if not parts:
             base = T.StructType.fromJson(schema)
             base = base.add("_change_type", T.StringType()).add(
@@ -1803,6 +2016,9 @@ class SnapshotTable:
                     "operation": c.get("operation"),
                     "n_added": len(c.get("add", [])),
                     "n_removed": len(c.get("remove", [])),
+                    "n_rows_dv_masked": sum(
+                        e.get("rows", 0) for e in c.get("dv_add", [])
+                    ),
                 }
             )
         return out
@@ -1814,9 +2030,10 @@ class SnapshotTable:
         normal commit, so time travel to pre-compaction versions still
         works until vacuum."""
         state = self._state()
-        df = self._read_files(
-            sorted(state["files"]), state["schema"], state["column_mapping"]
-        )
+        # snapshot read: compaction MATERIALIZES deletion vectors — the
+        # rewritten files hold only live rows, and the masks retire with
+        # the removed files they covered
+        df = self._read_snapshot(state)
         adds = self._write_files(
             df.coalesce(target_files), state["cluster_by"], state["column_mapping"]
         )
@@ -1850,9 +2067,7 @@ class SnapshotTable:
         from pyspark.ml.feature import Bucketizer
 
         state = self._state()
-        df = self._read_files(
-            sorted(state["files"]), state["schema"], state["column_mapping"]
-        )
+        df = self._read_snapshot(state)  # materializes deletion vectors
         n_buckets = 1 << bits_per_col
         # one double-valued shadow column per z-column (strings hash
         # first); ONE sampled approxQuantile pass covers all of them
@@ -1926,8 +2141,13 @@ class SnapshotTable:
         for v in vs:
             c = self._read_commit(v)
             ever_referenced.update(m["path"] for m in c.get("add", []))
+            for e in c.get("dv_add", []):
+                ever_referenced.update(e["paths"])
         for v in vs[-retain_last:]:
-            retained.update(self._state(v)["files"])
+            st = self._state(v)
+            retained.update(st["files"])
+            for rels in st["dvs"].values():
+                retained.update(rels)
         removed = 0
         now = time.time()
         touched_dirs: set[str] = set()
