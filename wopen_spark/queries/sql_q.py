@@ -180,3 +180,39 @@ def sql_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_nationkey
         """
     )
+
+
+@query(
+    "snapshot_dv_delete_read",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0)
+    ORDER BY c_custkey
+    """,
+)
+def snapshot_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors value-checked end-to-end: customer
+    loads into a SnapshotTable across several clustered files, a dv
+    delete masks (file, row_index) pairs WITHOUT rewriting any data file
+    (asserted: files_rewritten == 0), a second stacked dv delete proves
+    masks compose, and the final read — clean files scanned straight
+    through, masked files anti-joined against their mask union — must
+    hash-match the relational complement the oracle computes."""
+    import tempfile
+
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="wopen_snap_dv_") + "/customer")
+    t.create(customer.repartition(4), cluster_by=["c_custkey"])
+    r1 = t.delete_where(
+        "c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0", mode="dv"
+    )
+    assert r1["files_rewritten"] == 0, "dv delete must not rewrite data files"
+    # stacked mask over the same files: already-masked rows never rematch
+    r2 = t.delete_where(
+        "c_mktsegment = 'BUILDING' AND c_custkey % 6 = 0", mode="dv"
+    )
+    assert r2["rows_masked"] == 0, "stacked dv re-matched masked rows"
+    return t.read().orderBy("c_custkey")
