@@ -159,3 +159,68 @@ def test_dv_delete_matching_nothing_commits_cleanly(spark, tmp_path):
     assert report["rows_masked"] == 0 and report["files_masked"] == 0
     assert len(_rows(t.read())) == 4
     assert t.latest_version() == report["version"]
+
+
+def test_dv_merge_masks_and_appends_without_rewrites(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    before = _data_files(t)
+    up = spark.createDataFrame([(1, 111), (42, 4242)], "id long, v long")
+    report = t.merge(up, "id", mode="dv")
+    assert report["files_rewritten"] == 0
+    assert report["rows_masked"] == 1  # only id=1 existed
+    after = _data_files(t)
+    assert all(after[k] == v for k, v in before.items()), "dv merge rewrote a file"
+    got = dict(_rows(t.read()))
+    assert got[1] == 111 and got[42] == 4242 and got[2] == 4
+    assert len(got) == 11
+
+
+def test_dv_merge_cdf_emits_delete_old_insert_new(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    v = t.latest_version()
+    t.merge(spark.createDataFrame([(3, 333)], "id long, v long"), "id", mode="dv")
+    changes = _rows(t.read_changes(v).select("id", "v", "_change_type"))
+    assert (3, 6, "delete") in changes and (3, 333, "insert") in changes
+
+
+def test_update_where_cow_and_dv_agree(spark, tmp_path):
+    for mode in ("cow", "dv"):
+        t = _make(spark, tmp_path / mode)
+        report = t.update_where("id >= 7", {"v": "v + 1000"}, mode=mode)
+        assert report["files_rewritten"] == (0 if mode == "dv" else 1)
+        got = dict(_rows(t.read()))
+        assert got == {i: 2 * i + (1000 if i >= 7 else 0) for i in range(10)}, mode
+        # time travel to the pre-update snapshot
+        pre = dict(_rows(t.read(version=report["version"] - 1)))
+        assert pre == {i: 2 * i for i in range(10)}, mode
+
+
+def test_update_assignments_see_the_old_row(spark, tmp_path):
+    # swap semantics: SET v = id, id = v must read BOTH from the old row
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    t.update_where("id = 1", {"id": "v", "v": "id"}, mode="dv")
+    assert _rows(t.read()) == [(2, 20), (10, 1)]
+    t.update_where("id = 2", {"id": "v", "v": "id"}, mode="cow")
+    assert _rows(t.read()) == [(10, 1), (20, 2)]
+
+
+def test_update_unknown_column_and_bad_mode_raise(spark, tmp_path):
+    t = _make(spark, tmp_path, n=3, files=1)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where("id = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="mode"):
+        t.update_where("id = 1", {"v": "1"}, mode="zap")
+    with pytest.raises(ValueError, match="mode"):
+        t.merge(spark.range(1).selectExpr("id", "id as v"), "id", mode="zap")
+
+
+def test_dv_update_then_compact_then_vacuum_roundtrip(spark, tmp_path):
+    t = _make(spark, tmp_path)
+    t.update_where("id < 3", {"v": "-1"}, mode="dv")
+    live = _rows(t.read())
+    t.compact(target_files=1)
+    assert _rows(t.read()) == live
+    t.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert _rows(t.read()) == live
+    assert [r[1] for r in live[:3]] == [-1, -1, -1]

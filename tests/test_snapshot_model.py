@@ -106,8 +106,8 @@ def test_snapshot_random_op_sequence_matches_model(
 
     for step in range(N_OPS):
         op = rng.choice(
-            ["append", "append", "merge", "delete", "dvdelete", "rename",
-             "widen", "compact", "zorder"]
+            ["append", "append", "merge", "dvmerge", "delete", "dvdelete",
+             "update", "rename", "widen", "compact", "zorder"]
         )
         if op == "append":
             rows = [
@@ -123,7 +123,7 @@ def test_snapshot_random_op_sequence_matches_model(
                     f"id long, {val_col} string, x {'long' if widened else 'int'}",
                 ).coalesce(1)
             )
-        elif op == "merge":
+        elif op in ("merge", "dvmerge"):
             keys = rng.sample(sorted(model), min(2, len(model)))
             extra = next_id
             next_id += 1
@@ -137,6 +137,20 @@ def test_snapshot_random_op_sequence_matches_model(
                     rows, f"id long, {val_col} string, x {'long' if widened else 'int'}"
                 ),
                 "id",
+                mode="dv" if op == "dvmerge" else "cow",
+            )
+        elif op == "update":
+            # UPDATE ... SET over a random id band, alternating modes —
+            # updates layered over dv masks, renames, and widenings
+            lo = rng.randint(0, max(next_id - 1, 1))
+            mode = rng.choice(["cow", "dv"])
+            for k in list(model):
+                if lo <= k < lo + 5:
+                    model[k] = (f"U{step}", model[k][1])
+            table.update_where(
+                f"id >= {lo} AND id < {lo + 5}",
+                {val_col: f"'U{step}'"},
+                mode=mode,
             )
         elif op == "delete":
             if len(model) > 2:

@@ -1689,13 +1689,54 @@ class SnapshotTable:
         probes identify files by ``_metadata.file_name``)."""
         return {rel.rsplit("/", 1)[-1]: rel for rel in state["files"]}
 
-    def merge(self, df: DataFrame, key: str | list[str]) -> dict:
-        """Keyed upsert, copy-on-write at file granularity: stats-skip
-        files outside the incoming key range, probe the rest with
-        ``input_file_name()`` for ACTUAL key hits, rewrite only hit
-        files (minus matched rows, plus all incoming rows). Every
-        non-hit file survives as untouched bytes. Returns a report of
-        what the pruning did — silent caps are how scale bugs hide."""
+    def _write_dv(
+        self, state: dict, matches: DataFrame
+    ) -> tuple[list[dict], list[str], int]:
+        """Write ``matches`` — a (_DV_FILE, _DV_ROW) frame of rows to
+        mask — as deletion-vector parquet(s) in the data plane. Returns
+        (dv_add commit entries, masked data rels, rows masked)."""
+        matches = matches.select(_DV_FILE, _DV_ROW)
+        dv_dir = f"data/{uuid.uuid4().hex}"
+        matches.write.mode("overwrite").parquet(self._data.write_uri(dv_dir))
+        dv_rels, n_rows = [], 0
+        for name in self._data.publish_dir(dv_dir):
+            rel = f"{dv_dir}/{name}"
+            with self._data.open_input(rel) as src:
+                meta = _file_meta(src, rel, self._data.size(rel))
+            if meta["rows"] == 0:
+                self._data.delete(rel)
+                continue
+            dv_rels.append(rel)
+            n_rows += meta["rows"]
+        if not dv_rels:
+            return [], [], 0
+        by_base = self._rels_by_basename(state)
+        masked_rels = sorted(
+            by_base[r[_DV_FILE]]
+            for r in self._dv_frame(dv_rels).select(_DV_FILE).distinct().collect()
+        )
+        return [{"paths": dv_rels, "for": masked_rels, "rows": n_rows}], masked_rels, n_rows
+
+    def merge(self, df: DataFrame, key: str | list[str], mode: str = "cow") -> dict:
+        """Keyed upsert at file granularity: stats-skip files outside the
+        incoming key range, probe the rest for ACTUAL key hits.
+
+        ``mode="cow"``: rewrite only hit files (minus matched rows, plus
+        all incoming rows); every non-hit file survives as untouched
+        bytes.
+
+        ``mode="dv"`` (low-shuffle merge): MASK the matched rows with a
+        deletion vector and append the incoming rows as new files —
+        nothing already on disk is rewritten, so the write cost is
+        O(incoming + mask), not O(hit files). The Delta low-shuffle-merge
+        shape; compaction later materializes the masks. CDF emits the
+        matched rows as deletes and the incoming rows as inserts either
+        way.
+
+        Returns a report of what the pruning did — silent caps are how
+        scale bugs hide."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         keys = [key] if isinstance(key, str) else list(key)
         state = self._state()
         schema, mapping = self._merged_schema(state, df)
@@ -1703,6 +1744,33 @@ class SnapshotTable:
         new_rows = self._conform(df, schema)
         key_df = new_rows.select(*keys).distinct()
         candidates, skipped = self._candidate_files(state, keys, key_df)
+        if mode == "dv":
+            dv_add, masked_rels, n_rows = [], [], 0
+            if candidates:
+                matches = self._read_snapshot(
+                    state, candidates, keep_lineage=True
+                ).join(key_df, keys, "left_semi")
+                dv_add, masked_rels, n_rows = self._write_dv(state, matches)
+            adds = self._write_files(new_rows, state["cluster_by"], eff_mapping)
+            self._try_commit(
+                state["version"] + 1,
+                {
+                    "operation": "merge",
+                    "schema": schema,
+                    "add": adds,
+                    "dv_add": dv_add,
+                    **({"column_mapping": mapping} if mapping is not None else {}),
+                },
+            )
+            return {
+                "version": state["version"] + 1,
+                "files_total": len(state["files"]),
+                "files_skipped_by_stats": len(skipped),
+                "files_probed": len(candidates),
+                "files_rewritten": 0,
+                "files_masked": len(masked_rels),
+                "rows_masked": n_rows,
+            }
         touched: list[str] = []
         if candidates:
             by_base = self._rels_by_basename(state)
@@ -1775,32 +1843,10 @@ class SnapshotTable:
         mapping = state["column_mapping"]
         all_files = sorted(state["files"])
         if mode == "dv":
-            matches = (
-                self._read_snapshot(state, keep_lineage=True)
-                .filter(F.expr(predicate_sql))
-                .select(_DV_FILE, _DV_ROW)
+            matches = self._read_snapshot(state, keep_lineage=True).filter(
+                F.expr(predicate_sql)
             )
-            dv_dir = f"data/{uuid.uuid4().hex}"
-            matches.write.mode("overwrite").parquet(self._data.write_uri(dv_dir))
-            dv_rels, n_rows = [], 0
-            for name in self._data.publish_dir(dv_dir):
-                rel = f"{dv_dir}/{name}"
-                with self._data.open_input(rel) as src:
-                    meta = _file_meta(src, rel, self._data.size(rel))
-                if meta["rows"] == 0:
-                    self._data.delete(rel)
-                    continue
-                dv_rels.append(rel)
-                n_rows += meta["rows"]
-            dv_add = []
-            masked_rels: list[str] = []
-            if dv_rels:
-                by_base = self._rels_by_basename(state)
-                masked_rels = sorted(
-                    by_base[r[_DV_FILE]]
-                    for r in self._dv_frame(dv_rels).select(_DV_FILE).distinct().collect()
-                )
-                dv_add = [{"paths": dv_rels, "for": masked_rels, "rows": n_rows}]
+            dv_add, masked_rels, n_rows = self._write_dv(state, matches)
             self._try_commit(
                 state["version"] + 1,
                 {"operation": "delete", "dv_add": dv_add},
@@ -1835,6 +1881,105 @@ class SnapshotTable:
         return {
             "version": state["version"] + 1,
             "files_total": len(all_files),
+            "files_rewritten": len(touched),
+        }
+
+    def update_where(
+        self,
+        predicate_sql: str,
+        assignments: dict[str, str],
+        mode: str = "cow",
+    ) -> dict:
+        """UPDATE ... SET: ``assignments`` maps column -> SQL expression
+        (evaluated against the matching row, cast back to the column's
+        type — updates never mutate the schema).
+
+        ``mode="cow"``: stats-agnostic probe for matching rows, rewrite
+        only the files containing them — one pass per touched file with
+        a CASE projection (no union of matched and unmatched arms).
+
+        ``mode="dv"``: mask the matched rows with a deletion vector and
+        append their updated images as new files — an update writes
+        O(matched rows), not O(touched files). Same shape as the dv
+        merge; CDF emits delete(old) + insert(new) either way."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+        state = self._state()
+        schema = T.StructType.fromJson(state["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        unknown = [c for c in assignments if c not in types]
+        if unknown:
+            raise ValueError(f"update of unknown column(s): {unknown}")
+
+        def _apply(df: DataFrame) -> DataFrame:
+            # ONE select: every assignment expression sees the OLD row
+            # (sequential withColumn would leak earlier assignments into
+            # later expressions — not UPDATE semantics)
+            return df.select(
+                *[
+                    F.expr(assignments[f.name]).cast(types[f.name]).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+
+        if mode == "dv":
+            matched = self._read_snapshot(state, keep_lineage=True).filter(
+                F.expr(predicate_sql)
+            )
+            dv_add, masked_rels, n_rows = self._write_dv(state, matched)
+            adds = []
+            if dv_add:
+                adds = self._write_files(
+                    _apply(matched.drop(_DV_FILE, _DV_ROW)),
+                    state["cluster_by"],
+                    state["column_mapping"],
+                )
+            self._try_commit(
+                state["version"] + 1,
+                {"operation": "update", "add": adds, "dv_add": dv_add},
+            )
+            return {
+                "version": state["version"] + 1,
+                "files_total": len(state["files"]),
+                "files_rewritten": 0,
+                "files_masked": len(masked_rels),
+                "rows_updated": n_rows,
+            }
+        probe = (
+            self._read_snapshot(state, keep_lineage=True)
+            .filter(F.expr(predicate_sql))
+            .select(_DV_FILE)
+            .distinct()
+        )
+        by_base = self._rels_by_basename(state)
+        touched = sorted(by_base[r[_DV_FILE]] for r in probe.collect())
+        adds = []
+        if touched:
+            kept = self._read_snapshot(state, touched)
+            cond = F.expr(predicate_sql)
+            # ONE select, same old-row semantics as the dv path
+            kept = kept.select(
+                *[
+                    F.when(cond, F.expr(assignments[f.name]).cast(types[f.name]))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            adds = self._write_files(
+                kept, state["cluster_by"], state["column_mapping"]
+            )
+        self._try_commit(
+            state["version"] + 1,
+            {"operation": "update", "add": adds, "remove": touched},
+        )
+        return {
+            "version": state["version"] + 1,
+            "files_total": len(state["files"]),
             "files_rewritten": len(touched),
         }
 
