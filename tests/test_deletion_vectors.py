@@ -224,3 +224,35 @@ def test_dv_update_then_compact_then_vacuum_roundtrip(spark, tmp_path):
     t.vacuum(retain_last=1, orphan_grace_s=0.0)
     assert _rows(t.read()) == live
     assert [r[1] for r in live[:3]] == [-1, -1, -1]
+
+
+def test_optimize_small_files_packs_smalls_and_purges_masks(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    # one "big" file (500 rows) + two small ones (5 rows each)
+    t.create(spark.range(500).selectExpr("id", "id*2 as v").coalesce(1))
+    t.append(spark.createDataFrame([(1000 + i, 0) for i in range(5)], "id long, v long").coalesce(1))
+    t.append(spark.createDataFrame([(2000 + i, 0) for i in range(5)], "id long, v long").coalesce(1))
+    state = t._state()
+    big = max(state["files"], key=lambda r: state["files"][r]["bytes"])
+    big_bytes = state["files"][big]["bytes"]
+    before = _data_files(t)
+    live = _rows(t.read())
+    report = t.optimize_small_files(max_file_bytes=big_bytes)  # big excluded
+    assert not report["noop"] and report["files_selected"] == 2
+    assert report["files_after"] == 2  # big + one packed file
+    assert _data_files(t)[big] == before[big], "big file must stay untouched bytes"
+    assert _rows(t.read()) == live
+    # now mask a row IN the big file: it qualifies despite its size and
+    # the rewrite purges the mask
+    t.delete_where("id = 7", mode="dv")
+    report2 = t.optimize_small_files(max_file_bytes=1)  # nothing is "small"
+    assert report2["files_masked_purged"] == 1
+    assert not t._state()["dvs"]
+    assert dict(_rows(t.read())).get(7) is None
+
+
+def test_optimize_small_files_noop_commits_nothing(spark, tmp_path):
+    t = _make(spark, tmp_path, n=100, files=1)
+    v = t.latest_version()
+    report = t.optimize_small_files(max_file_bytes=1)  # nothing qualifies
+    assert report["noop"] and t.latest_version() == v

@@ -2193,6 +2193,56 @@ class SnapshotTable:
             "files_after": len(adds),
         }
 
+    def optimize_small_files(
+        self, max_file_bytes: int = 128 << 20, target_file_bytes: int | None = None
+    ) -> dict:
+        """Incremental bin-packing — the compaction that actually runs at
+        100 TB, where ``compact()``'s full-table rewrite is impossible.
+        Selects only files smaller than ``max_file_bytes`` PLUS any file
+        carrying a deletion-vector mask (rewriting it purges the mask),
+        rewrites just that set sized to ``target_file_bytes`` (default:
+        ``max_file_bytes``), and leaves every other file as untouched
+        bytes. A no-op (no commit) when fewer than two files qualify and
+        none is masked."""
+        state = self._state()
+        qualify = sorted(
+            r
+            for r, m in state["files"].items()
+            if m["bytes"] < max_file_bytes or state["dvs"].get(r)
+        )
+        masked = [r for r in qualify if state["dvs"].get(r)]
+        if len(qualify) < 2 and not masked:
+            return {
+                "version": state["version"],
+                "files_before": len(state["files"]),
+                "files_selected": len(qualify),
+                "files_after": len(qualify),
+                "noop": True,
+            }
+        total = sum(state["files"][r]["bytes"] for r in qualify)
+        n_out = max(1, -(-total // (target_file_bytes or max_file_bytes)))
+        df = self._read_snapshot(state, qualify)  # materializes masks
+        adds = self._write_files(
+            df.coalesce(int(n_out)), state["cluster_by"], state["column_mapping"]
+        )
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "compact",
+                "add": adds,
+                "remove": qualify,
+                "dataChange": False,
+            },
+        )
+        return {
+            "version": state["version"] + 1,
+            "files_before": len(state["files"]),
+            "files_selected": len(qualify),
+            "files_masked_purged": len(masked),
+            "files_after": len(state["files"]) - len(qualify) + len(adds),
+            "noop": False,
+        }
+
     def optimize_zorder(
         self, cols: list[str], target_files: int = 8, bits_per_col: int = 8
     ) -> dict:
