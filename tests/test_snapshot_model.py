@@ -107,7 +107,7 @@ def test_snapshot_random_op_sequence_matches_model(
     for step in range(N_OPS):
         op = rng.choice(
             ["append", "append", "merge", "dvmerge", "delete", "dvdelete",
-             "update", "rename", "widen", "compact", "zorder"]
+             "update", "rename", "widen", "compact", "zorder", "binpack"]
         )
         if op == "append":
             rows = [
@@ -187,6 +187,10 @@ def test_snapshot_random_op_sequence_matches_model(
             widened = True
         elif op == "compact":
             table.compact(target_files=2)
+        elif op == "binpack":
+            # every test file is tiny, so this packs the whole current
+            # file set and purges any dv masks — logical rows unchanged
+            table.optimize_small_files(max_file_bytes=1 << 30)
         elif op == "zorder":
             table.optimize_zorder(["id", "x"], target_files=4, bits_per_col=3)
 
