@@ -1155,3 +1155,37 @@ def test_pq_train_seeds_rank_based_on_sparse_ids(spark):
     # every seed is a data point, so its own cluster is non-empty and all
     # k centroids survive one Lloyd's round — despite no id being < k
     assert all(len(b) == 4 for b in books)
+
+
+def test_duplicate_kgram_spans_semantics(spark):
+    """Hand-checkable ExactSubstr semantics at k=3: cross-text duplicate
+    grams mark spans, overlapping hits merge into maximal islands,
+    disjoint hits stay separate, within-text repeats alone don't count,
+    and sub-k texts pass through with zero duplication."""
+    from wopen_spark.operators.dedup import duplicate_kgram_spans
+
+    texts = [
+        "a b c d e f",        # shares "a b c" with t2/t8 -> [0,3)
+        "x a b c y z",        # -> [1,4)
+        "p q r s t u v",      # hits 0,1,2 merge -> [0,5)
+        "p q r s z",          # hits 0,1 -> [0,4)
+        "q r s t w",          # hits 0,1 -> [0,4)
+        "m n o m n o",        # within-text repeat only -> 0
+        "aa bb",              # shorter than k -> 0
+        "a b c k1 k2 k3 a b c",  # two DISJOINT islands -> 3 + 3
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["text"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicate_kgram_spans(df, "text", k=3).collect()
+    }
+    assert got == {
+        texts[0]: (6, 3),
+        texts[1]: (6, 3),
+        texts[2]: (7, 5),
+        texts[3]: (5, 4),
+        texts[4]: (5, 4),
+        texts[5]: (6, 0),
+        texts[6]: (2, 0),
+        texts[7]: (9, 6),
+    }

@@ -457,3 +457,90 @@ def ngram_containment(a: Column, b: Column, n: int = 2) -> Column:
     )
     # see ngram_jaccard: size(NULL array) is -1, so gate null inputs
     return F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(score)
+
+
+def duplicate_kgram_spans(
+    texts: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-substring spans (ExactSubstr-style dedup,
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a token k-gram that occurs in MORE THAN ONE distinct text
+    is a duplicated substring; every corpus position it covers is a
+    duplicated token. Overlapping hits are merged into maximal spans per
+    text (gaps-and-islands), so ``dup_tokens`` counts each token once no
+    matter how many duplicated k-grams cover it.
+
+    Input must be one row per DISTINCT text (clone-collapse upstream —
+    exact clones are the exact-dedup operator's job; this one finds the
+    partial overlaps exact dedup misses). Returns
+    ``(text_col, n_tokens, dup_tokens)`` — one row per input text,
+    ``dup_tokens = 0`` when nothing is duplicated.
+
+    Scale shape: the k-gram join key is md5(k-gram) — a uniform 32-char
+    key, so the duplicate-gram groupBy shuffles evenly regardless of
+    token skew (the paper's suffix-array pass is a single-machine
+    algorithm; banding on gram hashes is the distributed equivalent).
+    The island-merge windows partition by text, so state per window is
+    bounded by a single document's hit count, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    w_toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col(text_col))), F.lit(r"\S+"), F.lit(0)
+    )
+    toks = texts.select(text_col).select(
+        text_col, w_toks.alias("_w"), F.size(w_toks).alias("n_tokens")
+    )
+    # sequence() flips to step -1 when start > stop, so short texts must
+    # be gated to an explicit empty array rather than sequence(0, n-k).
+    grams = toks.select(
+        text_col,
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= k,
+                F.expr(
+                    f"transform(sequence(0, size(_w) - {k}),"
+                    f" i -> md5(array_join(slice(_w, i + 1, {k}), ' ')))"
+                ),
+            ).otherwise(F.array(F.lit(None)).cast("array<string>"))
+        ).alias("i", "g"),
+    ).filter(F.col("g").isNotNull())
+    # duplicated gram = appears in >= 2 distinct texts; the (g, text)
+    # distinct collapses within-text repeats before the count.
+    dup_grams = (
+        grams.select("g", text_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup_grams, "g", "left_semi")
+    # merge overlapping [i, i+k) hit intervals per text: island starts
+    # where a hit begins past the running max end of everything before it
+    win = Window.partitionBy(text_col).orderBy("i")
+    prev_end = F.max(F.col("i") + k).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.select(
+        text_col,
+        "i",
+        F.when(F.col("i") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("_brk"),
+    ).withColumn("_island", F.sum("_brk").over(win))
+    per_text_dup = (
+        islands.groupBy(text_col, "_island")
+        .agg((F.max("i") + k - F.min("i")).alias("_span"))
+        .groupBy(text_col)
+        .agg(F.sum("_span").alias("dup_tokens"))
+    )
+    return (
+        toks.select(text_col, "n_tokens")
+        .join(per_text_dup, text_col, "left")
+        .select(
+            text_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )

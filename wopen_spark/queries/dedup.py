@@ -18,7 +18,13 @@ from wopen_spark.operators.dedup import (
     ngram_jaccard,
     simhash,
 )
-from wopen_spark.queries.registry import _per_distinct_text, _spread, _t, query
+from wopen_spark.queries.registry import (
+    _inherit,
+    _per_distinct_text,
+    _spread,
+    _t,
+    query,
+)
 
 # DuckDB fragments mirroring operators.dedup._word_shingles / minhash
 _DUCK_WORDS = "regexp_extract_all(lower(trim(text)), '\\S+')"
@@ -877,3 +883,127 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(same).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring spans (ExactSubstr dedup, Lee et al. 2022):
+# a token 8-gram occurring in >= 2 distinct texts marks every position
+# it covers as duplicated; overlapping hits merge into maximal spans, so
+# a token is counted once however many duplicate grams cover it. This is
+# the partial-overlap dedup pass that exact/doc-level dedup misses and
+# MinHash only approximates — per-source duplicated-token mass is the
+# dedup-priority signal for a training mixture.
+# ---------------------------------------------------------------------------
+_SPAN_K = 8
+
+_DUCK_SPANS = f"""
+    dt AS (SELECT DISTINCT text FROM documents),
+    toks AS (SELECT text, {_DUCK_WORDS} AS w FROM dt),
+    pos AS (SELECT text, w,
+                   unnest(range(0, greatest(len(w) - {_SPAN_K} + 1, 0))) AS i
+            FROM toks),
+    grams AS (SELECT text, i,
+                     md5(array_to_string(w[i+1:i+{_SPAN_K}], ' ')) AS g
+              FROM pos),
+    dup AS (SELECT g FROM (SELECT DISTINCT g, text FROM grams)
+            GROUP BY g HAVING COUNT(*) > 1),
+    hits AS (SELECT text, i FROM grams WHERE g IN (SELECT g FROM dup)),
+    brks AS (
+      SELECT text, i,
+        CASE WHEN i > COALESCE(MAX(i + {_SPAN_K}) OVER (
+               PARTITION BY text ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (SELECT text, i, SUM(brk) OVER (PARTITION BY text ORDER BY i)
+                   AS island FROM brks),
+    spans AS (SELECT text, MIN(i) AS s, MAX(i) + {_SPAN_K} AS e
+              FROM isl GROUP BY text, island),
+    pt AS (SELECT text, SUM(e - s) AS dup FROM spans GROUP BY text),
+    nt AS (SELECT text, len(w) AS n_tokens FROM toks)
+"""
+
+
+@query(
+    "dup_span_source_stats",
+    oracle=f"""
+    WITH {_DUCK_SPANS}
+    SELECT d.source,
+           CAST(SUM(nt.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(pt.dup, 0)) AS BIGINT) AS dup_tokens,
+           round(CAST(SUM(COALESCE(pt.dup, 0)) AS DOUBLE)
+                 / SUM(nt.n_tokens), 6) AS dup_token_fraction
+    FROM documents d JOIN nt USING (text) LEFT JOIN pt USING (text)
+    GROUP BY source ORDER BY source
+    """,
+)
+def dup_span_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span detection runs once per DISTINCT text (the operator
+    contract); clones inherit their text's (n_tokens, dup_tokens) via the
+    gated rejoin and only the per-source weighting sees all rows. Exact
+    integer token counts; the single float is a rounded ratio of longs."""
+    from wopen_spark.operators.dedup import duplicate_kgram_spans
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    per_text = duplicate_kgram_spans(
+        d.select("text").distinct(), "text", k=_SPAN_K
+    )
+    return (
+        _inherit(
+            d.select("source", "text"),
+            per_text,
+            ["text"],
+            gate=d.select("text").distinct(),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(
+                F.sum("dup_tokens").cast("double") / F.sum("n_tokens"), 6
+            ).alias("dup_token_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dup_span_docs",
+    oracle=f"""
+    WITH {_DUCK_SPANS}
+    SELECT d.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(pt.dup AS BIGINT) AS dup_tokens,
+           round(CAST(pt.dup AS DOUBLE) / nt.n_tokens, 6) AS dup_fraction
+    FROM documents d JOIN nt USING (text) JOIN pt USING (text)
+    WHERE pt.dup > 0
+    ORDER BY doc_id
+    """,
+)
+def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level duplicate-span report: every document carrying at least
+    one cross-document duplicated 8-gram span, with its duplicated-token
+    count and fraction — the row-level input a span-removal rewrite (or
+    a drop-if-mostly-duplicated filter) consumes downstream."""
+    from wopen_spark.operators.dedup import duplicate_kgram_spans
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    per_text = duplicate_kgram_spans(
+        d.select("text").distinct(), "text", k=_SPAN_K
+    ).filter(F.col("dup_tokens") > 0)
+    return (
+        _inherit(
+            d.select("doc_id", "text"),
+            per_text,
+            ["text"],
+            gate=d.select("text").distinct(),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
