@@ -1189,3 +1189,38 @@ def test_duplicate_kgram_spans_semantics(spark):
         texts[6]: (2, 0),
         texts[7]: (9, 6),
     }
+
+
+def test_nb_classifier_fixed_point_semantics(spark):
+    """Tiny hand-checkable NB: two separable labels with one overlap
+    token; predictions argmax exact integer scores with (score DESC,
+    label ASC) tie-breaks; unseen-for-label words fall to the L0 floor
+    rather than -inf."""
+    from wopen_spark.operators.classify import _SCALE, nb_predict, nb_train
+    import math
+
+    rows = [
+        ("en", "the", 3), ("en", "cat", 2), ("en", "shared", 1),
+        ("fr", "le", 3), ("fr", "chat", 2), ("fr", "shared", 1),
+    ]
+    labeled = spark.createDataFrame(rows, ["label", "token", "tf"])
+    model = nb_train(labeled)
+    lm = {r["label"]: r.asDict() for r in model["label"].collect()}
+    # V=5 distinct tokens, total per label = 6
+    assert lm["en"]["total_tokens"] == 6
+    assert lm["en"]["l0"] == round(math.log(1.0 / (6 + 5)) * _SCALE)
+    wm = {(r["token"], r["label"]): r["l_delta"] for r in model["word"].collect()}
+    assert wm[("the", "en")] == round(math.log(4.0 / 11) * _SCALE) - lm["en"]["l0"]
+
+    docs = spark.createDataFrame(
+        [("d1", "the", 2), ("d1", "cat", 1),
+         ("d2", "le", 1), ("d2", "chat", 1),
+         ("d3", "shared", 2)],  # symmetric evidence -> tie -> 'en' wins
+        ["text", "token", "tf"],
+    )
+    priors = spark.createDataFrame(
+        [("en", 0), ("fr", 0)], ["label", "prior"]
+    ).select("label", F.col("prior").cast("long").alias("prior"))
+    pred = {r["text"]: r["predicted"]
+            for r in nb_predict(docs, model, priors).collect()}
+    assert pred == {"d1": "en", "d2": "fr", "d3": "en"}

@@ -23,5 +23,6 @@ from wopen_spark.queries import tpch_q  # noqa: E402,F401
 from wopen_spark.queries import index_q  # noqa: E402,F401
 from wopen_spark.queries import mixture_q  # noqa: E402,F401
 from wopen_spark.queries import sql_q  # noqa: E402,F401
+from wopen_spark.queries import classify_q  # noqa: E402,F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]
