@@ -190,3 +190,62 @@ def test_cdf_drives_incremental_aggregate(spark, table):
         for r in table.read().groupBy("grp").agg(F.sum("val").alias("s")).collect()
     }
     assert folded == full == {"a": 35, "b": 5}
+
+
+def test_changefeed_loader_exactly_once(spark, tmp_path):
+    """ChangeFeedLoader folds each upstream commit range once: per-batch
+    signed deltas reconstruct the upstream sum, a caught-up loader
+    no-ops, a second loader instance (fresh process) resumes from the
+    target's txn watermark instead of refolding, and a maintenance-only
+    head advance commits just the watermark."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.streaming.changefeed import ChangeFeedLoader
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    tgt = SnapshotTable(spark, str(tmp_path / "mv"))
+
+    def fold(ch):
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        return ch.groupBy("v").agg(
+            F.sum(sign * F.col("id")).cast("long").alias("d")
+        )
+
+    loader = ChangeFeedLoader(src, tgt, app="mv/t", fold=fold)
+    assert loader.run_once() is None  # source not created yet
+
+    src.create(_mk(spark, [(1, "a"), (2, "a"), (10, "b")]))
+    assert loader.run_once() == (0, 1)
+    src.append(_mk(spark, [(4, "a")]))
+    src.delete_where("id = 2")
+    assert loader.run_until_caught_up() == [(1, 3)]
+    assert loader.run_once() is None
+
+    def mv():
+        return {
+            r["v"]: r["s"]
+            for r in tgt.read().groupBy("v").agg(F.sum("d").alias("s")).collect()
+        }
+
+    assert mv() == {"a": 5, "b": 10}
+
+    # fresh loader (new process): watermark lives in the TARGET's log
+    loader2 = ChangeFeedLoader(src, tgt, app="mv/t", fold=fold)
+    assert loader2.committed() == 3
+    assert loader2.run_once() is None
+
+    # maintenance-only advance: no changes, watermark still moves
+    src.compact()
+    assert loader2.run_once() == (3, 4)
+    assert mv() == {"a": 5, "b": 10}
+    assert loader2.committed() == 4
+
+    # replayed batch (crash after commit, rerun): txn ledger rejects it
+    v_before = tgt.latest_version()
+    tgt.append(
+        fold(src.read_changes(1, 3)), txn_app="mv/t", txn_version=3
+    )
+    assert tgt.latest_version() == v_before
+    assert mv() == {"a": 5, "b": 10}

@@ -9,9 +9,10 @@ primitives, so these pin both the SQL surface and the view semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wopen_spark.queries.dedup import DUCK_LSH_PAIRS
-from wopen_spark.queries.registry import query
+from wopen_spark.queries.registry import _t, query
 
 
 def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
@@ -216,3 +217,82 @@ def snapshot_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert r2["rows_masked"] == 0, "stacked dv re-matched masked rows"
     return t.read().orderBy("c_custkey")
+
+
+@query(
+    "snapshot_cdf_incremental_mv",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 4 = 2 AND o_totalprice < 50000
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 7)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(price AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM live GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view over a SnapshotTable change feed,
+    exactly once: upstream takes four commits (create half the orders,
+    append the rest, dv-delete a slice, dv-update a price band); after
+    EACH commit a ChangeFeedLoader folds only that commit's changes into
+    signed per-priority deltas (+insert/-delete; the update nets its
+    delete+insert pair) and appends them to a downstream delta-log table
+    in one atomic commit that carries the upstream-version watermark.
+    The MV read — a sum over the delta log — must equal the oracle's
+    from-scratch aggregation of the final upstream state; a replayed
+    batch (asserted) is a watermark no-op, so drained twice equals
+    drained once. This is how a 100 TB rollup stays fresh: per-commit
+    O(changed files) work, never a table rescan."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.streaming.changefeed import ChangeFeedLoader
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="wopen_cdf_mv_")
+    src = SnapshotTable(spark, root + "/orders")
+    tgt = SnapshotTable(spark, root + "/mv_deltas")
+
+    def fold(ch: DataFrame) -> DataFrame:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        return ch.groupBy("o_orderpriority").agg(
+            F.sum(sign).cast("long").alias("d_count"),
+            F.sum(
+                sign * F.col("o_totalprice").cast("decimal(28,2)")
+            ).cast("decimal(28,2)").alias("d_price"),
+        )
+
+    loader = ChangeFeedLoader(src, tgt, app="mv/orders_by_priority", fold=fold)
+
+    src.create(orders.filter(F.col("o_orderkey") % 4 < 2).repartition(4))
+    assert loader.run_once() == (0, 1)
+    src.append(orders.filter(F.col("o_orderkey") % 4 >= 2).repartition(4))
+    assert loader.run_once() == (1, 2)
+    src.delete_where("o_orderstatus = 'F' AND o_orderkey % 10 = 7", mode="dv")
+    src.update_where(
+        "o_orderkey % 4 = 2 AND o_totalprice < 50000",
+        {"o_totalprice": "o_totalprice * 2"},
+        mode="dv",
+    )
+    assert loader.run_until_caught_up() == [(2, 4)]
+    assert loader.run_once() is None, "caught-up loader must be a no-op"
+
+    return (
+        tgt.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("d_count").cast("long").alias("n_orders"),
+            F.sum("d_price").cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority")
+    )

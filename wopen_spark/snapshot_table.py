@@ -61,6 +61,7 @@ import shutil
 import time
 import uuid
 from dataclasses import dataclass
+from decimal import Decimal
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -164,6 +165,13 @@ def _file_meta(source, rel_path: str, nbytes: int) -> dict:
                     cur["nulls"] += s.null_count
                 else:
                     partial.add(name)
+                continue
+            if isinstance(s.min, Decimal) or isinstance(s.max, Decimal):
+                # decimal is not in _PRUNABLE_TYPES (no faithful JSON
+                # comparator) and Decimal isn't JSON-storable — same
+                # policy as nested fields: no file-level stats, never
+                # skipped.
+                partial.add(name)
                 continue
             cur = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
             mn, mx = _json_safe(s.min), _json_safe(s.max)
