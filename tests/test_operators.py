@@ -1224,3 +1224,61 @@ def test_nb_classifier_fixed_point_semantics(spark):
     pred = {r["text"]: r["predicted"]
             for r in nb_predict(docs, model, priors).collect()}
     assert pred == {"d1": "en", "d2": "fr", "d3": "en"}
+
+
+def test_ivfpq_index_persist_search_incremental_timetravel(spark, tmp_path):
+    """Persisted IVF-PQ index: search-from-tables equals the in-session
+    pipeline bit-for-bit; incremental_encode appends only new codes
+    (quantizers frozen); time travel searches the pre-append index."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wopen_spark.operators.ann_index import IvfPqIndex
+    from wopen_spark.operators.similarity import pq_codebooks
+
+    rng = random.Random(11)
+    dim, n = 8, 40
+    pool = {
+        i: [rng.uniform(-1, 1) for _ in range(dim)]
+        for i in [*range(n), *range(100, 110)]
+    }
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, pool[i]) for i in ids], "vec_id long, v array<double>"
+        )
+
+    base = vecs(range(n))
+    cents = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec")
+    )
+    books = pq_codebooks(m=2, k=4, dim=dim, seed="t")
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), base, cents, books)
+    assert idx.load_codebooks() == books  # parquet round-trips the floats
+
+    q = base.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    out1, report = idx.search(q, nprobe=2, topk=3)
+    r1 = [tuple(r) for r in out1.collect()]
+    assert {row[0] for row in r1} == {0, 1}
+    assert all(len([x for x in r1 if x[0] == qid]) == 3 for qid in (0, 1))
+    assert report["files_read"] <= report["files_total"]
+    v1 = idx.codes.latest_version()
+
+    # incremental: 10 new vectors appended as codes only
+    idx.incremental_encode(vecs(range(100, 110)))
+    out2, _ = idx.search(q, nprobe=2, topk=3)
+    r2 = [tuple(r) for r in out2.collect()]
+    # fresh rebuild over the union must give the same answer
+    rebuilt = IvfPqIndex.build(
+        spark, str(tmp_path / "idx2"),
+        vecs(range(n)).unionByName(vecs(range(100, 110))), cents, books,
+    )
+    out3, _ = rebuilt.search(q, nprobe=2, topk=3)
+    assert r2 == [tuple(r) for r in out3.collect()]
+
+    # time travel: pre-append index still answers like r1
+    out_tt, _ = idx.search(q, nprobe=2, topk=3, version=v1)
+    assert [tuple(r) for r in out_tt.collect()] == r1

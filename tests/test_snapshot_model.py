@@ -107,7 +107,8 @@ def test_snapshot_random_op_sequence_matches_model(
     for step in range(N_OPS):
         op = rng.choice(
             ["append", "append", "merge", "dvmerge", "delete", "dvdelete",
-             "update", "rename", "widen", "compact", "zorder", "binpack"]
+             "update", "rename", "widen", "compact", "zorder", "binpack",
+             "constraint"]
         )
         if op == "append":
             rows = [
@@ -193,6 +194,29 @@ def test_snapshot_random_op_sequence_matches_model(
             table.optimize_small_files(max_file_bytes=1 << 30)
         elif op == "zorder":
             table.optimize_zorder(["id", "x"], target_files=4, bits_per_col=3)
+        elif op == "constraint":
+            # toggle a CHECK on x (never renamed in this model): adding
+            # validates the whole current table; while active, a
+            # violating append is rejected WHOLE (model unchanged) and a
+            # rename of the constrained column is blocked; dropping
+            # re-opens the gate. Rides across dv masks, widen, zorder,
+            # checkpoints — the interactions no single-feature test hits.
+            from wopen_spark.snapshot_table import ConstraintViolationError
+
+            if "x_nonneg" not in table.constraints():
+                table.add_constraint("x_nonneg", "x >= 0")
+                with pytest.raises(ConstraintViolationError):
+                    table.append(
+                        spark.createDataFrame(
+                            [(next_id, f"bad{step}", -1)],
+                            f"id long, {val_col} string, "
+                            f"x {'long' if widened else 'int'}",
+                        ).coalesce(1)
+                    )
+                with pytest.raises(ValueError):
+                    table.rename_column("x", "x_renamed")
+            else:
+                table.drop_constraint("x_nonneg")
 
         assert _read_back(table, "id", val_col) == _expected_rows(model), (
             f"divergence after step {step} ({op})"

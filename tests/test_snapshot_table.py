@@ -764,3 +764,73 @@ def test_vacuum_sweeps_stale_parquetless_commit_dirs(spark, table):
     assert parquetless_dirs() == []
     # the real commit's data is untouched
     assert _rows(table.read().select("id", "v")) == [(1, "a")]
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, table):
+    """CHECK constraints: add validates existing rows, every ingest path
+    (append / overwrite / merge / update, both modes) rejects a violating
+    batch whole, NULL satisfies (SQL CHECK), drop re-opens the gate, and
+    the constraint set survives commits and a fresh table handle."""
+    from wopen_spark.snapshot_table import ConstraintViolationError
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, v string").coalesce(1)
+
+    table.create(mk([(1, "a"), (2, "b")]))
+    table.add_constraint("id_nonneg", "id >= 0")
+    assert table.constraints() == {"id_nonneg": "id >= 0"}
+
+    # adding a constraint the CURRENT rows violate must fail, not commit
+    v = table.latest_version()
+    with pytest.raises(ConstraintViolationError):
+        table.add_constraint("id_small", "id < 2")
+    assert table.latest_version() == v
+    with pytest.raises(ValueError):
+        table.add_constraint("id_nonneg", "true")  # duplicate name
+    with pytest.raises(ValueError):
+        table.add_constraint("bad name!", "true")
+
+    # append: rejected whole; table unchanged
+    with pytest.raises(ConstraintViolationError) as ei:
+        table.append(mk([(3, "c"), (-1, "x")]))
+    assert "id_nonneg" in str(ei.value)
+    assert table.latest_version() == v
+    assert _rows(table.read()) == [(1, "a"), (2, "b")]
+    # NULL passes CHECK
+    table.append(mk([(None, "n"), (3, "c")]))
+
+    # merge: incoming violating row rejected (both modes)
+    for mode in ("cow", "dv"):
+        with pytest.raises(ConstraintViolationError):
+            table.merge(mk([(-5, "m")]), key="id", mode=mode)
+    # update: assignment producing a violating image rejected (both modes)
+    for mode in ("cow", "dv"):
+        with pytest.raises(ConstraintViolationError):
+            table.update_where("id = 3", {"id": "-id"}, mode=mode)
+    # overwrite: enforced too
+    with pytest.raises(ConstraintViolationError):
+        table.overwrite(mk([(-9, "z")]))
+    assert {tuple(r) for r in table.read().collect()} == {
+        (None, "n"), (1, "a"), (2, "b"), (3, "c")
+    }
+
+    # passing update still lands
+    table.update_where("id = 3", {"id": "id + 10"}, mode="dv")
+    got = {tuple(r) for r in table.read().collect()}
+    assert (None, "n") in got and (13, "c") in got
+
+    # drop: violating append now lands; unknown drop raises
+    with pytest.raises(ValueError):
+        table.drop_constraint("nope")
+    table.drop_constraint("id_nonneg")
+    table.append(mk([(-1, "x")]))
+    assert table.constraints() == {}
+
+    # constraint set survives a checkpoint rollup and a fresh handle
+    table.add_constraint("v_nonempty", "length(v) > 0")
+    for i in range(CHECKPOINT_EVERY + 1):
+        table.append(mk([(100 + i, f"r{i}")]))
+    fresh = SnapshotTable(spark, table.path, log_store=table._store)
+    assert fresh.constraints() == {"v_nonempty": "length(v) > 0"}
+    with pytest.raises(ConstraintViolationError):
+        fresh.append(mk([(200, "")]))

@@ -1762,3 +1762,35 @@ def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@query("ivfpq_index_search_top10", oracle=_duck_ivfpq_oracle())
+def ivfpq_index_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ivfpq_adc_top10 pipeline THROUGH a persisted index: the coarse
+    centroids, PQ codebooks, and residual codes are written to
+    SnapshotTables (codes clustered by centroid_id), the session-local
+    artifacts are discarded, and the search runs entirely from the
+    tables — coarse-assign against persisted centroids, file-pruned scan
+    of only the probed lists' code files, residual ADC with codebooks
+    read back from storage. Must hash-match the same oracle as the
+    in-session pipeline: parquet doubles round-trip IEEE bits, so a
+    persisted index search is bit-identical to a fresh one. This is the
+    build-once / search-many shape a 1B-vector corpus requires."""
+    import tempfile
+
+    from wopen_spark.operators.ann_index import IvfPqIndex
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < _IVFPQ_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec")
+    )
+    root = tempfile.mkdtemp(prefix="wopen_ivfpq_idx_") + "/index"
+    idx = IvfPqIndex.build(spark, root, e, cents, _PQ_CB)
+    queries_df = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    out, report = idx.search(queries_df, nprobe=_IVFPQ_NPROBE, topk=10)
+    assert report["files_read"] <= report["files_total"]
+    return out

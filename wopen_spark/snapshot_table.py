@@ -84,6 +84,10 @@ class VacuumedVersionError(RuntimeError):
     """Time travel target references files removed by vacuum."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """Incoming rows violate a CHECK constraint (write rejected whole)."""
+
+
 def uri_to_path(uri: str) -> str:
     """Normalize a *local* Spark ``input_file_name()`` URI (``file:/…``,
     ``file:///…``) or a bare path to a plain filesystem path for
@@ -1049,6 +1053,7 @@ class SnapshotTable:
             "column_mapping": None,
             "retired_phys": [],
         }
+        constraints: dict[str, str] = {}
         txns: dict[str, int] = {}
         start_idx = 0
         for i in range(len(vs) - 1, -1, -1):  # newest checkpoint <= target
@@ -1060,6 +1065,7 @@ class SnapshotTable:
                 state["cluster_by"] = cp.get("cluster_by")
                 state["column_mapping"] = cp.get("column_mapping")
                 state["retired_phys"] = cp.get("retired_phys", [])
+                constraints = dict(cp.get("constraints", {}))
                 txns = dict(cp.get("txns", {}))
                 start_idx = i + 1
                 break
@@ -1087,11 +1093,18 @@ class SnapshotTable:
                 state["column_mapping"] = c["column_mapping"]
             if c.get("retired_phys") is not None:
                 state["retired_phys"] = c["retired_phys"]
+            if c.get("constraint_add"):
+                constraints.update(c["constraint_add"])
+            if c.get("constraint_drop"):
+                constraints.pop(c["constraint_drop"], None)
             if c.get("txn_app") is not None:
                 txns[c["txn_app"]] = max(
                     txns.get(c["txn_app"], -1), c.get("txn_version", -1)
                 )
-        return {"files": files, "dvs": dvs, "version": target, "txns": txns, **state}
+        return {
+            "files": files, "dvs": dvs, "version": target, "txns": txns,
+            "constraints": constraints, **state,
+        }
 
     def _try_commit(self, version: int, record: dict) -> None:
         """The atomic publish: one put-if-absent of the next log blob,
@@ -1129,6 +1142,7 @@ class SnapshotTable:
                             "cluster_by": st["cluster_by"],
                             "column_mapping": st["column_mapping"],
                             "retired_phys": st["retired_phys"],
+                            "constraints": st["constraints"],
                             "txns": st["txns"],
                         }
                     ).encode(),
@@ -1335,6 +1349,8 @@ class SnapshotTable:
         state = self._state()
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return state["version"]  # replayed batch: already committed
+        self._enforce(df, state["constraints"])
+        enforced = state["constraints"]
         schema, mapping = self._merged_schema(state, df)
         write_mapping = mapping if mapping is not None else state["column_mapping"]
         df = self._conform(df, schema)
@@ -1353,6 +1369,12 @@ class SnapshotTable:
                 state = self._state()
                 if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
                     return state["version"]  # the racer WAS our replay
+                # the racer may have ADDED a constraint: re-enforce when
+                # the active set changed (Delta fails such txns outright;
+                # an add-only append can simply re-validate and proceed)
+                if state["constraints"] != enforced:
+                    self._enforce(df, state["constraints"])
+                    enforced = state["constraints"]
                 # re-merge against the new head: our files are already
                 # written and stay valid against a racer's WIDENING
                 # (narrow files read through a wider schema). Pass the
@@ -1392,6 +1414,86 @@ class SnapshotTable:
         make N streaming micro-batches cost O(N²) commit parses."""
         return state["txns"].get(app, -1) >= version
 
+    # -------------------------------------------------------- constraints
+
+    _CONSTRAINT_NAME = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+    def _enforce(self, df: DataFrame, constraints: dict[str, str]) -> None:
+        """Reject the batch if ANY row violates ANY CHECK constraint —
+        one aggregate pass over the incoming rows counting violations
+        per constraint (SQL CHECK semantics: NULL passes). Runs on the
+        LOGICAL frame, before physical-name conform. Cost at scale: one
+        columnar scan of the batch being written, never of the table."""
+        if not constraints:
+            return
+        names = sorted(constraints)
+        counts = df.agg(
+            *[
+                F.count(
+                    F.when(
+                        ~F.coalesce(
+                            F.expr(constraints[n]).cast("boolean"), F.lit(True)
+                        ),
+                        1,
+                    )
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        bad = {n: counts[f"c{i}"] for i, n in enumerate(names) if counts[f"c{i}"]}
+        if bad:
+            detail = ", ".join(
+                f"{n} ({constraints[n]!r}): {c} row(s)" for n, c in bad.items()
+            )
+            raise ConstraintViolationError(
+                f"write to {self.path} rejected - CHECK violated: {detail}"
+            )
+
+    def add_constraint(self, name: str, expr_sql: str) -> int:
+        """ADD CONSTRAINT name CHECK (expr): validates the CURRENT table
+        first (every existing row must satisfy the constraint - the
+        Delta contract), then commits a dataChange=false metadata record.
+        Every later append/overwrite/merge/update enforces it on the
+        incoming rows and rejects the whole batch on violation."""
+        if not self._CONSTRAINT_NAME.match(name):
+            raise ValueError(f"constraint name must be an identifier: {name!r}")
+        state = self._state()
+        if name in state["constraints"]:
+            raise ValueError(f"constraint {name} already exists")
+        if state["files"]:
+            self._enforce(self._read_snapshot(state), {name: expr_sql})
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "add_constraint",
+                "constraint_add": {name: expr_sql},
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def drop_constraint(self, name: str) -> int:
+        state = self._state()
+        if name not in state["constraints"]:
+            raise ValueError(f"no constraint named {name}")
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "drop_constraint",
+                "constraint_drop": name,
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: {name: sql_expr}."""
+        return dict(self._state()["constraints"])
+
     def streaming_sink(self, txn_app: str):
         """A ``foreachBatch`` callable with exactly-once semantics: the
         micro-batch epoch id becomes the transaction version, so replayed
@@ -1420,6 +1522,7 @@ class SnapshotTable:
         a fresh physical when their name is occupied by any old file's
         physical (e.g. re-introducing a name a rename freed)."""
         state = self._state()
+        self._enforce(df, state["constraints"])
         old_mapping = state["column_mapping"] or {}
         old_fields = (
             T.StructType.fromJson(state["schema"]).fieldNames()
@@ -1463,6 +1566,18 @@ class SnapshotTable:
         )
         return state["version"] + 1
 
+    @staticmethod
+    def _constraints_referencing(constraints: dict[str, str], col: str) -> list[str]:
+        """Conservative identifier match: constraint names whose CHECK
+        expression mentions ``col`` as a word. Used to block rename/drop
+        of a constrained column (the Delta rule) — a stale name in a
+        stored expression would fail analysis on the NEXT write, far
+        from the schema change that broke it."""
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        return sorted(n for n, e in constraints.items() if pat.search(e))
+
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column rename: data files keep the column's
         PHYSICAL name (fixed at creation); only the logical name in the
@@ -1477,6 +1592,12 @@ class SnapshotTable:
             raise ValueError(f"no column {old!r} (have {names})")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        refs = self._constraints_referencing(state["constraints"], old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{refs}; drop them first"
+            )
         mapping = dict(state["column_mapping"] or {})
         mapping[new] = mapping.pop(old, old)
         fields = [
@@ -1515,6 +1636,12 @@ class SnapshotTable:
             raise ValueError(f"no column {name!r} (have {names})")
         if len(names) == 1:
             raise ValueError("cannot drop the only column")
+        refs = self._constraints_referencing(state["constraints"], name)
+        if refs:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) "
+                f"{refs}; drop them first"
+            )
         mapping = dict(state["column_mapping"] or {})
         retired = list(state.get("retired_phys", []))
         retired.append(mapping.pop(name, name))
@@ -1750,6 +1877,7 @@ class SnapshotTable:
         schema, mapping = self._merged_schema(state, df)
         eff_mapping = mapping if mapping is not None else state["column_mapping"]
         new_rows = self._conform(df, schema)
+        self._enforce(new_rows, state["constraints"])
         key_df = new_rows.select(*keys).distinct()
         candidates, skipped = self._candidate_files(state, keys, key_df)
         if mode == "dv":
@@ -1939,8 +2067,10 @@ class SnapshotTable:
             dv_add, masked_rels, n_rows = self._write_dv(state, matched)
             adds = []
             if dv_add:
+                updated = _apply(matched.drop(_DV_FILE, _DV_ROW))
+                self._enforce(updated, state["constraints"])
                 adds = self._write_files(
-                    _apply(matched.drop(_DV_FILE, _DV_ROW)),
+                    updated,
                     state["cluster_by"],
                     state["column_mapping"],
                 )
@@ -1978,6 +2108,7 @@ class SnapshotTable:
                     for f in schema.fields
                 ]
             )
+            self._enforce(kept, state["constraints"])
             adds = self._write_files(
                 kept, state["cluster_by"], state["column_mapping"]
             )
