@@ -150,20 +150,19 @@ class IvfPqIndex:
             .join(F.broadcast(cents), "centroid_id")
             .select("query_id", "centroid_id", _RESIDUAL.alias("qres"))
         )
-        # the probed-list id set is (queries x nprobe) tiny — collect it
-        # to drive FILE pruning on the codes table; the probe frame
-        # itself stays a broadcast DataFrame (no driver roundtrip of the
-        # residual floats)
-        probed_ids = sorted(
-            r["centroid_id"]
-            for r in probes.select("centroid_id").distinct().collect()
-        )
+        # the probe set is (queries x nprobe) tiny — collect it ONCE to
+        # drive file pruning on the codes table AND to rebuild the
+        # broadcast probe frame (doubles round-trip py4j exactly), so the
+        # centroid-assignment subtree runs a single time
+        probe_rows = probes.collect()
+        probed_ids = sorted({r["centroid_id"] for r in probe_rows})
+        probe_df = self.spark.createDataFrame(probe_rows, probes.schema)
         coded, report = self.codes.read_where(
             {"centroid_id": (probed_ids[0], probed_ids[-1])},
             version=version,
         )
         coded = coded.filter(F.col("centroid_id").isin(probed_ids))
-        scored = coded.join(F.broadcast(probes), "centroid_id").select(
+        scored = coded.join(F.broadcast(probe_df), "centroid_id").select(
             "query_id",
             "vec_id",
             F.round(

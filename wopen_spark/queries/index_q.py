@@ -435,3 +435,115 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation-aware near-dup survivor: instead of keeping the MIN doc_id
+# per transitive cluster (near_dup_keep_corpus), keep the HIGHEST
+# QUALITY member — the policy real training-data dedup ships (drop the
+# truncated/boilerplate copy, keep the clean one). Same LSH -> CC
+# machinery (shared plan caches); quality computes once per DISTINCT
+# text; the only new shuffle is the per-component argmax window, whose
+# partitions are cluster-sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+_DUCK_QUALITY = """round(
+      0.4 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000
+                  THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                    / length(text)::DOUBLE ELSE 0.0 END)
+      + 0.3 * least(CAST(1.0 AS DOUBLE),
+          (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+           THEN ({stop})::DOUBLE
+                / len(regexp_extract_all(text, '\\S+'))::DOUBLE
+           ELSE 0.0 END) * 8),
+      6)"""
+
+
+def _keep_best_oracle() -> str:
+    from wopen_spark.queries.text_analysis import _STOP_SUM
+
+    quality = _DUCK_QUALITY.format(stop=_STOP_SUM)
+    return f"""
+    WITH RECURSIVE pairs AS ({DUCK_LSH_PAIRS}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    rep_comp AS (
+      SELECT a AS rep_id, MIN(b) AS component FROM reach GROUP BY a
+    ),
+    {DUCK_LSH_REPS}
+    , labeled AS (
+      SELECT d.doc_id, coalesce(rc.component, rm.doc_id) AS component,
+             {quality} AS quality
+      FROM documents d
+      JOIN reps rm USING (text)
+      LEFT JOIN rep_comp rc ON rc.rep_id = rm.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                 ORDER BY quality DESC, doc_id) AS rk
+      FROM labeled
+    ),
+    sizes AS (SELECT component, COUNT(*) AS n_docs FROM labeled GROUP BY 1)
+    SELECT r.component, r.doc_id AS keeper_doc_id,
+           r.quality AS keeper_quality, s.n_docs
+    FROM ranked r JOIN sizes s USING (component)
+    WHERE r.rk = 1
+    ORDER BY r.component
+    """
+
+
+@query("near_dup_keep_best_quality", oracle=_keep_best_oracle())
+def near_dup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wopen_spark.functions.text import quality_score
+
+    reps = _lsh_reps(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        reps, id_col="doc_id", text_col="text", n_hashes=8, n_bands=4
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    rep_of = reps.withColumnRenamed("doc_id", "rep_id")
+    comp_of = comps.withColumnRenamed("node", "rep_id")
+    labeled = (
+        _inherit(_inherit(d, rep_of, ["text"]), comp_of, ["rep_id"], how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("rep_id")).alias("component"),
+            "text",
+        )
+    )
+    qual = (
+        d.select("text")
+        .distinct()
+        .select("text", quality_score(F.col("text")).alias("quality"))
+    )
+    labeled = _inherit(
+        labeled, qual, ["text"], gate=d.select("text").distinct()
+    ).drop("text")
+    win = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        labeled.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .join(sizes, "component")
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality").alias("keeper_quality"),
+            "n_docs",
+        )
+        .orderBy("component")
+    )

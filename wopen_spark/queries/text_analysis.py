@@ -11,7 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.functions.text import LANG_MARKERS, STOPWORDS, language_id, quality_score
-from wopen_spark.queries.registry import _per_distinct_text, _spread, _t, query
+from wopen_spark.queries.registry import (
+    _inherit,
+    _per_distinct_text,
+    _spread,
+    _t,
+    query,
+)
 
 
 def _duck_word_count(word: str) -> str:
@@ -600,6 +606,94 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("r_dup")).cast("long")).alias("fail_dupword"),
             F.sum((~F.col("r_stop")).cast("long")).alias("fail_stopword"),
             F.round(F.sum(keep.cast("long")) / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# Corpus diversity: distinct-bigram ratio per source (distinct-n, the
+# standard text-generation diversity metric applied to a training
+# mixture — a low ratio flags a templated/boilerplate-heavy source that
+# dedup alone won't fix). Bigrams enumerate once per DISTINCT text;
+# totals weight by clone count (exact longs); the distinct side counts
+# (source, bigram) pairs — clones add nothing, so the shuffle is
+# bounded by the distinct-text gram volume.
+@query(
+    "distinct_bigram_ratio_by_source",
+    oracle="""
+    WITH dt AS (SELECT DISTINCT text FROM documents),
+    toks AS (SELECT text, regexp_extract_all(lower(text), '\\S+') AS w FROM dt),
+    bg AS (
+      SELECT text, unnest(list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1])) AS g
+      FROM toks
+    ),
+    per_text AS (SELECT text, COUNT(*) AS nb FROM bg GROUP BY text),
+    tot AS (
+      SELECT d.source, CAST(SUM(COALESCE(pt.nb, 0)) AS BIGINT) AS total_bigrams
+      FROM documents d LEFT JOIN per_text pt USING (text)
+      GROUP BY 1
+    ),
+    dst AS (
+      SELECT st.source, COUNT(DISTINCT bg.g) AS distinct_bigrams
+      FROM (SELECT DISTINCT source, text FROM documents) st
+      JOIN bg USING (text)
+      GROUP BY 1
+    )
+    SELECT t.source, t.total_bigrams,
+           CAST(d.distinct_bigrams AS BIGINT) AS distinct_bigrams,
+           round(d.distinct_bigrams::DOUBLE / t.total_bigrams, 6)
+             AS distinct_ratio
+    FROM tot t JOIN dst d USING (source)
+    ORDER BY t.source
+    """,
+)
+def distinct_bigram_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    w = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0))
+    bg = (
+        d.select("text")
+        .distinct()
+        .select("text", w.alias("w"))
+        .select(
+            "text",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                    " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"
+                )
+            ).alias("g"),
+        )
+    )
+    per_text = bg.groupBy("text").agg(F.count(F.lit(1)).alias("nb"))
+    tot = (
+        _inherit(
+            d.select("source", "text"),
+            per_text,
+            ["text"],
+            how="left",
+            gate=d.select("text").distinct(),
+        )
+        .groupBy("source")
+        .agg(F.sum(F.coalesce(F.col("nb"), F.lit(0))).cast("long").alias("total_bigrams"))
+    )
+    st = d.select("source", "text").distinct()
+    dst = (
+        _inherit(st, bg, ["text"], gate=d.select("text").distinct())
+        .select("source", "g")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_bigrams"))
+    )
+    return (
+        tot.join(dst, "source")
+        .select(
+            "source",
+            "total_bigrams",
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams").cast("double") / F.col("total_bigrams"), 6
+            ).alias("distinct_ratio"),
         )
         .orderBy("source")
     )
