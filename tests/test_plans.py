@@ -1123,3 +1123,37 @@ def test_rrf_windows_run_after_topn_cut(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_dup_span_pipeline_no_cartesian_and_md5_keys(spark):
+    """ExactSubstr spans: the dup-gram join must be a hash join on the
+    md5 gram key (uniform shuffle), never a cartesian; the island-merge
+    windows partition by text."""
+    for name in ("dup_span_source_stats", "dup_span_docs"):
+        df = _q(spark, name)
+        assert "CartesianProduct" not in join_strategies(df), name
+
+
+def test_nb_classifier_model_joins_are_hashed(spark):
+    """NB scoring: the (token, label) model join is corpus x model — no
+    cartesian anywhere; the per-label base frame is a broadcast."""
+    df = _q(spark, "nb_lang_confusion")
+    strategies = join_strategies(df)
+    assert "CartesianProduct" not in strategies
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_ivfpq_index_search_broadcasts_probes(spark):
+    """Persisted-index search: the only corpus-shaped join keys the codes
+    scan against the BROADCAST probe frame; nothing cartesian."""
+    df = _q(spark, "ivfpq_index_search_top10")
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_zipf_and_diversity_no_cartesian(spark):
+    for name in ("zipf_slope_by_source", "distinct_bigram_ratio_by_source",
+                 "near_dup_keep_best_quality"):
+        df = _q(spark, name)
+        assert "CartesianProduct" not in join_strategies(df), name

@@ -296,3 +296,52 @@ def snapshot_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "snapshot_pruned_range_read",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 2000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats file pruning made oracle-visible: orders load into a
+    SnapshotTable range-clustered by o_orderkey across 8 files, and a
+    read_where key-range scan must (a) SKIP files whose [min,max] cannot
+    intersect the range — asserted — and (b) still produce the exact
+    relational answer (the residual filter guarantees exactness whatever
+    the stats say). The read path that makes a 100 TB point-range query
+    touch O(matching files), not O(table)."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_prune_") + "/orders"
+    )
+    t.create(orders.repartition(8), cluster_by=["o_orderkey"])
+    df, report = t.read_where({"o_orderkey": (1000, 2000)})
+    assert report["files_skipped_by_stats"] > 0, (
+        f"range read should skip clustered files: {report}"
+    )
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -697,3 +697,104 @@ def distinct_bigram_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+# Zipf rank-frequency slope per source: OLS of ln(freq) on ln(rank)
+# over each source's top-100 tokens. Natural text sits near slope -1;
+# a flat or cliff-shaped curve flags templated/synthetic sources in a
+# mixture. Exactness via the round-the-MODEL discipline (same as the NB
+# classifier): both engines round the ~100 ln() doubles per source to
+# micro-nat longs FIRST, then every moment sum is integer-exact and the
+# closed-form OLS runs on identical inputs.
+@query(
+    "zipf_slope_by_source",
+    oracle="""
+    WITH dt AS (SELECT DISTINCT text FROM documents),
+    tfd AS (
+      SELECT text, t.token, COUNT(*) AS tf
+      FROM dt, unnest(regexp_extract_all(lower(text), '\\S+')) AS t(token)
+      GROUP BY 1, 2
+    ),
+    grp AS (SELECT source, text, COUNT(*) AS w FROM documents GROUP BY 1, 2),
+    cnt AS (
+      SELECT grp.source, tfd.token,
+             CAST(SUM(tfd.tf * grp.w) AS BIGINT) AS freq
+      FROM tfd JOIN grp USING (text) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, token) AS rank
+      FROM cnt
+    ),
+    pts AS (
+      SELECT source,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+      FROM ranked WHERE rank <= 100
+    ),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(lx) AS DOUBLE) / 1e6 AS sx,
+             CAST(SUM(ly) AS DOUBLE) / 1e6 AS sy,
+             CAST(SUM(lx * lx) AS DOUBLE) / 1e12 AS sxx,
+             CAST(SUM(lx * ly) AS DOUBLE) / 1e12 AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM m ORDER BY source
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    tfd = (
+        d.select("text")
+        .distinct()
+        .select(
+            "text",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(r"\S+"), F.lit(0)
+                )
+            ).alias("token"),
+        )
+        .groupBy("text", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    grp = d.groupBy("source", "text").agg(F.count(F.lit(1)).alias("w"))
+    cnt = (
+        _inherit(grp, tfd, ["text"], gate=d.select("text").distinct())
+        .groupBy("source", "token")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("long").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("token")
+    )
+    fixlog = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("long")  # noqa: E731
+    pts = (
+        cnt.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 100)
+        .select(
+            "source",
+            fixlog(F.col("rank")).alias("lx"),
+            fixlog(F.col("freq")).alias("ly"),
+        )
+    )
+    m = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("lx").cast("double") / 1e6).alias("sx"),
+        (F.sum("ly").cast("double") / 1e6).alias("sy"),
+        (F.sum(F.col("lx") * F.col("lx")).cast("double") / 1e12).alias("sxx"),
+        (F.sum(F.col("lx") * F.col("ly")).cast("double") / 1e12).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+    ).orderBy("source")
