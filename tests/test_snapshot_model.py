@@ -18,6 +18,7 @@ from wopen_spark.snapshot_table import (
     BlobDataStore,
     HadoopFsDataStore,
     InMemoryLogStore,
+    S3DataStore,
     SnapshotTable,
 )
 
@@ -56,6 +57,7 @@ def _read_back(table, id_col, val_col) -> list[tuple]:
         (41, "hadoop"),
         (53, "uri"),
         (61, "s3log"),
+        (71, "s3full"),
     ],
 )
 def test_snapshot_random_op_sequence_matches_model(
@@ -68,7 +70,7 @@ def test_snapshot_random_op_sequence_matches_model(
         data_store = BlobDataStore(str(tmp_path / "scratch"))
     elif stores == "hadoop":
         data_store = HadoopFsDataStore(spark, f"file://{tmp_path}/tbl")
-    elif stores == "s3log":
+    elif stores in ("s3log", "s3full"):
         moto = pytest.importorskip("moto")
         import boto3
 
@@ -82,6 +84,14 @@ def test_snapshot_random_op_sequence_matches_model(
         log_store = S3ConditionalPutLogStore(
             "s3://wopen-model-test/tables/t/_log", client=client
         )
+        if stores == "s3full":
+            # the ALL-S3 table: conditional-PUT commits + object data
+            # plane — no POSIX anywhere in the protocol path
+            data_store = S3DataStore(
+                "s3://wopen-model-test/tables/t",
+                str(tmp_path / "scratch"),
+                client=client,
+            )
     path = f"file://{tmp_path}/tbl" if stores == "uri" else str(tmp_path / "tbl")
     table = SnapshotTable(
         spark, path,
@@ -108,7 +118,7 @@ def test_snapshot_random_op_sequence_matches_model(
         op = rng.choice(
             ["append", "append", "merge", "dvmerge", "delete", "dvdelete",
              "update", "rename", "widen", "compact", "zorder", "binpack",
-             "constraint"]
+             "constraint", "recluster"]
         )
         if op == "append":
             rows = [
@@ -194,6 +204,13 @@ def test_snapshot_random_op_sequence_matches_model(
             table.optimize_small_files(max_file_bytes=1 << 30)
         elif op == "zorder":
             table.optimize_zorder(["id", "x"], target_files=4, bits_per_col=3)
+        elif op == "recluster":
+            # clustering evolution: O(metadata) layout change — future
+            # writes use the new spec, old files stay put, every read
+            # and time travel must be unaffected
+            table.set_cluster_by(
+                rng.choice([["id"], ["x", "id"], None, ["x"]])
+            )
         elif op == "constraint":
             # toggle a CHECK on x (never renamed in this model): adding
             # validates the whole current table; while active, a

@@ -834,3 +834,40 @@ def test_check_constraints_enforced_on_every_write_path(spark, table):
     assert fresh.constraints() == {"v_nonempty": "length(v) > 0"}
     with pytest.raises(ConstraintViolationError):
         fresh.append(mk([(200, "")]))
+
+
+def test_cluster_evolution_is_metadata_only_then_migrates(spark, table):
+    """set_cluster_by: the commit itself rewrites nothing (same file set,
+    byte-identical manifests); future writes cluster on the new spec;
+    a later bin-pack migrates the whole layout so a read_where range on
+    the NEW cluster key starts skipping files."""
+    import pyspark.sql.functions as SF
+
+    df = spark.range(0, 400).select(
+        SF.col("id"), (SF.col("id") % 4).alias("g")
+    )
+    table.create(df.repartition(4), cluster_by=["id"])
+    files_before = set(table._state()["files"])
+    v = table.set_cluster_by(["g"])
+    assert v == table.latest_version()
+    assert set(table._state()["files"]) == files_before  # metadata only
+    assert table._state()["cluster_by"] == ["g"]
+
+    # new writes range-cluster by g: each new file covers ~one g value
+    table.append(
+        spark.range(400, 800)
+        .select(SF.col("id"), (SF.col("id") % 4).alias("g"))
+        .repartition(4)
+    )
+    # migrate the old layout too (4 range-clustered output files), then
+    # a g-range scan must skip the files whose g-range can't match
+    table.compact(target_files=4)
+    _, report = table.read_where({"g": (0, 0)})
+    assert report["files_skipped_by_stats"] > 0, report
+    # logical rows intact through the whole evolution
+    assert table.read().count() == 800
+    # unknown column rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table.set_cluster_by(["nope"])

@@ -740,6 +740,157 @@ class BlobDataStore(DataStore):
         pass  # no directories in a blob namespace
 
 
+
+class S3DataStore(DataStore):
+    """Data plane on REAL S3 semantics through boto3 — the deployable
+    counterpart of BlobDataStore (same staging-upload shape: Spark
+    writes parquet to a local scratch dir, publish uploads the bytes as
+    objects and deletes the staging files; reads materialize objects to
+    a local cache for the scan and stream footers straight from
+    get_object Range requests). Pairs with S3ConditionalPutLogStore for
+    an all-S3 table. No rename, no directories, no in-place mutation —
+    every operation is a whole-object PUT/GET/DELETE/LIST.
+
+    Footer reads: pyarrow needs a seekable handle; objects are fetched
+    whole only when small, else ranged (parquet footers are tail reads,
+    one Range request)."""
+
+    def __init__(self, uri: str, scratch_dir: str, client=None):
+        from urllib.parse import urlparse
+
+        p = urlparse(uri)
+        if p.scheme not in ("s3", "s3a"):
+            raise ValueError(f"S3DataStore needs an s3:// root, got {uri}")
+        self.bucket = p.netloc
+        self.prefix = p.path.strip("/")
+        self._client = client
+        self._staging = os.path.join(os.path.abspath(scratch_dir), "staging")
+        self._cache = os.path.join(os.path.abspath(scratch_dir), "cache")
+
+    def _s3(self):
+        if self._client is None:
+            import boto3  # deferred: only an S3-configured deployment needs it
+
+            self._client = boto3.client("s3")
+        return self._client
+
+    def _key(self, rel: str) -> str:
+        return f"{self.prefix}/{rel}" if self.prefix else rel
+
+    @staticmethod
+    def _is_missing(exc) -> bool:
+        code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+        return code in ("404", "NoSuchKey", "NotFound")
+
+    def write_uri(self, rel_dir: str) -> str:
+        return os.path.join(self._staging, rel_dir)
+
+    def publish_dir(self, rel_dir: str) -> list[str]:
+        src = os.path.join(self._staging, rel_dir)
+        names = sorted(n for n in os.listdir(src) if n.endswith(".parquet"))
+        for n in names:
+            with open(os.path.join(src, n), "rb") as f:
+                self._s3().put_object(
+                    Bucket=self.bucket,
+                    Key=self._key(f"{rel_dir}/{n}"),
+                    Body=f.read(),
+                )
+        shutil.rmtree(src, ignore_errors=True)
+        return names
+
+    def open_input(self, rel: str):
+        import botocore.exceptions
+
+        try:
+            body = self._s3().get_object(
+                Bucket=self.bucket, Key=self._key(rel)
+            )["Body"].read()
+        except botocore.exceptions.ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(rel) from None
+            raise
+        return io.BytesIO(body)
+
+    def size(self, rel: str) -> int:
+        import botocore.exceptions
+
+        try:
+            return self._s3().head_object(
+                Bucket=self.bucket, Key=self._key(rel)
+            )["ContentLength"]
+        except botocore.exceptions.ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(rel) from None
+            raise
+
+    def scan_uris(self, rels: list[str]) -> list[str]:
+        out = []
+        for r in rels:
+            local = os.path.join(self._cache, r)
+            if not os.path.exists(local):
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                tmp = f"{local}.tmp-{uuid.uuid4().hex}"
+                self._s3().download_file(self.bucket, self._key(r), tmp)
+                os.replace(tmp, local)  # cache-internal, not table protocol
+            out.append(local)
+        return out
+
+    def uri_to_rel(self, uri: str) -> str:
+        return os.path.relpath(uri_to_path(uri), self._cache)
+
+    def exists(self, rel: str) -> bool:
+        try:
+            self.size(rel)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def delete(self, rel: str) -> None:
+        # S3 DELETE is idempotent (204 on missing); the DataStore
+        # contract wants FileNotFoundError, so probe first
+        self.size(rel)
+        self._s3().delete_object(Bucket=self.bucket, Key=self._key(rel))
+        local = os.path.join(self._cache, rel)
+        if os.path.exists(local):
+            os.unlink(local)
+
+    def mtime(self, rel: str) -> float:
+        import botocore.exceptions
+
+        try:
+            lm = self._s3().head_object(
+                Bucket=self.bucket, Key=self._key(rel)
+            )["LastModified"]
+        except botocore.exceptions.ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(rel) from None
+            raise
+        return lm.timestamp()
+
+    def _list_keys(self) -> list[str]:
+        keys, token = [], None
+        prefix = self._key("data/")
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._s3().list_objects_v2(**kw)
+            keys.extend(o["Key"] for o in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                return keys
+            token = resp.get("NextContinuationToken")
+
+    def list_data_files(self) -> list[str]:
+        strip = len(self.prefix) + 1 if self.prefix else 0
+        return sorted(k[strip:] for k in self._list_keys())
+
+    def list_data_dirs(self) -> list[str]:
+        return []  # no directories in an object namespace
+
+    def cleanup_dir(self, rel_dir: str) -> None:
+        pass  # no directories in an object namespace
+
+
 class _HadoopInputHandle(io.RawIOBase):
     """Seekable Python file over a Hadoop ``FSDataInputStream`` — the
     ranged-read bridge that lets pyarrow read a parquet FOOTER from any
@@ -1483,6 +1634,34 @@ class SnapshotTable:
             {
                 "operation": "drop_constraint",
                 "constraint_drop": name,
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def set_cluster_by(self, cluster_by: list[str] | None) -> int:
+        """Clustering evolution (the Iceberg partition-evolution analog
+        for a stats-pruned layout): FUTURE writes range-cluster on the
+        new columns; existing files keep their old layout and their
+        per-file stats stay valid, so reads and pruning are unaffected
+        the moment this commits. optimize_small_files / zorder / compact
+        migrate old files into the new layout incrementally — evolution
+        never forces a table rewrite (the property that makes changing a
+        100 TB table's layout an O(metadata) decision). ``None``/empty
+        clears clustering."""
+        state = self._state()
+        cols = list(cluster_by or [])
+        names = T.StructType.fromJson(state["schema"]).fieldNames()
+        unknown = [c for c in cols if c not in names]
+        if unknown:
+            raise ValueError(f"cluster_by references unknown column(s): {unknown}")
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "set_cluster_by",
+                "cluster_by": cols,
                 "add": [],
                 "remove": [],
                 "dataChange": False,
