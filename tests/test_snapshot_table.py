@@ -871,3 +871,27 @@ def test_cluster_evolution_is_metadata_only_then_migrates(spark, table):
 
     with _pytest.raises(ValueError):
         table.set_cluster_by(["nope"])
+
+
+def test_bloom_skips_point_probe_where_ranges_overlap(spark, table):
+    """Per-file bloom on the leading cluster column: two appends whose
+    key RANGES overlap but whose key SETS are disjoint — a point probe
+    on a key only the second batch holds must bloom-skip the first
+    batch's file (min/max alone cannot), and the read stays exact."""
+    def mk(gs):
+        rows = [(i, g) for i, g in enumerate(gs)]
+        return spark.createDataFrame(rows, "id long, g long").coalesce(1)
+
+    table.create(mk([0, 4, 0, 4]), cluster_by=["g"])      # range [0,4]
+    table.append(mk([2, 6, 2, 6]))                        # range [2,6]
+    df, report = table.read_where({"g": (2, 2)})
+    assert report["files_skipped_by_bloom"] >= 1, report
+    assert [r["g"] for r in df.collect()] == [2, 2]
+    # a value NO file holds: everything skippable
+    df3, r3 = table.read_where({"g": (3, 3)})
+    assert df3.count() == 0
+    assert r3["files_read"] == 0, r3
+    # range probes never consult the bloom: both files read, both rows
+    df2, r2 = table.read_where({"g": (2, 4)})
+    assert r2["files_skipped_by_bloom"] == 0
+    assert sorted(r["g"] for r in df2.collect()) == [2, 2, 4, 4]

@@ -345,3 +345,126 @@ def snapshot_pruned_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "snapshot_cdf_join_mv",
+    oracle="""
+    WITH live AS (
+      SELECT o.o_totalprice, c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE NOT (o.o_orderstatus = 'O' AND o.o_orderkey % 7 = 3)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_price
+    FROM live GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_cdf_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN materialized view: the MV is orders x customer
+    aggregated by market segment, and each upstream commit's change
+    batch is ENRICHED (broadcast-joined to the dimension) inside the
+    fold before the signed per-segment deltas land — the stream-side of
+    delta-join maintenance with a static dimension, per-commit cost
+    O(changed rows), never a fact rescan. Deletes net out through the
+    same join because the dimension is keyed and static; the final MV
+    sum must equal the oracle's from-scratch join."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.streaming.changefeed import ChangeFeedLoader
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="wopen_cdf_jmv_")
+    src = SnapshotTable(spark, root + "/orders")
+    tgt = SnapshotTable(spark, root + "/mv_deltas")
+
+    def fold(ch: DataFrame) -> DataFrame:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        return (
+            ch.join(F.broadcast(dim), ch.o_custkey == dim.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(sign).cast("long").alias("d_count"),
+                F.sum(
+                    sign
+                    * F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("long").alias("d_cents"),
+            )
+        )
+
+    loader = ChangeFeedLoader(src, tgt, app="mv/seg_join", fold=fold)
+    src.create(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+    loader.run_once()
+    src.append(orders.filter(F.col("o_orderkey") % 2 != 0).repartition(4))
+    src.delete_where("o_orderstatus = 'O' AND o_orderkey % 7 = 3", mode="dv")
+    loader.run_until_caught_up()
+    return (
+        tgt.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("d_count").cast("long").alias("n_orders"),
+            (F.sum("d_cents").cast("double") / 100.0).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "snapshot_bloom_point_read",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders
+                        WHERE o_orderkey % 2 = 1)
+    ORDER BY o_orderkey
+    """,
+)
+def snapshot_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file skipping made oracle-visible: orders land in TWO
+    interleaved appends (even keys, then odd keys) clustered by
+    o_orderkey, so every file's [min,max] spans the whole key domain and
+    range stats alone can skip nothing for a point probe. The per-file
+    bloom on the leading cluster column can: a lookup of the smallest
+    ODD key must skip at least one even-batch file (asserted) and still
+    return the exact row. The point-lookup shape at 100 TB: O(bloom
+    hits), not O(overlapping ranges)."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_bloom_") + "/orders"
+    )
+    # keep per-file rows under the bloom cap at every sf (blooms are
+    # skipped on oversized files by design — range stats own that regime)
+    n_files = max(4, int(orders.count()) // 120_000 + 1)
+    t.create(
+        orders.filter(F.col("o_orderkey") % 2 == 0).repartition(n_files),
+        cluster_by=["o_orderkey"],
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 != 0).repartition(n_files))
+    key = (
+        orders.filter(F.col("o_orderkey") % 2 != 0)
+        .agg(F.min("o_orderkey"))
+        .collect()[0][0]
+    )
+    df, report = t.read_where({"o_orderkey": (key, key)})
+    assert report["files_skipped_by_bloom"] >= 1, report
+    return df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    ).orderBy("o_orderkey")

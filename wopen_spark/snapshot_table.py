@@ -128,6 +128,50 @@ def _json_safe(v):
     return v
 
 
+_BLOOM_MAX_ROWS = 100_000  # past this, range stats dominate; skip the bloom
+_BLOOM_K = 7
+
+
+def _bloom_params(n_rows: int) -> int:
+    """Bits sized ~13 per key (fp ~0.5% at k=7), power of two. Blooms
+    live as SIDECAR objects next to their data file (never in the JSON
+    log), so the cap is generous: 2 Mbit = 256 KB raw at the 100k-row
+    ceiling."""
+    m = 1 << 13
+    while m < 13 * max(n_rows, 1) and m < (1 << 21):
+        m <<= 1
+    return m
+
+
+def _bloom_hashes(value: str, m: int) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing off one md5: k positions from
+    h1 + i*h2 — deterministic across processes (no PYTHONHASHSEED)."""
+    import hashlib
+
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values, m: int) -> bytes:
+    bits = bytearray(m // 8)
+    for v in values:
+        if v is None:
+            continue
+        for pos in _bloom_hashes(str(v), m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bytes(bits)
+
+
+def _bloom_test(blob: bytes, value) -> bool:
+    m = len(blob) * 8
+    return all(
+        blob[pos >> 3] & (1 << (pos & 7))
+        for pos in _bloom_hashes(str(value), m)
+    )
+
+
 def _file_meta(source, rel_path: str, nbytes: int) -> dict:
     """Footer-only add-action metadata: rows, bytes, per-column
     min/max/nulls. Footer reads are O(row groups), never O(data).
@@ -559,6 +603,11 @@ class DataStore:
     def mtime(self, rel: str) -> float:
         raise NotImplementedError
 
+    def put_bytes(self, rel: str, data: bytes) -> None:
+        """Publish a small auxiliary object (e.g. a bloom sidecar) at
+        ``rel``. Whole-object write, no rename required."""
+        raise NotImplementedError
+
     def list_data_files(self) -> list[str]:
         raise NotImplementedError
 
@@ -609,6 +658,12 @@ class LocalDataStore(DataStore):
 
     def mtime(self, rel: str) -> float:
         return os.path.getmtime(self._p(rel))
+
+    def put_bytes(self, rel: str, data: bytes) -> None:
+        path = self._p(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
 
     def list_data_files(self) -> list[str]:
         data_root = self._p("data")
@@ -728,6 +783,11 @@ class BlobDataStore(DataStore):
                 # the one type vacuum's orphan-grace guard skips — a bare
                 # KeyError would abort a vacuum racing a concurrent delete
                 raise FileNotFoundError(rel) from None
+
+    def put_bytes(self, rel: str, data: bytes) -> None:
+        with self._mu:
+            self._blobs[rel] = data
+            self._mtimes[rel] = time.time()
 
     def list_data_files(self) -> list[str]:
         with self._mu:
@@ -879,6 +939,11 @@ class S3DataStore(DataStore):
             if not resp.get("IsTruncated"):
                 return keys
             token = resp.get("NextContinuationToken")
+
+    def put_bytes(self, rel: str, data: bytes) -> None:
+        self._s3().put_object(
+            Bucket=self.bucket, Key=self._key(rel), Body=data
+        )
 
     def list_data_files(self) -> list[str]:
         strip = len(self.prefix) + 1 if self.prefix else 0
@@ -1077,6 +1142,13 @@ class HadoopFsDataStore(DataStore):
             if self._is_fnf(exc):
                 raise FileNotFoundError(rel) from None
             raise
+
+    def put_bytes(self, rel: str, data: bytes) -> None:
+        out = self._fs.create(self._jp(rel), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
 
     def list_data_files(self) -> list[str]:
         try:
@@ -1349,6 +1421,13 @@ class SnapshotTable:
             )
         commit_dir = f"data/{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(self._data.write_uri(commit_dir))
+        # per-file bloom on the LEADING cluster column: clustering
+        # declares the table's access key, and a point probe on a key
+        # whose per-file RANGES overlap (uniform keys, multi-append
+        # layouts) is exactly where min/max cannot skip but a bloom can.
+        bloom_phys = (
+            self._phys(mapping, cluster_cols[0]) if cluster_cols else None
+        )
         adds = []
         for name in self._data.publish_dir(commit_dir):
             rel = f"{commit_dir}/{name}"
@@ -1357,6 +1436,26 @@ class SnapshotTable:
             if meta["rows"] == 0:  # empty-partition task output: not
                 self._data.delete(rel)  # worth a manifest entry
                 continue
+            if bloom_phys is not None and meta["rows"] <= _BLOOM_MAX_ROWS:
+                import pyarrow.parquet as _pq
+
+                with self._data.open_input(rel) as src:
+                    try:
+                        col = _pq.ParquetFile(src).read(
+                            columns=[bloom_phys]
+                        )[bloom_phys]
+                    except KeyError:   # subset-schema append w/o the col
+                        col = None
+                if col is not None:
+                    m = _bloom_params(meta["rows"])
+                    side = f"{rel}.bloom"
+                    self._data.put_bytes(
+                        side, _bloom_build(col.to_pylist(), m)
+                    )
+                    # SIDECAR, not inline: the JSON log stays O(files),
+                    # never O(bloom bits); the sidecar lives and dies
+                    # with its data file (vacuum deletes them together)
+                    meta["bloom"] = {"col": bloom_phys, "path": side}
             adds.append(meta)
         return adds
 
@@ -2334,21 +2433,37 @@ class SnapshotTable:
         state = self._state(version)
         prunable = self._prunable_cols(state, list(ranges))
         mapping = state["column_mapping"]
-        keep, skipped = [], 0
+        keep, skipped, bloom_skipped = [], 0, 0
         for rel, meta in state["files"].items():
             ok = True
             for c, (lo, hi) in ranges.items():
                 if c not in prunable:
                     continue  # untrustworthy comparator -> must read
                 s = meta.get("stats", {}).get(self._phys(mapping, c))
-                if s is None or s["min"] is None:
-                    continue  # no stats -> must read
-                if hi is not None and s["min"] > _json_safe(hi):
-                    ok = False
-                    break
-                if lo is not None and s["max"] < _json_safe(lo):
-                    ok = False
-                    break
+                if s is not None and s["min"] is not None:
+                    if hi is not None and s["min"] > _json_safe(hi):
+                        ok = False
+                        break
+                    if lo is not None and s["max"] < _json_safe(lo):
+                        ok = False
+                        break
+                # EQUALITY probe: the per-file bloom can skip where
+                # overlapping [min,max] ranges cannot (uniform keys,
+                # multi-append layouts). False-positive-only, so a kept
+                # file is just an unskipped read — never wrong results.
+                bl = meta.get("bloom")
+                if (
+                    lo is not None
+                    and lo == hi
+                    and bl is not None
+                    and bl["col"] == self._phys(mapping, c)
+                ):
+                    with self._data.open_input(bl["path"]) as bf:
+                        blob = bf.read()
+                    if not _bloom_test(blob, lo):
+                        ok = False
+                        bloom_skipped += 1
+                        break
             if ok:
                 keep.append(rel)
             else:
@@ -2362,7 +2477,8 @@ class SnapshotTable:
         return df, {
             "files_total": len(state["files"]),
             "files_read": len(keep),
-            "files_skipped_by_stats": skipped,
+            "files_skipped_by_stats": skipped - bloom_skipped,
+            "files_skipped_by_bloom": bloom_skipped,
         }
 
     def _version_asof(self, ts: float) -> int:
@@ -2665,6 +2781,8 @@ class SnapshotTable:
         now = time.time()
         touched_dirs: set[str] = set()
         for rel in self._data.list_data_files():
+            if rel.endswith(".bloom"):
+                continue  # sidecars are handled with their data file
             if rel in retained:
                 continue
             if rel not in ever_referenced:
@@ -2674,6 +2792,10 @@ class SnapshotTable:
                 except FileNotFoundError:
                     continue
             self._data.delete(rel)
+            try:
+                self._data.delete(f"{rel}.bloom")
+            except FileNotFoundError:
+                pass  # not every file carries a bloom
             touched_dirs.add(rel.rsplit("/", 1)[0])
             removed += 1
         for d in touched_dirs:
