@@ -108,8 +108,8 @@ def test_snapshot_random_op_sequence_matches_model(
         ).coalesce(1),
         cluster_by=["id"],
     )
-    history: list[tuple[int, list[tuple]]] = [
-        (table.latest_version(), _expected_rows(model))
+    history: list[tuple[int, list[tuple], str, bool]] = [
+        (table.latest_version(), _expected_rows(model), val_col, False)
     ]
     next_id = 10
     widened = False
@@ -118,7 +118,7 @@ def test_snapshot_random_op_sequence_matches_model(
         op = rng.choice(
             ["append", "append", "merge", "dvmerge", "delete", "dvdelete",
              "update", "rename", "widen", "compact", "zorder", "binpack",
-             "constraint", "recluster"]
+             "constraint", "recluster", "restore"]
         )
         if op == "append":
             rows = [
@@ -204,6 +204,17 @@ def test_snapshot_random_op_sequence_matches_model(
             table.optimize_small_files(max_file_bytes=1 << 30)
         elif op == "zorder":
             table.optimize_zorder(["id", "x"], target_files=4, bits_per_col=3)
+        elif op == "restore":
+            # roll back to a random recorded version: model rows, the
+            # live column name, and the widen flag all revert together —
+            # restore layered over renames/dv masks/widenings is the
+            # interaction matrix no single-feature test covers
+            v_t, rows_t, col_t, wid_t = history[
+                rng.randrange(len(history))
+            ]
+            table.restore(v_t)
+            model = dict(rows_t)
+            val_col, widened = col_t, wid_t
         elif op == "recluster":
             # clustering evolution: O(metadata) layout change — future
             # writes use the new spec, old files stay put, every read
@@ -238,12 +249,14 @@ def test_snapshot_random_op_sequence_matches_model(
         assert _read_back(table, "id", val_col) == _expected_rows(model), (
             f"divergence after step {step} ({op})"
         )
-        history.append((table.latest_version(), _expected_rows(model)))
+        history.append(
+            (table.latest_version(), _expected_rows(model), val_col, widened)
+        )
 
     # time travel: every recorded version still reads as its model state.
     # Column NAMES at old versions are historical; compare id + x (x may
     # read wider post-widening — compare values, not dtypes).
-    for version, expected in history[-6:]:
+    for version, expected, _c, _w in history[-6:]:
         got = sorted(
             (r["id"], r["x"]) for r in table.read(version=version).collect()
         )

@@ -895,3 +895,58 @@ def test_bloom_skips_point_probe_where_ranges_overlap(spark, table):
     df2, r2 = table.read_where({"g": (2, 4)})
     assert r2["files_skipped_by_bloom"] == 0
     assert sorted(r["g"] for r in df2.collect()) == [2, 2, 4, 4]
+
+
+def test_restore_rolls_back_as_a_new_commit(spark, table):
+    """RESTORE: the table reads exactly like the target version, history
+    stays linear (a NEW commit, nothing rewritten), dv masks as of the
+    target are restored, later writes proceed normally, and restoring
+    past vacuumed files raises instead of resurrecting ghosts."""
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, v string").coalesce(1)
+
+    table.create(mk([(1, "a"), (2, "b"), (3, "c")]))
+    table.delete_where("id = 2", mode="dv")     # v2: dv mask
+    v2 = table.latest_version()
+    table.append(mk([(4, "d")]))                # v3
+    table.update_where("id = 1", {"v": "'A'"}, mode="cow")  # v4
+    assert _rows(table.read()) == [(1, "A"), (3, "c"), (4, "d")]
+
+    v5 = table.restore(v2)
+    assert v5 == table.latest_version()         # linear history, new head
+    assert _rows(table.read()) == [(1, "a"), (3, "c")]  # dv mask restored
+    assert [h["operation"] for h in table.history()][-1] == "restore"
+    # time travel BOTH ways still works
+    assert _rows(table.read(version=v2)) == [(1, "a"), (3, "c")]
+    assert (4, "d") in _rows(table.read(version=v5 - 1))
+
+    # life goes on after a restore
+    table.append(mk([(5, "e")]))
+    assert _rows(table.read()) == [(1, "a"), (3, "c"), (5, "e")]
+
+    # fold the restore through the change feed: signed deltas across the
+    # restore commit reconcile to the restored state
+    from pyspark.sql import functions as SF
+
+    ch = table.read_changes(v5 - 1, v5)
+    net = {
+        r["id"]: r["n"]
+        for r in ch.groupBy("id")
+        .agg(
+            SF.sum(
+                SF.when(SF.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n")
+        )
+        .collect()
+    }
+    # id=4 net -1 (leaves), id=1 delete(A)+insert(a) nets 0, 2 nets -? :
+    # 2 was dv-masked in the restored state: inserted with its file then
+    # re-deleted by the restored mask -> net 0 while absent either side
+    assert net[4] == -1
+    assert net.get(1, 0) == 0 and net.get(3, 0) == 0 and net.get(2, 0) == 0
+
+    # restore blocked once the target's files are vacuumed
+    table.update_where("id = 3", {"v": "'Z'"}, mode="cow")
+    table.vacuum(retain_last=1, orphan_grace_s=0)
+    with pytest.raises(VacuumedVersionError):
+        table.restore(v2)

@@ -468,3 +468,70 @@ def snapshot_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "snapshot_expectations_ingest",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (c_acctbal >= 0) AS BIGINT) AS n_ingested,
+           CAST(COUNT(*) FILTER (c_acctbal < 0) AS BIGINT) AS n_quarantined
+    FROM customer
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_expectations_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta-Live-Tables expectations pattern on CHECK constraints:
+    the target table declares CHECK (c_acctbal >= 0); the ingest splits
+    each batch on the expectation — passing rows append to the target,
+    failing rows divert to a quarantine table — and the constraint is
+    the BACKSTOP, not the router (appending the quarantine rows directly
+    is asserted to raise). Per-segment ingested/quarantined counts must
+    match the relational split. At 100 TB: the split is one predicate
+    pass over the batch; the constraint re-check on the clean side is a
+    second columnar pass over that batch only."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import (
+        ConstraintViolationError,
+        SnapshotTable,
+    )
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    root = tempfile.mkdtemp(prefix="wopen_expect_")
+    main = SnapshotTable(spark, root + "/customers")
+    quarantine = SnapshotTable(spark, root + "/quarantine")
+    main.create(customer.limit(0))
+    main.add_constraint("acctbal_nonneg", "c_acctbal >= 0")
+    quarantine.create(customer.limit(0))
+
+    ok = customer.filter(F.col("c_acctbal") >= 0)
+    bad = customer.filter(F.col("c_acctbal") < 0)
+    main.append(ok.repartition(4))
+    quarantine.append(bad.coalesce(1))
+    if not bad.isEmpty():
+        try:
+            main.append(bad.limit(5))
+            raise AssertionError("constraint backstop did not fire")
+        except ConstraintViolationError:
+            pass
+
+    m = main.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ingested")
+    )
+    q = quarantine.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quarantined")
+    )
+    return (
+        m.join(q, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_ingested", F.lit(0)).cast("long").alias("n_ingested"),
+            F.coalesce("n_quarantined", F.lit(0))
+            .cast("long")
+            .alias("n_quarantined"),
+        )
+        .orderBy("c_mktsegment")
+    )

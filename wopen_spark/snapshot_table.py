@@ -128,22 +128,40 @@ def _json_safe(v):
     return v
 
 
-_BLOOM_MAX_ROWS = 100_000  # past this, range stats dominate; skip the bloom
+_BLOOM_MAX_ROWS = 1_000_000  # past this, range stats dominate; no bloom
 _BLOOM_K = 7
+_U64 = (1 << 64) - 1
 
 
 def _bloom_params(n_rows: int) -> int:
     """Bits sized ~13 per key (fp ~0.5% at k=7), power of two. Blooms
     live as SIDECAR objects next to their data file (never in the JSON
-    log), so the cap is generous: 2 Mbit = 256 KB raw at the 100k-row
+    log), so the cap is generous: 16 Mbit = 2 MB raw at the 1M-row
     ceiling."""
     m = 1 << 13
-    while m < 13 * max(n_rows, 1) and m < (1 << 21):
+    while m < 13 * max(n_rows, 1) and m < (1 << 24):
         m <<= 1
     return m
 
 
-def _bloom_hashes(value: str, m: int) -> list[int]:
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — deterministic across processes, and the
+    scalar twin of the vectorized numpy build below (MUST stay in
+    lockstep with it)."""
+    x = (x + 0x9E3779B97F4A7C15) & _U64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _U64
+    return x ^ (x >> 31)
+
+
+def _bloom_hashes_int(value: int, m: int) -> list[int]:
+    v = value & _U64
+    h1 = _mix64(v)
+    h2 = _mix64(v ^ 0xA5A5A5A5A5A5A5A5) | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_hashes_md5(value: str, m: int) -> list[int]:
     """Kirsch-Mitzenmacher double hashing off one md5: k positions from
     h1 + i*h2 — deterministic across processes (no PYTHONHASHSEED)."""
     import hashlib
@@ -154,22 +172,53 @@ def _bloom_hashes(value: str, m: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
 
 
-def _bloom_build(values, m: int) -> bytes:
+def _bloom_build_ints(values, m: int) -> bytes:
+    """Vectorized integer bloom: numpy splitmix64 double-hash over the
+    whole column at once — ~100x the throughput of per-value md5, which
+    is what makes write-time blooms affordable on million-row files."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        def mix(x):
+            x = x + np.uint64(0x9E3779B97F4A7C15)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+        h1 = mix(v)
+        h2 = mix(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    mm = np.uint64(m)
+    for i in range(_BLOOM_K):
+        pos = (h1 + np.uint64(i) * h2) % mm
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(
+                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+            ),
+        )
+    return bits.tobytes()
+
+
+def _bloom_build_strs(values, m: int) -> bytes:
     bits = bytearray(m // 8)
     for v in values:
         if v is None:
             continue
-        for pos in _bloom_hashes(str(v), m):
+        for pos in _bloom_hashes_md5(str(v), m):
             bits[pos >> 3] |= 1 << (pos & 7)
     return bytes(bits)
 
 
-def _bloom_test(blob: bytes, value) -> bool:
+def _bloom_test(blob: bytes, value, kind: str) -> bool:
     m = len(blob) * 8
-    return all(
-        blob[pos >> 3] & (1 << (pos & 7))
-        for pos in _bloom_hashes(str(value), m)
+    positions = (
+        _bloom_hashes_int(int(value), m)
+        if kind == "i64"
+        else _bloom_hashes_md5(str(value), m)
     )
+    return all(blob[pos >> 3] & (1 << (pos & 7)) for pos in positions)
 
 
 def _file_meta(source, rel_path: str, nbytes: int) -> dict:
@@ -1447,15 +1496,25 @@ class SnapshotTable:
                     except KeyError:   # subset-schema append w/o the col
                         col = None
                 if col is not None:
+                    import pyarrow as _pa
+
                     m = _bloom_params(meta["rows"])
+                    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+                    if _pa.types.is_integer(arr.type):
+                        kind = "i64"
+                        vals = arr.drop_null().to_numpy(zero_copy_only=False)
+                        blob = _bloom_build_ints(vals, m)
+                    else:
+                        kind = "md5"
+                        blob = _bloom_build_strs(arr.to_pylist(), m)
                     side = f"{rel}.bloom"
-                    self._data.put_bytes(
-                        side, _bloom_build(col.to_pylist(), m)
-                    )
+                    self._data.put_bytes(side, blob)
                     # SIDECAR, not inline: the JSON log stays O(files),
                     # never O(bloom bits); the sidecar lives and dies
                     # with its data file (vacuum deletes them together)
-                    meta["bloom"] = {"col": bloom_phys, "path": side}
+                    meta["bloom"] = {
+                        "col": bloom_phys, "path": side, "h": kind,
+                    }
             adds.append(meta)
         return adds
 
@@ -2460,7 +2519,7 @@ class SnapshotTable:
                 ):
                     with self._data.open_input(bl["path"]) as bf:
                         blob = bf.read()
-                    if not _bloom_test(blob, lo):
+                    if not _bloom_test(blob, lo, bl.get("h", "md5")):
                         ok = False
                         bloom_skipped += 1
                         break
@@ -2583,6 +2642,50 @@ class SnapshotTable:
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION — roll the table's state back to an
+        old version AS A NEW COMMIT (history stays linear and append-only;
+        nothing is rewritten, the old files are simply referenced again).
+        Restores files, deletion-vector masks, schema, clustering, and
+        column mapping as of ``version``; CHECK constraints stay at their
+        CURRENT definitions (they are governance, not data — the Delta
+        choice). Requires the target version's files to not be vacuumed.
+        The change feed sees a restore as delete(current) + insert(old) —
+        it IS a data change and downstream consumers must react."""
+        cur = self._state()
+        old = self._state(version)
+        missing = [r for r in old["files"] if not self._data.exists(r)]
+        missing += [
+            r
+            for rels in old["dvs"].values()
+            for r in rels
+            if not self._data.exists(r)
+        ]
+        if missing:
+            raise VacuumedVersionError(
+                f"restore to version {version} references {len(missing)} "
+                f"vacuumed file(s)"
+            )
+        dv_add = [
+            {"paths": rels, "for": [rel]}  # no "rows": original dv row
+            for rel, rels in sorted(old["dvs"].items())  # counts are not
+        ]  # tracked per file in state; history shows 0 masked for restores
+        self._try_commit(
+            cur["version"] + 1,
+            {
+                "operation": "restore",
+                "restore_of": version,
+                "schema": old["schema"],
+                "cluster_by": old["cluster_by"] or [],
+                "column_mapping": old["column_mapping"] or {},
+                "retired_phys": old["retired_phys"],
+                "add": [m for _, m in sorted(old["files"].items())],
+                "remove": sorted(cur["files"]),
+                "dv_add": dv_add,
+            },
+        )
+        return cur["version"] + 1
 
     def history(self) -> list[dict]:
         out = []
