@@ -118,7 +118,7 @@ def test_snapshot_random_op_sequence_matches_model(
         op = rng.choice(
             ["append", "append", "merge", "dvmerge", "delete", "dvdelete",
              "update", "rename", "widen", "compact", "zorder", "binpack",
-             "constraint", "recluster", "restore"]
+             "constraint", "recluster", "restore", "generated"]
         )
         if op == "append":
             rows = [
@@ -222,6 +222,30 @@ def test_snapshot_random_op_sequence_matches_model(
             table.set_cluster_by(
                 rng.choice([["id"], ["x", "id"], None, ["x"]])
             )
+        elif op == "generated":
+            # toggle ALWAYS GENERATED AS (id % 10): every write path
+            # must silently compute it (its presence never changes the
+            # modeled columns), and a wrong supplied value is rejected
+            from wopen_spark.snapshot_table import ConstraintViolationError
+
+            if "gen_idmod" not in table.generated_columns():
+                table.add_generated_column("gen_idmod", "id % 10", "long")
+            else:
+                cols = [
+                    f.name
+                    for f in __import__(
+                        "pyspark.sql.types", fromlist=["StructType"]
+                    ).StructType.fromJson(table._state()["schema"]).fields
+                ]
+                if "gen_idmod" in cols:
+                    bad = spark.createDataFrame(
+                        [(next_id, "bad", 0, 99)],
+                        f"id long, {val_col} string, "
+                        f"x {'long' if widened else 'int'}, gen_idmod long",
+                    ).coalesce(1)
+                    with pytest.raises(ConstraintViolationError):
+                        table.append(bad)
+                table.drop_generated_column("gen_idmod")
         elif op == "constraint":
             # toggle a CHECK on x (never renamed in this model): adding
             # validates the whole current table; while active, a

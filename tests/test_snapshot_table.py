@@ -950,3 +950,59 @@ def test_restore_rolls_back_as_a_new_commit(spark, table):
     table.vacuum(retain_last=1, orphan_grace_s=0)
     with pytest.raises(VacuumedVersionError):
         table.restore(v2)
+
+
+def test_generated_columns_compute_validate_update_drop(spark, table):
+    """ALWAYS GENERATED AS: absent -> computed at write; supplied ->
+    validated null-safely (batch rejected whole on mismatch); updates
+    recompute from the updated row and direct assignment is blocked;
+    rename/drop of the column or its dependencies is blocked while the
+    rule exists; dropping the rule frees the column."""
+    from wopen_spark.snapshot_table import ConstraintViolationError
+
+    def mk(rows, ddl="id long, v string"):
+        return spark.createDataFrame(rows, ddl).coalesce(1)
+
+    table.create(mk([(1, "a"), (2, "bb")]))
+    with pytest.raises(ValueError):
+        table.add_generated_column("v", "upper(v)", "string")  # exists
+    table.add_generated_column("v_len", "length(v)", "int")
+    assert table.generated_columns() == {
+        "v_len": {"expr": "length(v)", "type": "int"}
+    }
+
+    # absent at write -> computed; schema evolves at this first write
+    table.append(mk([(3, "ccc")]))
+    got = {r["id"]: r["v_len"] for r in table.read().collect()}
+    assert got == {1: None, 2: None, 3: 3}  # pre-add rows read NULL
+
+    # supplied and RIGHT -> accepted; supplied and WRONG -> rejected whole
+    table.append(mk([(4, "dddd", 4)], "id long, v string, v_len int"))
+    v = table.latest_version()
+    with pytest.raises(ConstraintViolationError):
+        table.append(mk([(5, "e", 99)], "id long, v string, v_len int"))
+    assert table.latest_version() == v
+
+    # update recomputes from the UPDATED row (both modes)
+    table.update_where("id = 3", {"v": "'cc'"}, mode="cow")
+    table.update_where("id = 4", {"v": "'d'"}, mode="dv")
+    got = {r["id"]: (r["v"], r["v_len"]) for r in table.read().collect()}
+    assert got[3] == ("cc", 2) and got[4] == ("d", 1)
+    with pytest.raises(ValueError):
+        table.update_where("id = 3", {"v_len": "9"})  # direct assignment
+
+    # merge computes it for incoming rows too
+    table.merge(mk([(2, "zzzzz"), (6, "ff")]), key="id", mode="cow")
+    got = {r["id"]: r["v_len"] for r in table.read().collect()}
+    assert got[2] == 5 and got[6] == 2
+
+    # dependency and column are schema-locked while the rule exists
+    with pytest.raises(ValueError):
+        table.rename_column("v", "v2")
+    with pytest.raises(ValueError):
+        table.drop_column("v_len")
+    table.drop_generated_column("v_len")
+    table.rename_column("v", "v2")          # free again
+    table.append(mk([(7, "g")], "id long, v2 string"))  # v_len now plain
+    got = {r["id"]: r["v_len"] for r in table.read().collect()}
+    assert got[7] is None

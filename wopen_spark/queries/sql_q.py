@@ -535,3 +535,55 @@ def snapshot_expectations_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "snapshot_generated_column_read",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_generated_column_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALWAYS GENERATED AS, oracle-visible: the table declares a
+    price_band generated column, orders stream in over two appends that
+    do NOT carry the column (it computes at write), a third append
+    SUPPLIES it correctly (validated, accepted), and the banded rollup
+    read back from storage must match the relational CASE the oracle
+    computes from raw orders. At 100 TB this is the materialized-derive
+    pattern: the band computes once at ingest and every later read
+    group-bys a stored column instead of re-evaluating the CASE."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    band_sql = (
+        "CASE WHEN o_totalprice < 50000 THEN 'low' "
+        "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_gen_") + "/orders"
+    )
+    t.create(orders.limit(0))
+    t.add_generated_column("price_band", band_sql, "string")
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1).repartition(2))
+    supplied = orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+        "price_band", F.expr(band_sql)
+    )
+    t.append(supplied.repartition(2))  # validated against the rule
+    return (
+        t.read()
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_orderkey").cast("long").alias("min_orderkey"),
+        )
+        .orderBy("price_band")
+    )

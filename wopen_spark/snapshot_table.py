@@ -1326,6 +1326,7 @@ class SnapshotTable:
             "retired_phys": [],
         }
         constraints: dict[str, str] = {}
+        generated: dict[str, dict] = {}
         txns: dict[str, int] = {}
         start_idx = 0
         for i in range(len(vs) - 1, -1, -1):  # newest checkpoint <= target
@@ -1338,6 +1339,7 @@ class SnapshotTable:
                 state["column_mapping"] = cp.get("column_mapping")
                 state["retired_phys"] = cp.get("retired_phys", [])
                 constraints = dict(cp.get("constraints", {}))
+                generated = dict(cp.get("generated", {}))
                 txns = dict(cp.get("txns", {}))
                 start_idx = i + 1
                 break
@@ -1369,13 +1371,17 @@ class SnapshotTable:
                 constraints.update(c["constraint_add"])
             if c.get("constraint_drop"):
                 constraints.pop(c["constraint_drop"], None)
+            if c.get("generated_add"):
+                generated.update(c["generated_add"])
+            if c.get("generated_drop"):
+                generated.pop(c["generated_drop"], None)
             if c.get("txn_app") is not None:
                 txns[c["txn_app"]] = max(
                     txns.get(c["txn_app"], -1), c.get("txn_version", -1)
                 )
         return {
             "files": files, "dvs": dvs, "version": target, "txns": txns,
-            "constraints": constraints, **state,
+            "constraints": constraints, "generated": generated, **state,
         }
 
     def _try_commit(self, version: int, record: dict) -> None:
@@ -1415,6 +1421,7 @@ class SnapshotTable:
                             "column_mapping": st["column_mapping"],
                             "retired_phys": st["retired_phys"],
                             "constraints": st["constraints"],
+                            "generated": st["generated"],
                             "txns": st["txns"],
                         }
                     ).encode(),
@@ -1658,6 +1665,7 @@ class SnapshotTable:
         state = self._state()
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return state["version"]  # replayed batch: already committed
+        df = self._apply_generated(df, state)
         self._enforce(df, state["constraints"])
         enforced = state["constraints"]
         schema, mapping = self._merged_schema(state, df)
@@ -1831,6 +1839,135 @@ class SnapshotTable:
         """Active CHECK constraints: {name: sql_expr}."""
         return dict(self._state()["constraints"])
 
+    # --------------------------------------------------- generated columns
+
+    def add_generated_column(
+        self, name: str, expr_sql: str, dtype_ddl: str
+    ) -> int:
+        """ALWAYS GENERATED AS (expr): the column is computed from the
+        row at WRITE time. Incoming batches that omit it get it computed;
+        batches that supply it are VALIDATED (null-safe col <=> expr, one
+        aggregate pass — Delta enforces generation expressions as exactly
+        this CHECK). Updates recompute it from the updated row, and
+        assigning it directly in update_where is rejected. The column
+        materializes in the table schema at the FIRST write after this
+        commit (schema evolution's additive path — one divergence from
+        Delta, which only allows generation expressions at CREATE);
+        rows written before the add read as NULL until rewritten."""
+        if not self._CONSTRAINT_NAME.match(name):
+            raise ValueError(f"column name must be an identifier: {name!r}")
+        state = self._state()
+        names = T.StructType.fromJson(state["schema"]).fieldNames()
+        if name in names:
+            raise ValueError(
+                f"column {name!r} already exists; generated columns must "
+                f"be new"
+            )
+        if name in state["generated"]:
+            raise ValueError(f"generated column {name} already defined")
+        # the expression must analyze against the CURRENT schema
+        probe = self.spark.createDataFrame(
+            [], T.StructType.fromJson(state["schema"])
+        )
+        probe.select(F.expr(expr_sql).cast(dtype_ddl)).schema  # analyzes
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "add_generated_column",
+                "generated_add": {name: {"expr": expr_sql, "type": dtype_ddl}},
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def drop_generated_column(self, name: str) -> int:
+        """Drop just the GENERATION RULE; the column itself stays (drop
+        it separately with drop_column, which is blocked only while the
+        rule exists)."""
+        state = self._state()
+        if name not in state["generated"]:
+            raise ValueError(f"no generated column named {name}")
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "drop_generated_column",
+                "generated_drop": name,
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def generated_columns(self) -> dict[str, dict]:
+        return dict(self._state()["generated"])
+
+    def _apply_generated(self, df: DataFrame, state: dict) -> DataFrame:
+        """Compute absent generated columns; validate supplied ones
+        (null-safe equality, whole batch rejected on any mismatch)."""
+        gen = state["generated"]
+        if not gen:
+            return df
+        supplied = []
+        out = df
+        for name, spec in sorted(gen.items()):
+            if name in out.columns:
+                supplied.append(name)
+            else:
+                out = out.withColumn(
+                    name, F.expr(spec["expr"]).cast(spec["type"])
+                )
+        if supplied:
+            counts = df.agg(
+                *[
+                    F.count(
+                        F.when(
+                            ~F.col(n).eqNullSafe(
+                                F.expr(gen[n]["expr"]).cast(gen[n]["type"])
+                            ),
+                            1,
+                        )
+                    ).alias(f"g{i}")
+                    for i, n in enumerate(supplied)
+                ]
+            ).collect()[0]
+            bad = {
+                n: counts[f"g{i}"]
+                for i, n in enumerate(supplied)
+                if counts[f"g{i}"]
+            }
+            if bad:
+                detail = ", ".join(
+                    f"{n} != {gen[n]['expr']!r}: {c} row(s)"
+                    for n, c in bad.items()
+                )
+                raise ConstraintViolationError(
+                    f"write to {self.path} rejected - generated-column "
+                    f"mismatch: {detail}"
+                )
+        return out
+
+    def _regen(self, df: DataFrame, state: dict) -> DataFrame:
+        """Recompute generated columns from the (possibly updated) row —
+        used by rewrite paths; only columns already in the frame."""
+        gen = {
+            n: spec
+            for n, spec in state["generated"].items()
+            if n in df.columns
+        }
+        if not gen:
+            return df
+        return df.select(
+            *[
+                F.expr(gen[c]["expr"]).cast(gen[c]["type"]).alias(c)
+                if c in gen
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     def streaming_sink(self, txn_app: str):
         """A ``foreachBatch`` callable with exactly-once semantics: the
         micro-batch epoch id becomes the transaction version, so replayed
@@ -1859,6 +1996,7 @@ class SnapshotTable:
         a fresh physical when their name is occupied by any old file's
         physical (e.g. re-introducing a name a rename freed)."""
         state = self._state()
+        df = self._apply_generated(df, state)
         self._enforce(df, state["constraints"])
         old_mapping = state["column_mapping"] or {}
         old_fields = (
@@ -1935,6 +2073,14 @@ class SnapshotTable:
                 f"column {old!r} is referenced by CHECK constraint(s) "
                 f"{refs}; drop them first"
             )
+        grefs = self._constraints_referencing(
+            {n: g["expr"] for n, g in state["generated"].items()}, old
+        )
+        if grefs or old in state["generated"]:
+            raise ValueError(
+                f"column {old!r} is a generated column or a generation "
+                f"dependency of {grefs}; drop the generation rule first"
+            )
         mapping = dict(state["column_mapping"] or {})
         mapping[new] = mapping.pop(old, old)
         fields = [
@@ -1978,6 +2124,14 @@ class SnapshotTable:
             raise ValueError(
                 f"column {name!r} is referenced by CHECK constraint(s) "
                 f"{refs}; drop them first"
+            )
+        grefs = self._constraints_referencing(
+            {n: g["expr"] for n, g in state["generated"].items()}, name
+        )
+        if grefs or name in state["generated"]:
+            raise ValueError(
+                f"column {name!r} is a generated column or a generation "
+                f"dependency of {grefs}; drop the generation rule first"
             )
         mapping = dict(state["column_mapping"] or {})
         retired = list(state.get("retired_phys", []))
@@ -2211,6 +2365,7 @@ class SnapshotTable:
             raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         keys = [key] if isinstance(key, str) else list(key)
         state = self._state()
+        df = self._apply_generated(df, state)
         schema, mapping = self._merged_schema(state, df)
         eff_mapping = mapping if mapping is not None else state["column_mapping"]
         new_rows = self._conform(df, schema)
@@ -2383,6 +2538,12 @@ class SnapshotTable:
         unknown = [c for c in assignments if c not in types]
         if unknown:
             raise ValueError(f"update of unknown column(s): {unknown}")
+        direct = [c for c in assignments if c in state["generated"]]
+        if direct:
+            raise ValueError(
+                f"column(s) {direct} are GENERATED and recomputed from "
+                f"the updated row; they cannot be assigned directly"
+            )
 
         def _apply(df: DataFrame) -> DataFrame:
             # ONE select: every assignment expression sees the OLD row
@@ -2404,7 +2565,9 @@ class SnapshotTable:
             dv_add, masked_rels, n_rows = self._write_dv(state, matched)
             adds = []
             if dv_add:
-                updated = _apply(matched.drop(_DV_FILE, _DV_ROW))
+                updated = self._regen(
+                    _apply(matched.drop(_DV_FILE, _DV_ROW)), state
+                )
                 self._enforce(updated, state["constraints"])
                 adds = self._write_files(
                     updated,
@@ -2445,6 +2608,7 @@ class SnapshotTable:
                     for f in schema.fields
                 ]
             )
+            kept = self._regen(kept, state)
             self._enforce(kept, state["constraints"])
             adds = self._write_files(
                 kept, state["cluster_by"], state["column_mapping"]
