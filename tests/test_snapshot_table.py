@@ -1006,3 +1006,68 @@ def test_generated_columns_compute_validate_update_drop(spark, table):
     table.append(mk([(7, "g")], "id long, v2 string"))  # v_len now plain
     got = {r["id"]: r["v_len"] for r in table.read().collect()}
     assert got[7] is None
+
+
+def test_review_fixes_subset_schema_bloom_types_restore_guard(spark, table):
+    """Round-8 review regressions pinned: (a) CHECK constraints and
+    generation rules treat columns a legal subset-schema batch omits as
+    NULL instead of crashing analysis; (b) non-integer/string cluster
+    columns get NO bloom (a float bloom would false-negative on probe
+    representation) and a mistyped probe never consults one; (c) restore
+    is blocked while a rule references a column the restored schema
+    lacks; (d) a cow merge rewrite fills generated values on survivor
+    rows it rewrites anyway."""
+    from wopen_spark.snapshot_table import ConstraintViolationError
+
+    def mk(rows, ddl):
+        return spark.createDataFrame(rows, ddl).coalesce(1)
+
+    table.create(mk([(1, "a", 1.5)], "id long, v string, score double"))
+    table.add_constraint("v_nonempty", "length(v) > 0")
+    table.add_generated_column("v_up", "upper(v)", "string")
+    # (a) subset batch WITHOUT v: constraint sees NULL -> passes; the
+    # generated column computes to NULL via the same semantics
+    table.append(mk([(2,)], "id long"))
+    got = {r["id"]: (r["v"], r["v_up"]) for r in table.read().collect()}
+    assert got[2] == (None, None)
+    # ...and a subset batch violating nothing else still enforces v when present
+    with pytest.raises(ConstraintViolationError):
+        table.append(mk([(3, "")], "id long, v string"))
+
+    # (c) restore to v1 (pre-rule schema keeps v; fine) vs a rule on a
+    # column that would vanish: add a column, constrain it, try restore
+    v_before_add = table.latest_version()
+    table.append(mk([(4, "d", 2.5, 9)], "id long, v string, score double, extra long"))
+    table.add_constraint("extra_ok", "extra IS NULL OR extra >= 0")
+    with pytest.raises(ValueError):
+        table.restore(v_before_add)  # 'extra' vanishes but extra_ok refs it
+    table.drop_constraint("extra_ok")
+    table.restore(v_before_add)  # now legal
+
+    # (d) cow merge rewrite computes v_up for survivor rows in touched files
+    table.merge(mk([(1, "zz", 0.0)], "id long, v string, score double"), key="id")
+    got = {r["id"]: r["v_up"] for r in table.read().collect()}
+    assert got[1] == "ZZ"
+
+    # (b) float cluster column -> no bloom sidecar at all
+    t2 = SnapshotTable(spark, table.path + "_float")
+    t2.create(
+        mk([(i, float(i)) for i in range(8)], "id long, score double")
+        .repartition(2),
+        cluster_by=["score"],
+    )
+    assert all(
+        "bloom" not in m for m in t2._state()["files"].values()
+    ), "float cluster column must not carry blooms"
+    # int-keyed table: a STRING probe must not consult the i64 bloom
+    t3 = SnapshotTable(spark, table.path + "_int")
+    t3.create(
+        mk([(i, "x") for i in range(0, 8, 2)], "id long, v string"),
+        cluster_by=["id"],
+    )
+    t3.append(mk([(i, "y") for i in range(1, 8, 2)], "id long, v string"))
+    # a well-typed int probe DOES consult the bloom: the even-batch file
+    # spans [0,6] so range stats keep it for key 3, the bloom skips it
+    df, rep = t3.read_where({"id": (3, 3)})
+    assert rep["files_skipped_by_bloom"] >= 1
+    assert [r["id"] for r in df.collect()] == [3]

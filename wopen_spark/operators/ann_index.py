@@ -155,6 +155,16 @@ class IvfPqIndex:
         # broadcast probe frame (doubles round-trip py4j exactly), so the
         # centroid-assignment subtree runs a single time
         probe_rows = probes.collect()
+        if not probe_rows:  # no queries -> empty top-k, nothing scanned
+            empty = self.spark.createDataFrame(
+                [], "query_id long, vec_id long, adc double, rank int"
+            )
+            return empty, {
+                "files_total": len(self.codes._state(version)["files"]),
+                "files_read": 0,
+                "files_skipped_by_stats": 0,
+                "files_skipped_by_bloom": 0,
+            }
         probed_ids = sorted({r["centroid_id"] for r in probe_rows})
         probe_df = self.spark.createDataFrame(probe_rows, probes.schema)
         coded, report = self.codes.read_where(

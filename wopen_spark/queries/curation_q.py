@@ -12,7 +12,13 @@ from pyspark.sql import functions as F
 
 from wopen_spark.functions.text import doc_fingerprint, language_id, quality_score
 from wopen_spark.queries.registry import _spread, _t, query
-from wopen_spark.queries.text_analysis import _LANG_CASE, _LANGS, _SCORE_EXPRS, _STOP_SUM
+from wopen_spark.queries.text_analysis import (
+    _LANG_CASE,
+    _LANGS,
+    _SCORE_EXPRS,
+    _STOP_SUM,
+    DUCK_QUALITY_FROM_STATS,
+)
 
 
 @query(
@@ -29,12 +35,7 @@ from wopen_spark.queries.text_analysis import _LANG_CASE, _LANGS, _SCORE_EXPRS, 
     ),
     scored AS (
       SELECT *,
-             round(
-               0.4 * (CASE WHEN n >= 50 AND n <= 5000 THEN 1.0 ELSE 0.0 END)
-               + 0.3 * (CASE WHEN n > 0 THEN alpha::DOUBLE / n::DOUBLE ELSE 0.0 END)
-               + 0.3 * least(CAST(1.0 AS DOUBLE),
-                   (CASE WHEN words > 0 THEN stop_hits::DOUBLE / words::DOUBLE ELSE 0.0 END) * 8),
-               6) AS q,
+             {DUCK_QUALITY_FROM_STATS} AS q,
              greatest({", ".join("s_" + lang for lang in _LANGS)}) AS best
       FROM m
     ),

@@ -446,24 +446,10 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text; the only new shuffle is the per-component argmax window, whose
 # partitions are cluster-sized, never corpus-sized.
 # ---------------------------------------------------------------------------
-_DUCK_QUALITY = """round(
-      0.4 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000
-                  THEN 1.0 ELSE 0.0 END)
-      + 0.3 * (CASE WHEN length(text) > 0
-               THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
-                    / length(text)::DOUBLE ELSE 0.0 END)
-      + 0.3 * least(CAST(1.0 AS DOUBLE),
-          (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
-           THEN ({stop})::DOUBLE
-                / len(regexp_extract_all(text, '\\S+'))::DOUBLE
-           ELSE 0.0 END) * 8),
-      6)"""
-
-
 def _keep_best_oracle() -> str:
-    from wopen_spark.queries.text_analysis import _STOP_SUM
+    from wopen_spark.queries.text_analysis import duck_quality_from_text
 
-    quality = _DUCK_QUALITY.format(stop=_STOP_SUM)
+    quality = duck_quality_from_text()
     return f"""
     WITH RECURSIVE pairs AS ({DUCK_LSH_PAIRS}),
     edges AS (

@@ -71,6 +71,35 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SUM = " + ".join(_duck_word_count(w) for w in STOPWORDS)
 
+# The ONE DuckDB rendering of functions.text.quality_score — every oracle
+# that scores quality derives from these two shapes (change the Column fn
+# -> change exactly here, or the oracles silently diverge):
+#   DUCK_QUALITY_FROM_STATS expects columns n / alpha / words / stop_hits
+#   (the "m" CTE shape); duck_quality_from_text() inlines the stats from
+#   a raw `text` column.
+DUCK_QUALITY_FROM_STATS = """round(
+               0.4 * (CASE WHEN n >= 50 AND n <= 5000 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * (CASE WHEN n > 0 THEN alpha::DOUBLE / n::DOUBLE ELSE 0.0 END)
+               + 0.3 * least(CAST(1.0 AS DOUBLE),
+                   (CASE WHEN words > 0 THEN stop_hits::DOUBLE / words::DOUBLE ELSE 0.0 END) * 8),
+               6)"""
+
+
+def duck_quality_from_text() -> str:
+    return f"""round(
+      0.4 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000
+                  THEN 1.0 ELSE 0.0 END)
+      + 0.3 * (CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                    / length(text)::DOUBLE ELSE 0.0 END)
+      + 0.3 * least(CAST(1.0 AS DOUBLE),
+          (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+           THEN ({_STOP_SUM})::DOUBLE
+                / len(regexp_extract_all(text, '\\S+'))::DOUBLE
+           ELSE 0.0 END) * 8),
+      6)"""
+
+
 
 @query(
     "doc_quality_scores",

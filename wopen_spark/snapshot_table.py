@@ -57,6 +57,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -898,18 +899,29 @@ class S3DataStore(DataStore):
         src = os.path.join(self._staging, rel_dir)
         names = sorted(n for n in os.listdir(src) if n.endswith(".parquet"))
         for n in names:
-            with open(os.path.join(src, n), "rb") as f:
+            path = os.path.join(src, n)
+            with open(path, "rb") as f:
                 self._s3().put_object(
                     Bucket=self.bucket,
                     Key=self._key(f"{rel_dir}/{n}"),
                     Body=f.read(),
                 )
+            # the staged bytes ARE the published object: seed the read
+            # cache instead of deleting them, so the immediate footer +
+            # bloom reads (and the first scan) cost zero GETs instead of
+            # re-downloading every file the writer just uploaded
+            local = os.path.join(self._cache, rel_dir, n)
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            os.replace(path, local)
         shutil.rmtree(src, ignore_errors=True)
         return names
 
     def open_input(self, rel: str):
         import botocore.exceptions
 
+        local = os.path.join(self._cache, rel)
+        if os.path.exists(local):
+            return open(local, "rb")
         try:
             body = self._s3().get_object(
                 Bucket=self.bucket, Key=self._key(rel)
@@ -1277,6 +1289,8 @@ class SnapshotTable:
             else HadoopFsDataStore(self.spark, self.path) if remote
             else LocalDataStore(self.path)
         )
+        # bloom sidecars are immutable once published: memoize per handle
+        self._bloom_cache: dict[str, bytes] = {}
 
     # ----------------------------------------------------------- log layer
 
@@ -1507,21 +1521,32 @@ class SnapshotTable:
 
                     m = _bloom_params(meta["rows"])
                     arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+                    # ONLY integer and string columns get blooms: any
+                    # type with more than one textual rendering of the
+                    # same logical value (float 150.0 vs probe 150,
+                    # dates, decimals) would hash differently on the
+                    # probe side and SKIP A FILE THAT MATCHES — a bloom
+                    # must be false-positive-only, never false-negative
                     if _pa.types.is_integer(arr.type):
                         kind = "i64"
                         vals = arr.drop_null().to_numpy(zero_copy_only=False)
                         blob = _bloom_build_ints(vals, m)
-                    else:
+                    elif _pa.types.is_string(arr.type) or _pa.types.is_large_string(arr.type):
                         kind = "md5"
                         blob = _bloom_build_strs(arr.to_pylist(), m)
-                    side = f"{rel}.bloom"
-                    self._data.put_bytes(side, blob)
-                    # SIDECAR, not inline: the JSON log stays O(files),
-                    # never O(bloom bits); the sidecar lives and dies
-                    # with its data file (vacuum deletes them together)
-                    meta["bloom"] = {
-                        "col": bloom_phys, "path": side, "h": kind,
-                    }
+                    else:
+                        kind = None
+                        blob = None
+                    if blob is not None:
+                        side = f"{rel}.bloom"
+                        self._data.put_bytes(side, blob)
+                        # SIDECAR, not inline: the JSON log stays
+                        # O(files), never O(bloom bits); the sidecar
+                        # lives and dies with its data file (vacuum
+                        # deletes them together)
+                        meta["bloom"] = {
+                            "col": bloom_phys, "path": side, "h": kind,
+                        }
             adds.append(meta)
         return adds
 
@@ -1666,8 +1691,9 @@ class SnapshotTable:
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return state["version"]  # replayed batch: already committed
         df = self._apply_generated(df, state)
-        self._enforce(df, state["constraints"])
+        self._enforce(df, state["constraints"], state["schema"])
         enforced = state["constraints"]
+        gen_seen = state["generated"]
         schema, mapping = self._merged_schema(state, df)
         write_mapping = mapping if mapping is not None else state["column_mapping"]
         df = self._conform(df, schema)
@@ -1690,8 +1716,17 @@ class SnapshotTable:
                 # the active set changed (Delta fails such txns outright;
                 # an add-only append can simply re-validate and proceed)
                 if state["constraints"] != enforced:
-                    self._enforce(df, state["constraints"])
+                    self._enforce(df, state["constraints"], state["schema"])
                     enforced = state["constraints"]
+                # a racer CHANGED the generated-column rules: our files
+                # were computed/validated under the old rules and cannot
+                # be re-derived in place - surface it (caller re-runs;
+                # constraints above only re-VALIDATE, so they can retry)
+                if state["generated"] != gen_seen:
+                    raise CommitConflictError(
+                        f"append to {self.path} raced a generated-column "
+                        f"definition change - re-run the append"
+                    ) from None
                 # re-merge against the new head: our files are already
                 # written and stay valid against a racer's WIDENING
                 # (narrow files read through a wider schema). Pass the
@@ -1733,16 +1768,38 @@ class SnapshotTable:
 
     # -------------------------------------------------------- constraints
 
-    _CONSTRAINT_NAME = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    _CONSTRAINT_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
-    def _enforce(self, df: DataFrame, constraints: dict[str, str]) -> None:
+    @staticmethod
+    def _null_extend(df: DataFrame, schema_json: dict | None) -> DataFrame:
+        """Add NULL columns for table-schema fields absent from a
+        subset-schema batch, so constraint/generation expressions that
+        reference them analyze and see NULL — the same value those rows
+        read back with (SQL CHECK: NULL passes)."""
+        if schema_json is None:
+            return df
+        have = set(df.columns)
+        for f in T.StructType.fromJson(schema_json).fields:
+            if f.name not in have:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
+    def _enforce(
+        self,
+        df: DataFrame,
+        constraints: dict[str, str],
+        schema_json: dict | None = None,
+    ) -> None:
         """Reject the batch if ANY row violates ANY CHECK constraint —
         one aggregate pass over the incoming rows counting violations
-        per constraint (SQL CHECK semantics: NULL passes). Runs on the
-        LOGICAL frame, before physical-name conform. Cost at scale: one
-        columnar scan of the batch being written, never of the table."""
+        per constraint (SQL CHECK semantics: NULL passes — including
+        table columns a legal subset-schema batch omits entirely). Runs
+        on the LOGICAL frame, before physical-name conform. Cost at
+        scale: one columnar scan of the batch being written, never of
+        the table."""
         if not constraints:
             return
+        df = self._null_extend(df, schema_json)
         names = sorted(constraints)
         counts = df.agg(
             *[
@@ -1906,21 +1963,31 @@ class SnapshotTable:
 
     def _apply_generated(self, df: DataFrame, state: dict) -> DataFrame:
         """Compute absent generated columns; validate supplied ones
-        (null-safe equality, whole batch rejected on any mismatch)."""
+        (null-safe equality, whole batch rejected on any mismatch).
+        Subset-schema batches see NULL for table columns they omit (the
+        value those rows read back with), so generation expressions
+        referencing them analyze instead of crashing."""
         gen = state["generated"]
         if not gen:
             return df
+        orig_cols = list(df.columns)
+        ext = self._null_extend(df, state["schema"])
         supplied = []
-        out = df
+        out = ext
+        computed = []
         for name, spec in sorted(gen.items()):
-            if name in out.columns:
+            if name in orig_cols:
                 supplied.append(name)
             else:
                 out = out.withColumn(
                     name, F.expr(spec["expr"]).cast(spec["type"])
                 )
+                computed.append(name)
+        # the batch keeps ITS columns (+ computed generated ones); the
+        # null helper columns were for expression analysis only
+        out = out.select(*orig_cols, *[c for c in computed if c not in orig_cols])
         if supplied:
-            counts = df.agg(
+            counts = ext.agg(
                 *[
                     F.count(
                         F.when(
@@ -1997,7 +2064,7 @@ class SnapshotTable:
         physical (e.g. re-introducing a name a rename freed)."""
         state = self._state()
         df = self._apply_generated(df, state)
-        self._enforce(df, state["constraints"])
+        self._enforce(df, state["constraints"], state["schema"])
         old_mapping = state["column_mapping"] or {}
         old_fields = (
             T.StructType.fromJson(state["schema"]).fieldNames()
@@ -2048,8 +2115,6 @@ class SnapshotTable:
         of a constrained column (the Delta rule) — a stale name in a
         stored expression would fail analysis on the NEXT write, far
         from the schema change that broke it."""
-        import re
-
         pat = re.compile(rf"\b{re.escape(col)}\b")
         return sorted(n for n, e in constraints.items() if pat.search(e))
 
@@ -2366,10 +2431,10 @@ class SnapshotTable:
         keys = [key] if isinstance(key, str) else list(key)
         state = self._state()
         df = self._apply_generated(df, state)
+        self._enforce(df, state["constraints"], state["schema"])
         schema, mapping = self._merged_schema(state, df)
         eff_mapping = mapping if mapping is not None else state["column_mapping"]
         new_rows = self._conform(df, schema)
-        self._enforce(new_rows, state["constraints"])
         key_df = new_rows.select(*keys).distinct()
         candidates, skipped = self._candidate_files(state, keys, key_df)
         if mode == "dv":
@@ -2427,7 +2492,12 @@ class SnapshotTable:
             ).join(
                 key_df, keys, "left_anti"  # AQE-sized, same reason as the probe
             )
-            merged = kept.unionByName(new_rows, allowMissingColumns=True)
+            # survivor rows are being physically rewritten anyway, so
+            # recompute their generated columns too - same contract as
+            # update_where's cow path (pre-rule NULLs fill on rewrite)
+            merged = self._regen(kept, state).unionByName(
+                new_rows, allowMissingColumns=True
+            )
         else:
             merged = new_rows
         adds = self._write_files(merged, state["cluster_by"], eff_mapping)
@@ -2675,15 +2745,30 @@ class SnapshotTable:
                 # multi-append layouts). False-positive-only, so a kept
                 # file is just an unskipped read — never wrong results.
                 bl = meta.get("bloom")
+                kind = bl.get("h") if bl else None
+                # the probe's PYTHON type must match the bloom's hash
+                # domain exactly (int probe on an integer column, str on
+                # a string column) — any coercion (150 vs 150.0, "1" vs
+                # 1) would false-negative and silently drop rows
+                probe_ok = (
+                    type(lo) is int if kind == "i64" else isinstance(lo, str)
+                )
                 if (
                     lo is not None
                     and lo == hi
                     and bl is not None
+                    and probe_ok
                     and bl["col"] == self._phys(mapping, c)
                 ):
-                    with self._data.open_input(bl["path"]) as bf:
-                        blob = bf.read()
-                    if not _bloom_test(blob, lo, bl.get("h", "md5")):
+                    blob = self._bloom_cache.get(bl["path"])
+                    if blob is None:
+                        # data files are immutable, so sidecars are too:
+                        # cache per handle, or a 10k-file table pays 10k
+                        # serial object reads per point query
+                        with self._data.open_input(bl["path"]) as bf:
+                            blob = bf.read()
+                        self._bloom_cache[bl["path"]] = blob
+                    if not _bloom_test(blob, lo, kind):
                         ok = False
                         bloom_skipped += 1
                         break
@@ -2819,6 +2904,27 @@ class SnapshotTable:
         it IS a data change and downstream consumers must react."""
         cur = self._state()
         old = self._state(version)
+        # constraints / generation rules stay CURRENT across a restore,
+        # so any rule referencing a column the restored schema lacks
+        # would poison every later write far from this call - block it
+        # here, same policy as rename_column/drop_column
+        cur_names = set(T.StructType.fromJson(cur["schema"]).fieldNames())
+        old_names = set(T.StructType.fromJson(old["schema"]).fieldNames())
+        rules = dict(cur["constraints"])
+        rules.update(
+            {n: g["expr"] for n, g in cur["generated"].items()}
+        )
+        for col in sorted(cur_names - old_names):
+            # a restored-away GENERATED column itself is fine (the rule
+            # re-materializes it at the next write); only rules whose
+            # EXPRESSIONS reference a vanishing column are poisoned
+            refs = self._constraints_referencing(rules, col)
+            if refs:
+                raise ValueError(
+                    f"restore to version {version} drops column {col!r}, "
+                    f"which constraint/generation rule(s) {sorted(set(refs))} "
+                    f"reference; drop them first"
+                )
         missing = [r for r in old["files"] if not self._data.exists(r)]
         missing += [
             r
