@@ -660,6 +660,22 @@ def test_snapshot_admin_cli_actions(spark, tmp_path):
     assert {h["operation"] for h in go(["history"])["history"]} >= {
         "create", "append", "compact", "zorder", "rename", "drop"
     }
+    # round-8 actions: constraints / generated inspect, binpack,
+    # set-cluster-by, restore
+    assert go(["add-constraint", "--name", "id_ok", "--expr", "id >= 0"])[
+        "version"
+    ] > 0
+    listed = go(["constraints"])
+    assert listed["constraints"] == {"id_ok": "id >= 0"}
+    v_mark = go(["describe"])["version"]
+    assert go(["set-cluster-by", "--cols", "id"])["version"] == v_mark + 1
+    assert go(["binpack", "--max-file-mb", "512"])["files_after"] >= 1
+    assert go(["restore", "--version", str(v_mark)])["version"] > v_mark
+    assert go(["drop-constraint", "--name", "id_ok"])["version"] > 0
+    assert go(["constraints"])["constraints"] == {}
+    desc2 = go(["describe"])
+    assert desc2["rows"] == 21 and "n_dv_masked_files" in desc2
+
     deleted = go(["vacuum", "--retain-last", "1"])["files_deleted"]
     assert deleted >= 1  # superseded pre-compaction files go
     assert SnapshotTable(spark, path).read().count() == 21

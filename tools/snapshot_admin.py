@@ -10,6 +10,12 @@ Usage:
     python tools/snapshot_admin.py <table_path> vacuum [--retain-last N]
     python tools/snapshot_admin.py <table_path> rename --old a --new b
     python tools/snapshot_admin.py <table_path> drop --col a
+    python tools/snapshot_admin.py <table_path> binpack [--max-file-mb N]
+    python tools/snapshot_admin.py <table_path> restore --version N
+    python tools/snapshot_admin.py <table_path> constraints
+    python tools/snapshot_admin.py <table_path> add-constraint --name n --expr sql
+    python tools/snapshot_admin.py <table_path> drop-constraint --name n
+    python tools/snapshot_admin.py <table_path> set-cluster-by --cols a,b
 """
 
 from __future__ import annotations
@@ -40,6 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--new", required=True)
     d = sub.add_parser("drop")
     d.add_argument("--col", required=True)
+    b = sub.add_parser("binpack")
+    b.add_argument("--max-file-mb", type=int, default=128)
+    rs = sub.add_parser("restore")
+    rs.add_argument("--version", type=int, required=True)
+    sub.add_parser("constraints")
+    ac = sub.add_parser("add-constraint")
+    ac.add_argument("--name", required=True)
+    ac.add_argument("--expr", required=True)
+    dc = sub.add_parser("drop-constraint")
+    dc.add_argument("--name", required=True)
+    sc = sub.add_parser("set-cluster-by")
+    sc.add_argument("--cols", required=True)
     return p
 
 
@@ -68,6 +86,9 @@ def run(args: argparse.Namespace, spark=None) -> dict:
             ],
             "cluster_by": state["cluster_by"],
             "column_mapping": state["column_mapping"] or {},
+            "constraints": state["constraints"],
+            "generated": state["generated"],
+            "n_dv_masked_files": len(state["dvs"]),
         }
     if args.action == "compact":
         return t.compact(target_files=args.target_files)
@@ -81,6 +102,20 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         return {"version": t.rename_column(args.old, args.new)}
     if args.action == "drop":
         return {"version": t.drop_column(args.col)}
+    if args.action == "binpack":
+        return t.optimize_small_files(
+            max_file_bytes=args.max_file_mb * (1 << 20)
+        )
+    if args.action == "restore":
+        return {"version": t.restore(args.version)}
+    if args.action == "constraints":
+        return {"constraints": t.constraints(), "generated": t.generated_columns()}
+    if args.action == "add-constraint":
+        return {"version": t.add_constraint(args.name, args.expr)}
+    if args.action == "drop-constraint":
+        return {"version": t.drop_constraint(args.name)}
+    if args.action == "set-cluster-by":
+        return {"version": t.set_cluster_by(args.cols.split(","))}
     raise SystemExit(f"unknown action {args.action}")
 
 

@@ -587,3 +587,48 @@ def snapshot_generated_column_read(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("price_band")
     )
+
+
+@query(
+    "snapshot_restore_read",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE made oracle-visible: nation loads at v1, two destructive
+    commits follow (a cow delete of region 0 and a dv delete of odd
+    keys), then restore(v1) rolls the table back AS A NEW COMMIT —
+    nothing rewritten, old files re-referenced, linear history
+    (asserted) — and the restored read must hash-match the ORIGINAL
+    relational state. The rollback story a 100 TB table needs after a
+    bad pipeline deploy: O(metadata), not O(data)."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_restore_") + "/nation"
+    )
+    t.create(nation.coalesce(1), cluster_by=["n_nationkey"])
+    t.delete_where("n_regionkey = 0")
+    t.delete_where("n_nationkey % 2 = 1", mode="dv")
+    assert t.read().count() < nation.count()
+    v = t.restore(1)
+    assert v == t.latest_version()
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create", "delete", "delete", "restore"], ops
+    return (
+        t.read()
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
