@@ -243,3 +243,75 @@ def test_prefix_flags_match_quadratic_check(spark, texts):
     for i, t in enumerate(texts):
         want = any(u != t and u.startswith(t) for u in texts)
         assert got[i] == want, (t, texts)
+
+
+# corpora from a 4-token alphabet force heavy cross-text k-gram overlap
+_tiny_texts = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12)
+    .map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SET
+@given(corpora=st.lists(_tiny_texts, min_size=1, max_size=3))
+def test_duplicate_spans_match_quadratic_reference(spark, corpora):
+    """duplicate_kgram_spans == a direct quadratic Python reference:
+    every k-gram occurring in >=2 distinct texts marks its positions;
+    dup_tokens = |union of marked [i, i+k) intervals| per text."""
+    from wopen_spark.operators.dedup import duplicate_kgram_spans
+
+    k = 3
+    for texts in corpora:
+        texts = sorted(set(texts))
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = {
+            r["text"]: (r["n_tokens"], r["dup_tokens"])
+            for r in duplicate_kgram_spans(df, "text", k=k).collect()
+        }
+        toks = {t: t.split() for t in texts}
+        grams: dict[str, set[str]] = {}
+        for t, w in toks.items():
+            for i in range(len(w) - k + 1):
+                grams.setdefault(" ".join(w[i : i + k]), set()).add(t)
+        dup = {g for g, owners in grams.items() if len(owners) > 1}
+        want = {}
+        for t, w in toks.items():
+            covered = set()
+            for i in range(len(w) - k + 1):
+                if " ".join(w[i : i + k]) in dup:
+                    covered.update(range(i, i + k))
+            want[t] = (len(w), len(covered))
+        assert got == want
+
+
+@SET
+@given(
+    ints=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=300),
+    probes=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=50),
+    strs=st.lists(st.text(max_size=12), max_size=200),
+)
+def test_bloom_never_false_negative(ints, probes, strs):
+    """Membership is NEVER lost: every inserted value tests positive in
+    both the vectorized i64 build and the md5 string build (probe misses
+    may false-positive — that's the contract — but not the reverse)."""
+    import numpy as np
+
+    from wopen_spark.snapshot_table import (
+        _bloom_build_ints,
+        _bloom_build_strs,
+        _bloom_params,
+        _bloom_test,
+    )
+
+    m = _bloom_params(max(len(ints), len(strs)))
+    if ints:
+        blob = _bloom_build_ints(np.array(ints, dtype=np.int64).astype(np.uint64), m)
+        assert all(_bloom_test(blob, v, "i64") for v in ints)
+        inserted = set(ints)
+        fp = sum(_bloom_test(blob, p, "i64") for p in probes if p not in inserted)
+        assert fp <= max(2, len(probes) // 2)  # sanity: not saturated
+    if strs:
+        blob = _bloom_build_strs(strs, m)
+        assert all(_bloom_test(blob, v, "md5") for v in strs)
