@@ -249,3 +249,24 @@ def test_changefeed_loader_exactly_once(spark, tmp_path):
     )
     assert tgt.latest_version() == v_before
     assert mv() == {"a": 5, "b": 10}
+
+
+def test_streaming_sink_enforces_constraints_per_batch(spark, table):
+    """The foreachBatch sink composes with CHECK constraints: a clean
+    micro-batch lands with its epoch watermark, a violating one raises
+    (failing the streaming query rather than committing bad rows), and
+    the failed epoch can be retried with corrected data exactly once."""
+    from wopen_spark.snapshot_table import ConstraintViolationError
+
+    table.create(_mk(spark, [(1, "a")]))
+    table.add_constraint("id_pos", "id > 0")
+    sink = table.streaming_sink(txn_app="stream/t")
+    sink(_mk(spark, [(2, "b")]), 0)          # epoch 0 lands
+    with pytest.raises(ConstraintViolationError):
+        sink(_mk(spark, [(-7, "bad")]), 1)   # epoch 1 rejected whole
+    v = table.latest_version()
+    sink(_mk(spark, [(7, "fixed")]), 1)      # corrected epoch 1 lands
+    assert table.latest_version() == v + 1
+    sink(_mk(spark, [(7, "replay")]), 1)     # replay: watermark no-op
+    assert table.latest_version() == v + 1
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 7]
