@@ -1,0 +1,293 @@
+"""Multi-clause MERGE (merge_into): conditional matched UPDATE/DELETE,
+NOT MATCHED INSERT, NOT MATCHED BY SOURCE UPDATE/DELETE — the CDC-apply
+primitive. Covers clause order, both write modes (cow rewrite vs dv
+mask), CDF folding, txn idempotency, stats pruning, constraint and
+generated-column interaction, and the Delta-style multiple-match error.
+
+Reference parity: the reference applies change batches as full-frame
+pandas rewrites (e.g. wp_export's drop-then-concat); merge_into is the
+keyed, file-pruned equivalent of that shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wopen_spark.snapshot_table import ConstraintViolationError, SnapshotTable
+
+
+def _base(spark, path, cluster=True):
+    t = SnapshotTable(spark, path)
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id int, name string, val double",
+    )
+    t.create(df, cluster_by=["id"] if cluster else None)
+    return t
+
+
+def _src(spark):
+    return spark.createDataFrame(
+        [(2, "B", 200.0), (3, "c", 31.0), (5, "e", 50.0), (6, "f", -1.0)],
+        "id int, name string, val double",
+    )
+
+
+_CLAUSES = dict(
+    matched=[
+        {"action": "delete", "cond": "s.val > 100"},
+        {
+            "action": "update",
+            "cond": None,
+            "set": {"val": "s.val", "name": "upper(t.name)"},
+        },
+    ],
+    not_matched=[{"action": "insert", "cond": "s.val >= 0"}],
+    not_matched_by_source=[
+        {"action": "update", "cond": "t.id = 1", "set": {"val": "t.val + 1"}},
+        {"action": "delete", "cond": "t.id >= 4"},
+    ],
+)
+
+_EXPECT = [(1, "a", 11.0), (3, "C", 31.0), (5, "e", 50.0)]
+
+
+@pytest.mark.parametrize("mode", ["cow", "dv"])
+def test_all_clause_kinds(spark, tmp_path, mode):
+    t = _base(spark, str(tmp_path / "t"))
+    rep = t.merge_into(_src(spark), "id", mode=mode, **_CLAUSES)
+    rows = sorted((r.id, r.name, r.val) for r in t.read().collect())
+    assert rows == _EXPECT
+    if mode == "dv":
+        assert rep["files_rewritten"] == 0
+        assert rep["files_masked"] >= 1
+    else:
+        assert rep["files_rewritten"] >= 1
+    # CDF folds to the same final state: latest insert per key wins,
+    # keys whose last change is a delete are gone
+    ch = t.read_changes(0)
+    w = Window.partitionBy("id").orderBy(
+        F.desc("_commit_version"), F.desc(F.col("_change_type") == "insert")
+    )
+    fold = (
+        ch.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1 AND _change_type = 'insert'")
+        .select("id", "name", "val")
+    )
+    assert sorted((r.id, r.name, r.val) for r in fold.collect()) == _EXPECT
+
+
+def test_first_match_wins_clause_order(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame([(2, 0.0)], "id int, val double")
+    # both clauses' conditions hold for id=2; the FIRST (update) must win
+    t.merge_into(
+        src,
+        "id",
+        matched=[
+            {"action": "update", "cond": "t.id = 2", "set": {"val": "-1.0"}},
+            {"action": "delete", "cond": None},
+        ],
+    )
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got[2] == -1.0 and set(got) == {1, 2, 3, 4}
+
+
+def test_multiple_source_matches_raise(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "id int, name string, val double"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_into(dup, "id", matched=[{"action": "delete", "cond": None}])
+    # but insert-only merges tolerate duplicate source keys: both rows
+    # are unmatched and both insert (SQL MERGE semantics)
+    dup2 = spark.createDataFrame(
+        [(7, "x", 1.0), (7, "y", 2.0)], "id int, name string, val double"
+    )
+    t.merge_into(dup2, "id", not_matched=[{"action": "insert", "cond": None}])
+    assert t.read().filter("id = 7").count() == 2
+
+
+def test_cdc_op_column_drives_clauses(spark, tmp_path):
+    """A CDC batch's op column is readable as s.op in conditions but is
+    NOT part of the insert image (merge_into never evolves schemas)."""
+    t = _base(spark, str(tmp_path / "t"))
+    cdc = spark.createDataFrame(
+        [
+            (2, None, None, "D"),
+            (3, "cc", 33.0, "U"),
+            (9, "i", 90.0, "I"),
+        ],
+        "id int, name string, val double, op string",
+    )
+    t.merge_into(
+        cdc,
+        "id",
+        matched=[
+            {"action": "delete", "cond": "s.op = 'D'"},
+            {
+                "action": "update",
+                "cond": "s.op = 'U'",
+                "set": {"name": "s.name", "val": "s.val"},
+            },
+        ],
+        not_matched=[{"action": "insert", "cond": "s.op = 'I'"}],
+        mode="dv",
+    )
+    rows = sorted((r.id, r.name, r.val) for r in t.read().collect())
+    assert rows == [
+        (1, "a", 10.0),
+        (3, "cc", 33.0),
+        (4, "d", 40.0),
+        (9, "i", 90.0),
+    ]
+    assert "op" not in [f.name for f in t.read().schema.fields]
+
+
+def test_txn_idempotent_replay(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    src = _src(spark)
+    kw = dict(not_matched=[{"action": "insert", "cond": None}])
+    r1 = t.merge_into(src, "id", txn_app="cdc", txn_version=3, **kw)
+    r2 = t.merge_into(src, "id", txn_app="cdc", txn_version=3, **kw)
+    assert r2.get("replayed") and r2["version"] == r1["version"]
+    assert t.read().count() == 6  # 4 base + ids 5,6 inserted once
+
+
+def test_noop_returns_without_commit(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    empty = spark.createDataFrame([], "id int, name string, val double")
+    r = t.merge_into(
+        empty,
+        "id",
+        matched=[{"action": "delete", "cond": None}],
+        not_matched=[{"action": "insert", "cond": None}],
+    )
+    assert r.get("noop") and t.latest_version() == 1
+
+
+def test_stats_pruning_without_by_source(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 400).select(
+        F.col("id").cast("int").alias("id"), (F.col("id") * 1.0).alias("val")
+    )
+    t.create(df.repartition(4), cluster_by=["id"])
+    one = spark.createDataFrame([(7, -1.0)], "id int, val double")
+    r = t.merge_into(
+        one, "id", matched=[{"action": "update", "cond": None, "set": {"val": "s.val"}}]
+    )
+    assert r["files_skipped_by_stats"] >= 1
+    assert r["files_rewritten"] == 1
+    # untouched files survive as the same log entries (no rewrite churn)
+    assert t.read().filter("val = -1.0").count() == 1
+
+
+def test_full_sync_by_source_probes_all_files(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (3, "c3", 99.0), (8, "h", 80.0)],
+        "id int, name string, val double",
+    )
+    r = t.merge_into(
+        src,
+        "id",
+        matched=[
+            {
+                "action": "update",
+                "cond": "t.name <> s.name OR t.val <> s.val",
+                "set": {"name": "s.name", "val": "s.val"},
+            }
+        ],
+        not_matched=[{"action": "insert", "cond": None}],
+        not_matched_by_source=[{"action": "delete", "cond": None}],
+    )
+    assert r["files_skipped_by_stats"] == 0  # full-sync is full-scan
+    rows = sorted((r.id, r.name, r.val) for r in t.read().collect())
+    assert rows == [(1, "a", 10.0), (3, "c3", 99.0), (8, "h", 80.0)]
+
+
+def test_masked_rows_never_rematch(spark, tmp_path):
+    """A dv merge over a table with existing masks must not re-claim
+    already-masked rows (the snapshot read is dv-applied)."""
+    t = _base(spark, str(tmp_path / "t"))
+    t.delete_where("id = 2", mode="dv")
+    src = spark.createDataFrame([(2, "z", 0.0)], "id int, name string, val double")
+    r = t.merge_into(
+        src,
+        "id",
+        matched=[{"action": "update", "cond": None, "set": {"val": "s.val"}}],
+        not_matched=[{"action": "insert", "cond": None}],
+        mode="dv",
+    )
+    # id=2 is dv-deleted, so the source row is NOT MATCHED -> insert
+    assert r["rows_claimed"] == 0
+    rows = sorted((x.id, x.val) for x in t.read().filter("id = 2").collect())
+    assert rows == [(2, 0.0)]
+
+
+def test_generated_columns_recompute_and_block_assignment(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, val double")
+    # one file: the id=2 update rewrites it, so id=1 is rewritten too and
+    # picks up the post-add generated column (pre-add rows read NULL
+    # until rewritten — the documented materialization contract)
+    t.create(df.coalesce(1))
+    t.add_generated_column("val2", "val * 2", "double")
+    src = spark.createDataFrame([(2, 25.0), (3, 30.0)], "id int, val double")
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.merge_into(
+            src,
+            "id",
+            matched=[{"action": "update", "cond": None, "set": {"val2": "0.0"}}],
+        )
+    t.merge_into(
+        src,
+        "id",
+        matched=[{"action": "update", "cond": None, "set": {"val": "s.val"}}],
+        not_matched=[{"action": "insert", "cond": None}],
+    )
+    got = {r.id: (r.val, r.val2) for r in t.read().collect()}
+    assert got == {1: (10.0, 20.0), 2: (25.0, 50.0), 3: (30.0, 60.0)}
+
+
+def test_constraints_enforced_on_updates_and_inserts(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    t.add_constraint("val_nonneg", "val >= 0")
+    bad_upd = spark.createDataFrame([(2, -5.0)], "id int, val double")
+    with pytest.raises(ConstraintViolationError):
+        t.merge_into(
+            bad_upd,
+            "id",
+            matched=[{"action": "update", "cond": None, "set": {"val": "s.val"}}],
+        )
+    bad_ins = spark.createDataFrame(
+        [(9, "x", -1.0)], "id int, name string, val double"
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.merge_into(
+            bad_ins, "id", not_matched=[{"action": "insert", "cond": None}]
+        )
+    assert t.latest_version() == 2  # only the add_constraint commit landed
+
+
+def test_validation_errors(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "t"))
+    src = _src(spark)
+    with pytest.raises(ValueError, match="at least one clause"):
+        t.merge_into(src, "id")
+    with pytest.raises(ValueError, match="not in"):
+        t.merge_into(src, "id", matched=[{"action": "insert", "cond": None}])
+    with pytest.raises(ValueError, match="non-empty 'set'"):
+        t.merge_into(src, "id", matched=[{"action": "update", "cond": None}])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.merge_into(
+            src,
+            "id",
+            matched=[{"action": "update", "cond": None, "set": {"nope": "1"}}],
+        )
+    with pytest.raises(ValueError, match="merge key"):
+        t.merge_into(src.drop("id"), "id", matched=[{"action": "delete"}])
+    with pytest.raises(ValueError, match="mode"):
+        t.merge_into(src, "id", matched=[{"action": "delete"}], mode="x")

@@ -118,7 +118,7 @@ def test_snapshot_random_op_sequence_matches_model(
         op = rng.choice(
             ["append", "append", "merge", "dvmerge", "delete", "dvdelete",
              "update", "rename", "widen", "compact", "zorder", "binpack",
-             "constraint", "recluster", "restore", "generated"]
+             "constraint", "recluster", "restore", "generated", "multimerge"]
         )
         if op == "append":
             rows = [
@@ -246,6 +246,58 @@ def test_snapshot_random_op_sequence_matches_model(
                     with pytest.raises(ConstraintViolationError):
                         table.append(bad)
                 table.drop_generated_column("gen_idmod")
+        elif op == "multimerge":
+            # multi-clause MERGE (CDC apply): the source payload's op
+            # code decides matched delete vs update per row, a fresh key
+            # inserts, and ~1/3 of draws add a NOT MATCHED BY SOURCE
+            # delete band — layered over dv masks, renames, widenings,
+            # restores; the interaction matrix merge_into's own unit
+            # tests can't reach
+            mm_mode = rng.choice(["cow", "dv"])
+            mm_keys = rng.sample(sorted(model), min(2, len(model)))
+            extra = next_id
+            next_id += 1
+            xt = "long" if widened else "int"
+            mm_rows = [
+                (k, f"X{step}", model[k][1], "D" if (j == 0 and len(model) > 3) else "U")
+                for j, k in enumerate(mm_keys)
+            ] + [(extra, f"X{step}", 7, "I")]
+            by_src = rng.random() < 0.34
+            lo = rng.randint(0, max(next_id - 1, 1))
+            kw = {}
+            if by_src:
+                kw["not_matched_by_source"] = [
+                    {"action": "delete", "cond": f"t.id >= {lo} AND t.id < {lo + 3}"}
+                ]
+            table.merge_into(
+                spark.createDataFrame(
+                    mm_rows, f"id long, {val_col} string, x {xt}, op string"
+                ),
+                "id",
+                matched=[
+                    {"action": "delete", "cond": "s.op = 'D'"},
+                    {
+                        "action": "update",
+                        "cond": "s.op = 'U'",
+                        "set": {val_col: f"s.{val_col}", "x": "s.x"},
+                    },
+                ],
+                not_matched=[{"action": "insert", "cond": "s.op = 'I'"}],
+                mode=mm_mode,
+                **kw,
+            )
+            src_ids = {r[0] for r in mm_rows}
+            for k, s, x, code in mm_rows:
+                if code == "D":
+                    model.pop(k, None)
+                elif code == "U" and k in model:
+                    model[k] = (s, x)
+                elif code == "I" and k not in model:
+                    model[k] = (s, x)
+            if by_src:
+                for k in list(model):
+                    if lo <= k < lo + 3 and k not in src_ids:
+                        del model[k]
         elif op == "constraint":
             # toggle a CHECK on x (never renamed in this model): adding
             # validates the whole current table; while active, a

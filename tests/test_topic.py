@@ -139,3 +139,67 @@ def test_topic_as_structured_stream_exactly_once(spark, tmp_path, topic):
     run()
     assert sorted(r["k"] for r in table.read().collect())[-2:] == [103, 104]
     assert table.read().count() == 11
+
+
+UP_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def test_upsert_loader_latest_state_exactly_once(spark, tmp_path, topic):
+    """UpsertTopicLoader: the table converges to the newest record per
+    key; intra-batch dedup, rerun no-ops, replay rejection, and the
+    out-of-order guard (an older seq never regresses state) all hold."""
+    from wopen_spark.streaming.topic import UpsertTopicLoader
+
+    table = SnapshotTable(spark, str(tmp_path / "latest"))
+    table.create(spark.createDataFrame([], UP_SCHEMA), cluster_by=["k"])
+    loader = UpsertTopicLoader(
+        topic, table, group="up", schema=UP_SCHEMA, key="k", order_col="seq"
+    )
+    # batch 1 on p0 carries a key twice: intra-batch dedup keeps seq=2
+    topic.produce(0, [
+        {"k": 1, "seq": 1, "v": "a1"},
+        {"k": 1, "seq": 2, "v": "a2"},
+        {"k": 2, "seq": 1, "v": "b1"},
+    ])
+    topic.produce(1, [{"k": 3, "seq": 1, "v": "c1"}])
+    r1 = loader.run_once(spark)
+    assert set(r1) == {0, 1}
+    got = {r.k: (r.seq, r.v) for r in table.read().collect()}
+    assert got == {1: (2, "a2"), 2: (1, "b1"), 3: (1, "c1")}
+
+    # batch 2: newer update for k=1, STALE record for k=2 (seq=0 — the
+    # ordering guard must leave b1 in place), new key 4
+    topic.produce(0, [
+        {"k": 2, "seq": 0, "v": "stale"},
+        {"k": 1, "seq": 5, "v": "a5"},
+        {"k": 4, "seq": 1, "v": "d1"},
+    ])
+    r2 = loader.run_once(spark)
+    assert set(r2) == {0}
+    got = {r.k: (r.seq, r.v) for r in table.read().collect()}
+    assert got == {1: (5, "a5"), 2: (1, "b1"), 3: (1, "c1"), 4: (1, "d1")}
+
+    # caught up: rerun is a no-op, version unchanged
+    v = table.latest_version()
+    assert loader.run_once(spark) == {}
+    assert table.latest_version() == v
+
+    # crash-replay of batch 1 with its original txn version: rejected
+    replay = topic.read(spark, 0, 0, r1[0][1], UP_SCHEMA).select("k", "seq", "v")
+    rep = table.merge_into(
+        replay.dropDuplicates(["k"]), "k",
+        not_matched=[{"action": "insert", "cond": None}],
+        txn_app="up/p0", txn_version=r1[0][1],
+    )
+    assert rep.get("replayed") and table.latest_version() == v
+
+    # three merge commits landed (p0+p1 round 1, p0 round 2) — the
+    # replayed batch and the caught-up rerun added none
+    ops = [h["operation"] for h in table.history()]
+    assert ops.count("merge") == 3

@@ -632,3 +632,170 @@ def snapshot_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "snapshot_merge_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ),
+    applied AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 1
+                  THEN CAST(c_acctbal + 100.0 AS DOUBLE) ELSE c_acctbal
+             END AS c_acctbal,
+             CASE WHEN c_custkey % 7 = 1 THEN 'UPDATED' ELSE c_mktsegment
+             END AS c_mktsegment
+      FROM base WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+             CAST(0.0 AS DOUBLE), 'CDC'
+      FROM base WHERE c_custkey % 7 = 2
+    )
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM applied ORDER BY c_custkey
+    """,
+)
+def snapshot_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-clause MERGE as the CDC-apply primitive, low-shuffle: one
+    ``merge_into`` call replays a change batch carrying an ``op`` column
+    (D = delete, U = update, I = insert) against a clustered
+    SnapshotTable in ``mode="dv"`` — matched deletes and updates become
+    deletion-vector masks plus appended update images, inserts append,
+    and ZERO existing data files are rewritten (asserted: the write cost
+    is O(changed rows), which is what CDC apply must cost at 100 TB —
+    Delta calls this low-shuffle merge). The final merge-on-read scan
+    must hash-match the oracle's relational replay of the same change
+    batch. The op column itself never lands in the table: it drives the
+    clause conditions as ``s.op`` and is excluded from insert images."""
+    import tempfile
+
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_merge_cdc_") + "/customer"
+    )
+    t.create(cust.repartition(4), cluster_by=["c_custkey"])
+
+    k = F.col("c_custkey") % 7
+    deletes = cust.filter(k == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    updates = cust.filter(k == 1).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+    )
+    inserts = cust.filter(k == 2).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    cdc = deletes.unionByName(updates).unionByName(inserts)
+
+    rep = t.merge_into(
+        cdc,
+        "c_custkey",
+        matched=[
+            {"action": "delete", "cond": "s.op = 'D'"},
+            {
+                "action": "update",
+                "cond": "s.op = 'U'",
+                "set": {"c_acctbal": "s.c_acctbal", "c_mktsegment": "s.c_mktsegment"},
+            },
+        ],
+        not_matched=[{"action": "insert", "cond": "s.op = 'I'"}],
+        mode="dv",
+    )
+    assert rep["files_rewritten"] == 0, "dv CDC apply must not rewrite files"
+    assert rep["files_masked"] >= 1, "expected masked files"
+    return t.read().orderBy("c_custkey")
+
+
+@query(
+    "snapshot_merge_full_sync",
+    oracle="""
+    WITH current_state AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 3 = 0
+                  THEN CAST(s_acctbal * 2 AS DOUBLE) ELSE s_acctbal
+             END AS s_acctbal,
+             s_nationkey
+      FROM supplier WHERE s_suppkey % 5 <> 0
+      UNION ALL
+      SELECT s_suppkey + 100000, CAST(1.0 AS DOUBLE), s_nationkey
+      FROM supplier WHERE s_suppkey % 5 = 1
+    )
+    SELECT s_suppkey, s_acctbal, s_nationkey
+    FROM current_state ORDER BY s_suppkey
+    """,
+)
+def snapshot_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-to-source synchronization via NOT MATCHED BY SOURCE — the
+    nightly "make the warehouse table equal the operational snapshot"
+    shape: matched rows update only when the payload actually changed
+    (a conditional clause keeps no-op rows in their files), source-only
+    rows insert, and target rows the source no longer carries are
+    deleted by the by-source clause. Full sync is inherently full-scan
+    (asserted: stats skipping is disabled when a by-source clause is
+    present — every live file must be probed for departed rows); the
+    changed-row condition is what keeps the REWRITE set small. The final
+    table must hash-match the oracle's re-derived source snapshot."""
+    import tempfile
+
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", "s_nationkey"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_merge_sync_") + "/supplier"
+    )
+    t.create(supp.repartition(4), cluster_by=["s_suppkey"])
+
+    src = (
+        supp.filter(F.col("s_suppkey") % 5 != 0)
+        .select(
+            "s_suppkey",
+            F.when(F.col("s_suppkey") % 3 == 0, F.col("s_acctbal") * 2)
+            .otherwise(F.col("s_acctbal"))
+            .alias("s_acctbal"),
+            "s_nationkey",
+        )
+        .unionByName(
+            supp.filter(F.col("s_suppkey") % 5 == 1).select(
+                (F.col("s_suppkey") + 100_000).alias("s_suppkey"),
+                F.lit(1.0).alias("s_acctbal"),
+                "s_nationkey",
+            )
+        )
+    )
+    rep = t.merge_into(
+        src,
+        "s_suppkey",
+        matched=[
+            {
+                "action": "update",
+                "cond": "t.s_acctbal <> s.s_acctbal",
+                "set": {"s_acctbal": "s.s_acctbal"},
+            }
+        ],
+        not_matched=[{"action": "insert", "cond": None}],
+        not_matched_by_source=[{"action": "delete", "cond": None}],
+    )
+    assert rep["files_skipped_by_stats"] == 0, "full sync must probe all files"
+    return t.read().orderBy("s_suppkey")

@@ -296,3 +296,107 @@ def topic_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_upsert_topic",
+    oracle="""
+    WITH sampled AS (
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE event_id % 100 = 0
+    ),
+    latest AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+      FROM sampled
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           CAST(round(value * 100) AS BIGINT) AS last_value_cents
+    FROM latest WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def streaming_upsert_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted-topic materialization, end-to-end exactly-once: a 1%
+    event sample is produced into a 2-partition FileTopic (partitioned
+    by user — the Kafka key-hash contract) across staggered segments; an
+    UpsertTopicLoader drains it in MULTIPLE micro-batch rounds, each
+    batch reduced to its newest record per user and applied with one
+    multi-clause dv merge (update only when ``s.event_id >= t.event_id``,
+    else insert — so replays and out-of-order segments can never regress
+    state). After catch-up the loader reruns (must be a no-op) AND a
+    committed batch is re-merged directly with its original txn version
+    (must be rejected by the high-water mark). The table then holds the
+    latest event per user — value-checked against the oracle's window
+    ranking over the same sample. This is the streaming CDC-upsert sink
+    shape: per-batch cost O(changed rows), zero file rewrites."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.streaming.topic import FileTopic, UpsertTopicLoader
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 100 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    # ascending event_id order so segments replay the stream's real
+    # arrival order; partition by user = key-sticky, as Kafka would
+    rows = [r.asDict() for r in ev.orderBy("event_id").collect()]
+    root = tempfile.mkdtemp(prefix="wopen_upsert_topic_")
+    topic = FileTopic(f"{root}/user_state", partitions=2)
+    p0 = [r for r in rows if r["user_id"] % 2 == 0]
+    p1 = [r for r in rows if r["user_id"] % 2 == 1]
+    cut0, cut1 = len(p0) // 3, 2 * len(p1) // 3
+    topic.produce(0, p0[:cut0])
+    topic.produce(1, p1[:cut1])
+
+    table = SnapshotTable(spark, f"{root}/user_latest")
+    table.create(spark.createDataFrame([], schema), cluster_by=["user_id"])
+    loader = UpsertTopicLoader(
+        topic, table, group="upsert", schema=schema,
+        key="user_id", order_col="event_id",
+    )
+    r1 = loader.run_once(spark)  # round 1: both partitions partial
+    assert set(r1) == {0, 1}, r1
+    topic.produce(0, p0[cut0:])  # late tails
+    topic.produce(1, p1[cut1:])
+    r2 = loader.run_once(spark)
+    assert set(r2) == {0, 1}, r2
+    assert loader.run_once(spark) == {}, "caught-up loader must be a no-op"
+    # crash-replay: re-merge round 1's committed p0 batch with its
+    # original txn version — the high-water mark must reject it
+    v_before = table.latest_version()
+    replay = topic.read(spark, 0, 0, r1[0][1], schema).select(
+        *[f.name for f in schema.fields]
+    )
+    rep = table.merge_into(
+        replay.dropDuplicates(["user_id"]),
+        "user_id",
+        not_matched=[{"action": "insert", "cond": None}],
+        txn_app="upsert/p0",
+        txn_version=r1[0][1],
+    )
+    assert rep.get("replayed") and table.latest_version() == v_before
+
+    return (
+        table.read()
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -2519,6 +2519,329 @@ class SnapshotTable:
             "files_rewritten": len(touched),
         }
 
+    _MRG_ACT = "__sn_mrg_act"
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        key: str | list[str],
+        *,
+        matched: list[dict] | None = None,
+        not_matched: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
+        mode: str = "cow",
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> dict:
+        """Multi-clause MERGE (the full ANSI / Delta surface — conditional
+        matched UPDATE/DELETE, NOT MATCHED INSERT, NOT MATCHED BY SOURCE
+        UPDATE/DELETE), of which :meth:`merge` is the plain-upsert special
+        case. This is the CDC-apply primitive: one call replays a change
+        batch of inserts + updates + deletes, or syncs a target to a
+        source snapshot (``not_matched_by_source`` delete).
+
+        Each clause is a dict: ``{"action": "update", "cond": sql|None,
+        "set": {col: sql}}``, ``{"action": "delete", "cond": sql|None}``,
+        or ``{"action": "insert", "cond": sql|None}``. Conditions and
+        ``set`` expressions see the target row as ``t.*`` and the source
+        row as ``s.*`` (``not_matched`` conds see only ``s.*``,
+        ``not_matched_by_source`` only ``t.*``). Within each clause list,
+        the FIRST clause whose condition holds wins for a row; a row no
+        clause claims is left untouched. An insert's row image is the
+        source row conformed to the table schema (absent columns NULL,
+        generated columns computed).
+
+        ``mode="cow"`` rewrites only the files that contain a claimed
+        row; ``mode="dv"`` masks claimed rows with a deletion vector and
+        appends the updated images + inserts — write cost O(changed
+        rows), zero data files rewritten (the low-shuffle CDC-apply
+        shape that survives 100 TB). CDF emits delete(old) + insert(new)
+        either way.
+
+        Scale note: without ``not_matched_by_source`` clauses the target
+        read is stats-pruned to the files whose [min,max] key ranges
+        overlap the source keys; WITH them every live file must be
+        probed (full-sync semantics are inherently full-scan).
+
+        ``txn_app``/``txn_version`` make the merge idempotent for
+        exactly-once streaming upsert sinks, same contract as
+        :meth:`append`. Like Delta, raises if a target row is matched by
+        more than one source row while matched clauses exist (the result
+        would be nondeterministic). Reference parity: the reference's
+        pandas pipelines express upsert-then-prune as full-frame
+        rewrites; this is the keyed, file-pruned equivalent."""
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be passed together")
+        keys = [key] if isinstance(key, str) else list(key)
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        by_source = list(not_matched_by_source or [])
+        if not (matched or not_matched or by_source):
+            raise ValueError("merge_into needs at least one clause")
+        for cl, allowed in (
+            *[(c, ("update", "delete")) for c in matched],
+            *[(c, ("insert",)) for c in not_matched],
+            *[(c, ("update", "delete")) for c in by_source],
+        ):
+            if cl.get("action") not in allowed:
+                raise ValueError(
+                    f"clause action {cl.get('action')!r} not in {allowed}"
+                )
+            if cl["action"] == "update" and not cl.get("set"):
+                raise ValueError("update clause requires a non-empty 'set'")
+
+        state = self._state()
+        if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
+            return {"version": state["version"], "replayed": True}
+        schema = T.StructType.fromJson(state["schema"])
+        types = {f.name: f.dataType for f in schema.fields}
+        missing_keys = [k for k in keys if k not in source.columns]
+        if missing_keys:
+            raise ValueError(f"source lacks merge key column(s): {missing_keys}")
+        gen_cols = [c for c in source.columns if c in state["generated"]]
+        if gen_cols:
+            raise ValueError(
+                f"source column(s) {gen_cols} are GENERATED table columns — "
+                f"they are computed at write, never supplied"
+            )
+        # extra non-schema source columns (a CDC batch's op/ts metadata)
+        # are legal: conditions read them as s.<col>; insert images take
+        # only the schema-named columns (merge_into never evolves schemas)
+        for cl in (*matched, *by_source):
+            gen = [c for c in cl.get("set", {}) if c in state["generated"]]
+            if gen:
+                raise ValueError(
+                    f"column(s) {gen} are GENERATED and recomputed from the "
+                    f"updated row; they cannot be assigned directly"
+                )
+            bad = [c for c in cl.get("set", {}) if c not in types]
+            if bad:
+                raise ValueError(f"update of unknown column(s): {bad}")
+
+        src = self._conform(source, state["schema"]).alias("s")
+        key_df = src.select(*keys).distinct()
+        if by_source:
+            cand, skipped = sorted(state["files"]), []
+        else:
+            cand, skipped = self._candidate_files(state, keys, key_df)
+
+        # ---- classify target-side rows: first-matching clause wins
+        tgt = self._read_snapshot(state, cand, keep_lineage=True).alias("t")
+        joined = tgt.join(
+            src, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"
+        )
+        # a left-joined source row is present iff its key columns came
+        # through non-null; key equality already excludes null keys, so
+        # any one key being non-null on the s side marks a match
+        is_matched = F.col(f"s.{keys[0]}").isNotNull()
+        # build one first-match-wins CASE over both clause lists
+        chain = None
+        upd_sets: dict[str, dict[str, str]] = {}
+        del_labels: list[str] = []
+        for prefix, flag, clauses in (
+            ("m", is_matched, matched),
+            ("b", ~is_matched, by_source),
+        ):
+            for i, cl in enumerate(clauses):
+                label = f"{prefix}{i}"
+                cond = flag if cl.get("cond") is None else flag & F.expr(cl["cond"])
+                chain = (
+                    F.when(cond, F.lit(label))
+                    if chain is None
+                    else chain.when(cond, F.lit(label))
+                )
+                if cl["action"] == "update":
+                    upd_sets[label] = cl["set"]
+                else:
+                    del_labels.append(label)
+        act_col = chain.otherwise(F.lit(None)) if chain is not None else F.lit(None)
+        joined = joined.withColumn(self._MRG_ACT, act_col)
+
+        if matched:
+            dup = (
+                joined.filter(is_matched)
+                .groupBy(F.col(f"t.{_DV_FILE}"), F.col(f"t.{_DV_ROW}"))
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge_into: a target row is matched by multiple source "
+                    "rows — deduplicate the source on the merge key first"
+                )
+
+        def _image(frame: DataFrame) -> DataFrame:
+            """New row image under first-match-wins clause semantics:
+            every set expression sees the OLD t row + its s row (one
+            select — assignments cannot leak into each other)."""
+            cols = []
+            for f in schema.fields:
+                col = F.col(f"t.{f.name}")
+                for label, assignments in upd_sets.items():
+                    if f.name in assignments:
+                        col = F.when(
+                            F.col(self._MRG_ACT) == label,
+                            F.expr(assignments[f.name]).cast(types[f.name]),
+                        ).otherwise(col)
+                cols.append(col.alias(f.name))
+            return frame.select(*cols, F.col(self._MRG_ACT))
+
+        # ---- inserts: source rows with no target match, first insert
+        # clause (conds see s.* only) claiming them; image = source row
+        # conformed to the table schema, generated columns computed.
+        # Anti-join against the candidate files' keys is complete:
+        # stats-skipped files provably contain no source key.
+        inserts = None
+        if not_matched:
+            unmatched = src.join(
+                tgt.select(*[F.col(f"t.{k}").alias(k) for k in keys]),
+                keys,
+                "left_anti",
+            ).alias("s")
+            conds = [
+                F.lit(True) if cl.get("cond") is None else F.expr(cl["cond"])
+                for cl in not_matched
+            ]
+            claim = conds[0]
+            for c in conds[1:]:
+                claim = claim | c
+            # generated columns are computed later in _finalize, with the
+            # updated images, in one pass
+            inserts = self._null_extend(
+                unmatched.filter(claim), state["schema"]
+            ).select(
+                *[f.name for f in schema.fields if f.name not in state["generated"]]
+            )
+
+        def _finalize(frame: DataFrame) -> tuple[DataFrame, list[dict], dict, dict | None]:
+            """Rows being physically written: recompute generated columns
+            from scratch (a rewrite re-derives, same contract as
+            update_where), fold any materializing generated column into
+            the schema (append's _merged_schema path), write files."""
+            plain = [c for c in frame.columns if c not in state["generated"]]
+            frame = self._apply_generated(frame.select(*plain), state)
+            self._enforce(frame, state["constraints"], state["schema"])
+            schema_j, mapping2 = self._merged_schema(state, frame)
+            eff = mapping2 if mapping2 is not None else state["column_mapping"]
+            adds = self._write_files(self._conform(frame, schema_j), state["cluster_by"], eff)
+            extras = {"schema": schema_j}
+            if mapping2 is not None:
+                extras["column_mapping"] = mapping2
+            return frame, adds, extras, mapping2
+
+        is_update = (
+            F.col(self._MRG_ACT).isin(*upd_sets) if upd_sets else F.lit(False)
+        )
+        if mode == "dv":
+            claimed = joined.filter(F.col(self._MRG_ACT).isNotNull())
+            dv_add, masked_rels, n_rows = self._write_dv(
+                state,
+                claimed.select(
+                    F.col(f"t.{_DV_FILE}").alias(_DV_FILE),
+                    F.col(f"t.{_DV_ROW}").alias(_DV_ROW),
+                ),
+            )
+            new_rows = _image(claimed.filter(is_update)).drop(self._MRG_ACT)
+            if inserts is not None:
+                new_rows = new_rows.unionByName(
+                    inserts, allowMissingColumns=True
+                )
+            _, adds, extras, _ = _finalize(new_rows)
+            if not adds and not dv_add and txn_app is None:
+                return {
+                    "version": state["version"],
+                    "files_total": len(state["files"]),
+                    "files_skipped_by_stats": len(skipped),
+                    "files_probed": len(cand),
+                    "files_rewritten": 0,
+                    "files_masked": 0,
+                    "noop": True,
+                }
+            self._try_commit(
+                state["version"] + 1,
+                {
+                    "operation": "merge",
+                    "add": adds,
+                    "dv_add": dv_add,
+                    **extras,
+                    **({"txn_app": txn_app, "txn_version": txn_version} if txn_app else {}),
+                },
+            )
+            return {
+                "version": state["version"] + 1,
+                "files_total": len(state["files"]),
+                "files_skipped_by_stats": len(skipped),
+                "files_probed": len(cand),
+                "files_rewritten": 0,
+                "files_masked": len(masked_rels),
+                "rows_claimed": n_rows,
+            }
+
+        by_base = self._rels_by_basename(state)
+        probe = (
+            joined.filter(F.col(self._MRG_ACT).isNotNull())
+            .select(F.col(f"t.{_DV_FILE}").alias(_DV_FILE))
+            .distinct()
+        )
+        touched = sorted(by_base[r[_DV_FILE]] for r in probe.collect())
+        survivors = None
+        if touched:
+            # re-read restricted to the touched files and re-derive the
+            # action column — same two-phase probe/rewrite shape as merge
+            t2 = self._read_snapshot(state, touched, keep_lineage=True).alias("t")
+            j2 = t2.join(
+                src, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"
+            ).withColumn(self._MRG_ACT, act_col)
+            # drop exactly the delete-labeled rows; unclaimed rows and
+            # update-labeled rows (their image is rewritten) survive
+            keep = (
+                F.col(self._MRG_ACT).isNull()
+                | ~F.col(self._MRG_ACT).isin(*del_labels)
+                if del_labels
+                else F.lit(True)
+            )
+            survivors = _image(j2.filter(keep)).drop(self._MRG_ACT)
+        new_rows = survivors
+        if inserts is not None:
+            new_rows = (
+                inserts
+                if new_rows is None
+                else new_rows.unionByName(inserts, allowMissingColumns=True)
+            )
+        adds, extras = [], {}
+        if new_rows is not None:
+            _, adds, extras, _ = _finalize(new_rows)
+        if not adds and not touched and txn_app is None:
+            return {
+                "version": state["version"],
+                "files_total": len(state["files"]),
+                "files_skipped_by_stats": len(skipped),
+                "files_probed": len(cand),
+                "files_rewritten": 0,
+                "noop": True,
+            }
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "merge",
+                "add": adds,
+                "remove": touched,
+                **extras,
+                **({"txn_app": txn_app, "txn_version": txn_version} if txn_app else {}),
+            },
+        )
+        return {
+            "version": state["version"] + 1,
+            "files_total": len(state["files"]),
+            "files_skipped_by_stats": len(skipped),
+            "files_probed": len(cand),
+            "files_rewritten": len(touched),
+        }
+
     def delete_where(self, predicate_sql: str, mode: str = "cow") -> dict:
         """Delete rows matching the predicate.
 

@@ -220,3 +220,103 @@ class TopicLoader:
             )
             out[p] = (start, end)
         return out
+
+
+class UpsertTopicLoader:
+    """Exactly-once CDC UPSERT from a FileTopic into a SnapshotTable —
+    TopicLoader's sibling for keyed streams where the table holds the
+    LATEST state per key, not the event history (a Kafka compacted-topic
+    materialization).
+
+    Per micro-batch and partition: the batch is first reduced to its
+    newest record per key (ordering column, then ``_offset`` as the
+    tiebreak — intra-batch dedup), then applied with one multi-clause
+    ``merge_into``: matched rows update ONLY when the incoming record is
+    at least as new (``s.order >= t.order`` — an out-of-order replay can
+    never regress committed state), unmatched rows insert. The batch's
+    end offset rides the same merge commit as ``txn_version``, so a
+    crash-and-rerun re-delivers the batch and the table's high-water
+    mark rejects it — rows land exactly once with no side files.
+
+    Keys must be partition-sticky (the Kafka key-hash contract): two
+    partitions carrying the same key would race their merges — each
+    commit is still atomic and the ordering guard keeps the newest
+    record, but per-key ordering across partitions is the producer's
+    responsibility, exactly as in Kafka. ``mode="dv"`` (default) makes
+    each batch cost O(changed rows) with zero file rewrites — the shape
+    that holds at 100 TB; compaction later folds the masks."""
+
+    def __init__(
+        self,
+        topic: FileTopic,
+        table: SnapshotTable,
+        group: str,
+        schema: T.StructType,
+        key: str,
+        order_col: str,
+        mode: str = "dv",
+    ):
+        if key == order_col:
+            raise ValueError("key and order_col must differ")
+        names = [f.name for f in schema.fields]
+        missing = [c for c in (key, order_col) if c not in names]
+        if missing:
+            raise ValueError(f"schema lacks column(s): {missing}")
+        self.topic = topic
+        self.table = table
+        self.group = group
+        self.schema = schema
+        self.key = key
+        self.order_col = order_col
+        self.mode = mode
+
+    def _app(self, partition: int) -> str:
+        return f"{self.group}/p{partition}"
+
+    def committed(self, partition: int) -> int:
+        try:
+            state = self.table._state()
+        except FileNotFoundError:
+            return 0
+        return max(0, state["txns"].get(self._app(partition), 0))
+
+    def run_once(self, spark: SparkSession) -> dict[int, tuple[int, int]]:
+        """One upsert micro-batch per partition; returns what committed,
+        ``{}`` when fully caught up (rerunning is always safe)."""
+        from pyspark.sql.window import Window
+
+        out: dict[int, tuple[int, int]] = {}
+        payload = [
+            f.name for f in self.schema.fields if f.name != self.key
+        ]
+        for p in range(self.topic.partitions):
+            start = self.committed(p)
+            end = self.topic.head(p)
+            if end <= start:
+                continue
+            batch = self.topic.read(spark, p, start, end, self.schema)
+            w = Window.partitionBy(self.key).orderBy(
+                F.desc(self.order_col), F.desc("_offset")
+            )
+            latest = (
+                batch.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select(*[f.name for f in self.schema.fields])
+            )
+            self.table.merge_into(
+                latest,
+                self.key,
+                matched=[
+                    {
+                        "action": "update",
+                        "cond": f"s.{self.order_col} >= t.{self.order_col}",
+                        "set": {c: f"s.{c}" for c in payload},
+                    }
+                ],
+                not_matched=[{"action": "insert", "cond": None}],
+                mode=self.mode,
+                txn_app=self._app(p),
+                txn_version=end,
+            )
+            out[p] = (start, end)
+        return out
