@@ -1,0 +1,170 @@
+"""wopen_snapshot Python data source: SnapshotTable behind Spark's
+standard reader surfaces. Batch reads must equal SnapshotTable.read()
+(deletion vectors, column mapping, widening, time travel all applied);
+pushdown must prune files without changing answers; the streaming source
+must emit exactly the change feed and resume from its checkpoint.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, LessThanOrEqual
+
+from wopen_spark.datasource import (
+    _SnapshotBatchReader,
+    _SnapshotBatchReaderPushdown,
+    register_snapshot_datasource,
+)
+from wopen_spark.snapshot_table import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def ds_spark(spark):
+    register_snapshot_datasource(spark)
+    return spark
+
+
+def _mutated_table(spark, root) -> SnapshotTable:
+    """A table that has seen every read-affecting mutation: clustered
+    multi-file create, dv delete, rename (column mapping), widening
+    append, cow update."""
+    t = SnapshotTable(spark, root)
+    df = spark.range(0, 300).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 7).cast("int").alias("x"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    t.create(df.repartition(3), cluster_by=["id"])
+    t.delete_where("id % 10 = 3", mode="dv")
+    t.rename_column("name", "label")
+    t.append(
+        spark.createDataFrame(
+            [(1000, 2**40, "wide")], "id long, x long, label string"
+        )
+    )
+    t.update_where("id = 7", {"label": "'seven'"})
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batch_read_equals_table_read(ds_spark, tmp_path):
+    t = _mutated_table(ds_spark, str(tmp_path / "t"))
+    got = ds_spark.read.format("wopen_snapshot").load(t.path)
+    assert got.schema.simpleString() == t.read().schema.simpleString()
+    assert _rows(got) == _rows(t.read())
+
+
+def test_version_time_travel(ds_spark, tmp_path):
+    t = _mutated_table(ds_spark, str(tmp_path / "t"))
+    for v in (1, 2, 3):
+        got = ds_spark.read.format("wopen_snapshot").option("version", v).load(t.path)
+        assert _rows(got) == _rows(t.read(version=v)), f"version {v}"
+
+
+def test_pushdown_prunes_files_and_stays_exact(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    df = ds_spark.range(0, 400).select(
+        F.col("id").cast("long").alias("id"), (F.col("id") * 2).alias("v")
+    )
+    t.create(df.repartition(4), cluster_by=["id"])
+
+    r = _SnapshotBatchReaderPushdown(t.path, {})
+    assert r.pushFilters([EqualTo(("id",), 7)]) == [EqualTo(("id",), 7)]
+    n_all = len(_SnapshotBatchReader(t.path, {}).partitions())
+    assert len(r.partitions()) < n_all
+    # range bounds prune too
+    r2 = _SnapshotBatchReaderPushdown(t.path, {})
+    r2.pushFilters([GreaterThan(("id",), 380), LessThanOrEqual(("id",), 399)])
+    assert len(r2.partitions()) < n_all
+
+    ds_spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            ds_spark.read.format("wopen_snapshot")
+            .option("pushdown", "true")
+            .load(t.path)
+            .filter("id = 7")
+        )
+        assert _rows(got) == [(7, 14)]
+    finally:
+        ds_spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_pushdown_never_skips_on_type_mismatch(ds_spark, tmp_path):
+    """A bound whose type family differs from the stats must not prune —
+    a cross-type comparison would be a silent wrong skip."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(
+        ds_spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").coalesce(1),
+        cluster_by=["id"],
+    )
+    r = _SnapshotBatchReaderPushdown(t.path, {})
+    r.pushFilters([EqualTo(("id",), "not-an-int")])
+    assert len(r.partitions()) == 1  # kept: probe type is str, stats are int
+
+
+def test_cdf_stream_matches_batch_changes_and_resumes(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    base = ds_spark.range(0, 100).select(
+        F.col("id").cast("long").alias("id"), (F.col("id") % 5).alias("g")
+    )
+    t.create(base.repartition(2), cluster_by=["id"])
+    t.delete_where("id % 9 = 4", mode="dv")
+    t.update_where("id = 11", {"g": "99"}, mode="dv")
+    t.compact(target_files=1)  # dataChange=false: must emit NOTHING
+
+    def drain():
+        sink = []
+        q = (
+            ds_spark.readStream.format("wopen_snapshot")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", 0)
+            .load(t.path)
+            .writeStream.foreachBatch(lambda b, e: sink.append(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for batch in sink for r in batch)
+
+    first = drain()
+    assert first == _rows(t.read_changes(0))
+    assert all(r[-2] in ("insert", "delete") for r in first)
+
+    # new commits land after the checkpoint: the resumed stream reads
+    # exactly the delta
+    t.delete_where("g = 3")
+    second = drain()
+    assert second == _rows(t.read_changes(4))
+    assert second, "expected incremental changes"
+
+
+def test_option_validation(ds_spark, tmp_path):
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(ds_spark.createDataFrame([(1,)], "id long").coalesce(1))
+    with pytest.raises(Exception, match="readChangeFeed"):
+        (
+            ds_spark.read.format("wopen_snapshot")
+            .option("readChangeFeed", "true")
+            .load(t.path)
+            .collect()
+        )
+    # a snapshot readStream (no readChangeFeed) errors when the query
+    # actually plans the stream reader — start() itself is lazy
+    q = (
+        ds_spark.readStream.format("wopen_snapshot")
+        .load(t.path)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    with pytest.raises(Exception, match="[Ss]treaming|readChangeFeed"):
+        q.awaitTermination(60)
+        raise AssertionError("stream reader without readChangeFeed must fail")
+    with pytest.raises(Exception, match="local"):
+        ds_spark.read.format("wopen_snapshot").load("s3a://bucket/t").collect()

@@ -1,0 +1,434 @@
+"""``wopen_snapshot`` — SnapshotTable as a first-class Spark data source
+(the Spark 4 Python Data Source API), so the table format plugs into the
+standard reader surfaces instead of requiring the SnapshotTable class:
+
+    from wopen_spark.datasource import register_snapshot_datasource
+    register_snapshot_datasource(spark)
+
+    spark.read.format("wopen_snapshot").load(path)              # snapshot
+    spark.read.format("wopen_snapshot").option("version", 3).load(path)
+    (spark.readStream.format("wopen_snapshot")                  # CDF stream
+         .option("readChangeFeed", "true")
+         .option("startingVersion", 0).load(path))
+
+Batch reads plan one Spark task per live data file and apply deletion
+vectors merge-on-read; Catalyst filter pushdown prunes files by footer
+min/max stats and bloom sidecars BEFORE tasks launch (`pushFilters`), so
+a point read on a 10k-file table schedules a handful of tasks. The
+streaming source emits the change feed (`_change_type`,
+`_commit_version`) with table versions as offsets — commits are the
+atomic unit of progress, so a micro-batch never observes half a commit;
+restart resumes from the checkpointed version.
+
+Executor-side reads go through pyarrow directly (a Spark task cannot
+re-enter Spark), which binds this data source to LOCALLY-REACHABLE table
+roots (POSIX paths — local disk, NFS, fuse mounts). Scheme URIs raise
+loudly; the SnapshotTable class itself stays the surface for object
+stores. Writes also stay on the class (`append`/`merge_into`/...): the
+commit protocol is driver-coordinated and transactional, which the
+DataSourceWriter's distributed-commit shape cannot express losslessly.
+
+Reference parity: the reference reads its tables through pandas-gbq
+(/root/reference/custom_search_extraction.py:215) — a query-engine
+front door over a transactional table; this module is the Spark-native
+equivalent for the engine's own table format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from wopen_spark.snapshot_table import (
+    SnapshotTable,
+    _bloom_test,
+    _json_safe,
+)
+
+_CDF_FIELDS = [
+    T.StructField("_change_type", T.StringType()),
+    T.StructField("_commit_version", T.IntegerType()),
+]
+
+
+def _local_table(path: str) -> SnapshotTable:
+    """A log-replay handle that never touches Spark: every SnapshotTable
+    state/commit method is pure LogStore traffic for local roots."""
+    if "://" in path:
+        raise ValueError(
+            "wopen_snapshot reads files with pyarrow on executors and "
+            f"supports locally-reachable table roots only, got {path!r}; "
+            "use the SnapshotTable class for object-store tables"
+        )
+    return SnapshotTable(None, path)  # type: ignore[arg-type]  # spark unused locally
+
+
+@dataclass(frozen=True)
+class _FileTask(InputPartition):
+    """One task = one data file (+ the dv masks and change tagging it
+    needs). Plain strings/tuples only — this crosses the pickle wire."""
+
+    file_abs: str
+    dv_abs: tuple  # mask parquets to ANTI-join (live rows)
+    semi_abs: tuple  # mask parquets to SEMI-join (rows a dv commit masked)
+    schema_json: str
+    mapping_json: str  # logical -> physical (identity when empty)
+    change_type: str  # "" for snapshot reads
+    commit_version: int
+
+
+def _task_rows(task: _FileTask):
+    """Executor-side: read one parquet through the logical schema, apply
+    deletion-vector masks by row position, optionally tag CDF columns.
+    Yields pyarrow RecordBatches matching the declared Spark schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = T.StructType.fromJson(json.loads(task.schema_json))
+    mapping = json.loads(task.mapping_json)
+    phys_of = lambda c: mapping.get(c, c)  # noqa: E731
+
+    pf = pq.ParquetFile(task.file_abs)
+    present = set(pf.schema_arrow.names)
+    want_phys = [phys_of(f.name) for f in schema.fields if phys_of(f.name) in present]
+    tbl = pf.read(columns=want_phys)
+
+    mask_rows: set[int] | None = None
+    base = os.path.basename(task.file_abs)
+    for kind, paths in (("anti", task.dv_abs), ("semi", task.semi_abs)):
+        if not paths:
+            continue
+        hit: set[int] = set()
+        for p in paths:
+            mt = pq.read_table(p)
+            files = mt.column(0).to_pylist()
+            rows = mt.column(1).to_pylist()
+            hit.update(r for f, r in zip(files, rows) if f == base)
+        if kind == "anti":
+            mask_rows = hit if mask_rows is None else mask_rows | hit
+        else:
+            # semi: keep exactly the newly-masked rows
+            keep = hit - (mask_rows or set())
+            sel = sorted(i for i in keep if i < tbl.num_rows)
+            tbl = tbl.take(pa.array(sel, type=pa.int64()))
+            mask_rows = None
+            break
+    if mask_rows:
+        import numpy as np
+
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        idx = [i for i in mask_rows if i < tbl.num_rows]
+        keep[idx] = False
+        tbl = tbl.filter(pa.array(keep))
+
+    # physical -> logical names, null-fill absent (pre-widening) columns,
+    # cast to the EXACT arrow schema the Spark schema implies
+    out_cols, n = [], tbl.num_rows
+    for f in schema.fields:
+        if f.name in ("_change_type", "_commit_version"):
+            val = task.change_type if f.name == "_change_type" else task.commit_version
+            out_cols.append(pa.array([val] * n))
+            continue
+        p = phys_of(f.name)
+        if p in present:
+            out_cols.append(tbl.column(p))
+        else:
+            out_cols.append(pa.nulls(n))
+    target = to_arrow_schema(schema)
+    result = pa.table(out_cols, names=[f.name for f in schema.fields]).cast(
+        target, safe=False
+    )
+    yield from result.to_batches(max_chunksize=1 << 16)
+
+
+def _abs_paths(root: str, rels: list[str]) -> tuple:
+    return tuple(os.path.join(root, r) for r in rels)
+
+
+class _SnapshotBatchReader(DataSourceReader):
+    """Snapshot read: one task per live file, deletion vectors applied
+    merge-on-read. File skipping lives in the ``_SnapshotBatchReaderPushdown``
+    subclass — Spark refuses a reader that merely IMPLEMENTS pushFilters
+    unless ``spark.sql.python.filterPushdown.enabled`` is on, so the
+    pushdown variant is chosen only when the caller opts in."""
+
+    def __init__(self, path: str, options):
+        self.path = path
+        self.version = int(options["version"]) if "version" in options else None
+        self._eq: dict[str, object] = {}  # col -> point value (bloom + stats)
+        self._lo: dict[str, object] = {}  # col -> lower bound
+        self._hi: dict[str, object] = {}  # col -> upper bound
+
+    def _collect_bounds(self, filters):
+        # eager, not a generator: the bound-collection side effects must
+        # land before partitions() regardless of whether Spark drains the
+        # returned iterable
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col is None:
+                continue
+            try:
+                if isinstance(f, EqualTo):
+                    self._eq[col] = f.value
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    prev = self._lo.get(col)
+                    self._lo[col] = f.value if prev is None else max(prev, f.value)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    prev = self._hi.get(col)
+                    self._hi[col] = f.value if prev is None else min(prev, f.value)
+                elif isinstance(f, In) and f.values:
+                    vals = list(f.values)
+                    self._lo[col], self._hi[col] = min(vals), max(vals)
+            except TypeError:
+                pass  # un-orderable literal: no bound, no pruning
+
+    def _skip(self, table: SnapshotTable, state: dict, meta: dict) -> bool:
+        mapping = state["column_mapping"]
+        prunable = table._prunable_cols(
+            state, list({*self._eq, *self._lo, *self._hi})
+        )
+        for col in prunable:
+            s = (meta.get("stats") or {}).get(table._phys(mapping, col))
+            point = self._eq.get(col)
+            lo = point if point is not None else self._lo.get(col)
+            hi = point if point is not None else self._hi.get(col)
+            if s is not None and s["min"] is not None:
+                # compare only within one type family — a cross-type
+                # comparison here would be a silent wrong skip
+                for bound, stat, op in ((lo, s["max"], "<"), (hi, s["min"], ">")):
+                    if bound is None:
+                        continue
+                    b = _json_safe(bound)
+                    same_family = (
+                        isinstance(b, bool) == isinstance(stat, bool)
+                        and (
+                            (isinstance(b, (int, float)) and isinstance(stat, (int, float)))
+                            or (isinstance(b, str) and isinstance(stat, str))
+                        )
+                    )
+                    if not same_family:
+                        continue
+                    if op == "<" and stat < b:
+                        return True
+                    if op == ">" and stat > b:
+                        return True
+            bl = meta.get("bloom")
+            if point is not None and bl is not None:
+                kind = bl.get("h")
+                probe_ok = (
+                    type(point) is int if kind == "i64" else isinstance(point, str)
+                )
+                if probe_ok and bl["col"] == table._phys(mapping, col):
+                    with table._data.open_input(bl["path"]) as bf:
+                        blob = bf.read()
+                    if not _bloom_test(blob, point, kind):
+                        return True
+        return False
+
+    def partitions(self):
+        table = _local_table(self.path)
+        state = table._state(self.version)
+        schema_json = json.dumps(state["schema"])
+        mapping_json = json.dumps(
+            {
+                f["name"]: table._phys(state["column_mapping"], f["name"])
+                for f in state["schema"]["fields"]
+            }
+            if state["column_mapping"]
+            else {}
+        )
+        out = []
+        for rel, meta in sorted(state["files"].items()):
+            if self._skip(table, state, meta):
+                continue
+            out.append(
+                _FileTask(
+                    file_abs=os.path.join(self.path, rel),
+                    dv_abs=_abs_paths(self.path, state["dvs"].get(rel, [])),
+                    semi_abs=(),
+                    schema_json=schema_json,
+                    mapping_json=mapping_json,
+                    change_type="",
+                    commit_version=0,
+                )
+            )
+        return out
+
+    def read(self, partition):
+        yield from _task_rows(partition)
+
+
+class _SnapshotBatchReaderPushdown(_SnapshotBatchReader):
+    """The file-skipping variant: Catalyst hands conjunctive filters to
+    ``pushFilters`` and partitions() skips files their footer stats or
+    bloom sidecars refute. Selected by ``.option("pushdown", "true")``
+    because Spark hard-errors on ANY reader implementing pushFilters
+    while ``spark.sql.python.filterPushdown.enabled`` is false — the
+    caller enabling that conf is the opt-in signal."""
+
+    def pushFilters(self, filters):
+        self._collect_bounds(filters)
+        # every filter is re-applied by Spark: stats/bloom skipping is
+        # pruning, never evaluation — exactness cannot depend on it
+        return list(filters)
+
+
+class _SnapshotCdfStreamReader(DataSourceStreamReader):
+    """The change feed as a Structured Streaming source: offsets are
+    table versions, a micro-batch is the commits in (start, end] — one
+    task per changed file, read executor-side. Maintenance commits
+    (dataChange false) contribute nothing, matching batch CDF."""
+
+    def __init__(self, path: str, options):
+        self.path = path
+        self.starting = int(options.get("startingVersion", "0"))
+
+    def initialOffset(self):
+        return {"version": self.starting}
+
+    def latestOffset(self):
+        head = _local_table(self.path).latest_version()
+        return {"version": int(head if head is not None else self.starting)}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            return []
+        table = _local_table(self.path)
+        state = table._state(hi)
+        schema = T.StructType.fromJson(state["schema"])
+        for f in _CDF_FIELDS:
+            schema = schema.add(f)
+        schema_json = json.dumps(schema.jsonValue())
+        mapping_json = json.dumps(
+            {
+                f["name"]: table._phys(state["column_mapping"], f["name"])
+                for f in state["schema"]["fields"]
+            }
+            if state["column_mapping"]
+            else {}
+        )
+        out = []
+        for v in table._versions():
+            if not (lo < v <= hi):
+                continue
+            c = table._read_commit(v)
+            if not c.get("dataChange", True):
+                continue
+            prev_dvs = None
+            for m in c.get("add", []):
+                out.append(
+                    _FileTask(
+                        file_abs=os.path.join(self.path, m["path"]),
+                        dv_abs=(),
+                        semi_abs=(),
+                        schema_json=schema_json,
+                        mapping_json=mapping_json,
+                        change_type="insert",
+                        commit_version=v,
+                    )
+                )
+            for rel in c.get("remove", []):
+                if prev_dvs is None:
+                    prev_dvs = table._state(v - 1)["dvs"]
+                out.append(
+                    _FileTask(
+                        file_abs=os.path.join(self.path, rel),
+                        dv_abs=_abs_paths(self.path, prev_dvs.get(rel, [])),
+                        semi_abs=(),
+                        schema_json=schema_json,
+                        mapping_json=mapping_json,
+                        change_type="delete",
+                        commit_version=v,
+                    )
+                )
+            for e in c.get("dv_add", []):
+                for rel in e["for"]:
+                    out.append(
+                        _FileTask(
+                            file_abs=os.path.join(self.path, rel),
+                            dv_abs=(),
+                            semi_abs=_abs_paths(self.path, e["paths"]),
+                            schema_json=schema_json,
+                            mapping_json=mapping_json,
+                            change_type="delete",
+                            commit_version=v,
+                        )
+                    )
+        return out
+
+    def read(self, partition):
+        yield from _task_rows(partition)
+
+    def commit(self, end):
+        pass  # progress lives in the stream checkpoint, not the table
+
+
+class SnapshotTableDataSource(DataSource):
+    """``format("wopen_snapshot")`` — batch snapshot reads (with
+    ``version`` time travel and file-skipping filter pushdown) and
+    streaming change-feed reads (``readChangeFeed`` + ``startingVersion``)
+    over a SnapshotTable."""
+
+    @classmethod
+    def name(cls):
+        return "wopen_snapshot"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("wopen_snapshot requires a table path: .load(path)")
+        return p
+
+    def _cdf(self) -> bool:
+        return str(self.options.get("readChangeFeed", "false")).lower() == "true"
+
+    def schema(self):
+        table = _local_table(self._path())
+        version = (
+            int(self.options["version"]) if "version" in self.options else None
+        )
+        schema = T.StructType.fromJson(table._state(version)["schema"])
+        if self._cdf():
+            for f in _CDF_FIELDS:
+                schema = schema.add(f)
+        return schema
+
+    def reader(self, schema):
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a streaming option; use spark.readStream "
+                "(batch change feeds: SnapshotTable.read_changes)"
+            )
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return _SnapshotBatchReaderPushdown(self._path(), self.options)
+        return _SnapshotBatchReader(self._path(), self.options)
+
+    def streamReader(self, schema):
+        if not self._cdf():
+            raise ValueError(
+                "streaming reads serve the change feed; pass "
+                ".option('readChangeFeed', 'true') (snapshot reads are batch)"
+            )
+        return _SnapshotCdfStreamReader(self._path(), self.options)
+
+
+def register_snapshot_datasource(spark) -> None:
+    """Idempotent per-session registration of ``wopen_snapshot``."""
+    spark.dataSource.register(SnapshotTableDataSource)

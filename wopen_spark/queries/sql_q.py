@@ -799,3 +799,155 @@ def snapshot_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rep["files_skipped_by_stats"] == 0, "full sync must probe all files"
     return t.read().orderBy("s_suppkey")
+
+
+@query(
+    "snapshot_datasource_read",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE NOT (p_partkey % 6 = 2)
+    ORDER BY p_partkey
+    """,
+)
+def snapshot_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnapshotTable behind Spark's STANDARD reader surface: the table is
+    registered as a Python data source (``format("wopen_snapshot")``) and
+    read back with ``spark.read`` after a dv delete and a column rename —
+    the scan plans one task per live file, applies deletion vectors
+    merge-on-read and the column mapping executor-side via pyarrow, and
+    must hash-match the relational complement. Footer-stats/bloom filter
+    pushdown (``pushFilters``) is exercised with an asserted file-skip:
+    a point read schedules fewer tasks than the table has files, with
+    identical results — the property that turns a 10k-file table's point
+    query from 10k tasks into a handful at 100 TB."""
+    import tempfile
+
+    from wopen_spark.datasource import (
+        _SnapshotBatchReader,
+        _SnapshotBatchReaderPushdown,
+        register_snapshot_datasource,
+    )
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    register_snapshot_datasource(spark)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.col("p_retailprice").cast("double").alias("price")
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_ds_read_") + "/part"
+    )
+    t.create(part.repartition(4), cluster_by=["p_partkey"])
+    t.delete_where("p_partkey % 6 = 2", mode="dv")
+    t.rename_column("price", "p_retailprice")
+
+    # pushdown: a point read must schedule strictly fewer file tasks
+    probe = int(t.read().agg(F.min("p_partkey")).collect()[0][0])
+    rd = _SnapshotBatchReaderPushdown(t.path, {})
+    from pyspark.sql.datasource import EqualTo
+
+    rd.pushFilters([EqualTo(("p_partkey",), probe)])
+    n_pruned = len(rd.partitions())
+    n_all = len(_SnapshotBatchReader(t.path, {}).partitions())
+    assert n_pruned < n_all, f"pushdown skipped nothing ({n_pruned}/{n_all})"
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    point = (
+        spark.read.format("wopen_snapshot")
+        .option("pushdown", "true")
+        .load(t.path)
+        .filter(F.col("p_partkey") == probe)
+    )
+    assert point.count() == 1
+
+    return (
+        spark.read.format("wopen_snapshot")
+        .load(t.path)
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "snapshot_datasource_cdf_stream",
+    oracle="""
+    WITH live AS (
+      SELECT event_type FROM events
+      WHERE event_id % 200 = 0
+        AND NOT (event_id % 1000 = 200)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_live
+    FROM live GROUP BY event_type ORDER BY event_type
+    """,
+)
+def snapshot_datasource_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed as a REAL Structured Streaming source: an upstream
+    SnapshotTable takes three commits (create half, append the rest,
+    dv-delete a slice), ``spark.readStream.format("wopen_snapshot")``
+    drains the feed with an AvailableNow trigger, and each micro-batch
+    folds its changes into signed per-type deltas landed exactly-once in
+    a downstream delta table (epoch id = txn version). Offsets are table
+    versions riding the stream checkpoint, so a commit is never half
+    read. The MV — a sum over the landed deltas — must hash-match the
+    oracle's from-scratch count of the final live rows. Same MV contract
+    as snapshot_cdf_incremental_mv, but driven through Spark's streaming
+    runtime instead of the pull loop."""
+    import tempfile
+
+    from wopen_spark.datasource import register_snapshot_datasource
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    register_snapshot_datasource(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 200 == 0)
+        .select("event_id", "event_type")
+    )
+    root = tempfile.mkdtemp(prefix="wopen_ds_cdf_")
+    src = SnapshotTable(spark, root + "/events_src")
+    src.create(
+        ev.filter(F.col("event_id") % 400 == 0).repartition(2),
+        cluster_by=["event_id"],
+    )
+    src.append(ev.filter(F.col("event_id") % 400 != 0).repartition(2))
+    src.delete_where("event_id % 1000 = 200", mode="dv")
+
+    tgt = SnapshotTable(spark, root + "/mv_deltas")
+    tgt.create(
+        spark.createDataFrame(
+            [], "event_type string, d_count long"
+        )
+    )
+
+    def land(batch: DataFrame, epoch: int) -> None:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        tgt.append(
+            batch.groupBy("event_type").agg(
+                F.sum(sign).cast("long").alias("d_count")
+            ),
+            txn_app="mv/ds_cdf",
+            txn_version=epoch,
+        )
+
+    q = (
+        spark.readStream.format("wopen_snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .load(src.path)
+        .writeStream.foreachBatch(land)
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert not q.isActive and q.exception() is None, q.exception()
+
+    return (
+        tgt.read()
+        .groupBy("event_type")
+        .agg(F.sum("d_count").cast("long").alias("n_live"))
+        .filter(F.col("n_live") > 0)
+        .orderBy("event_type")
+    )
