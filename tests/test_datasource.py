@@ -168,3 +168,66 @@ def test_option_validation(ds_spark, tmp_path):
         raise AssertionError("stream reader without readChangeFeed must fail")
     with pytest.raises(Exception, match="local"):
         ds_spark.read.format("wopen_snapshot").load("s3a://bucket/t").collect()
+
+
+def test_writer_create_append_overwrite(ds_spark, tmp_path):
+    """df.write.format("wopen_snapshot"): create-on-first-write, racing
+    append commits, schema-preserving overwrite, physical-name mapping,
+    and the honest refusals (schema drift, constraint/generated tables)."""
+    p = str(tmp_path / "t")
+    df = ds_spark.range(0, 100).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 5).cast("int").alias("g"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    df.write.format("wopen_snapshot").mode("append").save(p)
+    t = SnapshotTable(ds_spark, p)
+    assert t.latest_version() == 1
+    assert _rows(t.read()) == _rows(df)
+
+    df.withColumn("id", F.col("id") + 1000).write.format(
+        "wopen_snapshot"
+    ).mode("append").save(p)
+    assert t.read().count() == 200
+
+    # a rename re-points physicals: the writer must land the new column
+    # under the OLD physical name so historical files stay coherent
+    t.rename_column("s", "label")
+    df2 = ds_spark.range(0, 5).select(
+        F.col("id").cast("long").alias("id"),
+        F.lit(1).cast("int").alias("g"),
+        F.lit("x").alias("label"),
+    )
+    df2.write.format("wopen_snapshot").mode("append").save(p)
+    assert t.read().filter("label = 'x'").count() == 5
+
+    v_pre = t.latest_version()
+    df2.write.format("wopen_snapshot").mode("overwrite").save(p)
+    assert t.read().count() == 5
+    assert t.read(version=v_pre).count() == 205  # history intact
+
+    # written shards carry footer stats (file skipping keeps working)
+    assert all(m.get("stats") for m in t._state()["files"].values())
+
+    with pytest.raises(Exception, match="exactly"):
+        ds_spark.range(3).write.format("wopen_snapshot").mode("append").save(p)
+
+    t.add_constraint("gpos", "g >= 0")
+    with pytest.raises(Exception, match="constraint"):
+        df2.write.format("wopen_snapshot").mode("append").save(p)
+
+
+def test_writer_roundtrip_through_reader_and_engine(ds_spark, tmp_path):
+    """Writer shards read back identically through BOTH surfaces, and
+    engine mutations (dv delete) compose on top of writer-created
+    tables."""
+    p = str(tmp_path / "t")
+    df = ds_spark.range(0, 50).select(
+        F.col("id").cast("long").alias("id"), (F.col("id") * 2.0).alias("v")
+    )
+    df.repartition(3).write.format("wopen_snapshot").mode("append").save(p)
+    t = SnapshotTable(ds_spark, p)
+    t.delete_where("id % 7 = 1", mode="dv")
+    via_ds = ds_spark.read.format("wopen_snapshot").load(p)
+    assert _rows(via_ds) == _rows(t.read())
+    assert via_ds.count() == 50 - len([i for i in range(50) if i % 7 == 1])

@@ -40,9 +40,12 @@ import json
 import os
 from dataclasses import dataclass
 
+import uuid
+
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -52,9 +55,11 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from wopen_spark.snapshot_table import (
+    CommitConflictError,
     SnapshotTable,
     _bloom_test,
     _json_safe,
@@ -380,6 +385,158 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
         pass  # progress lives in the stream checkpoint, not the table
 
 
+@dataclass
+class _ShardMessage(WriterCommitMessage):
+    rels: tuple  # log-relative parquet paths this task wrote
+
+
+class _SnapshotWriter(DataSourceArrowWriter):
+    """``df.write.format("wopen_snapshot")`` — append/overwrite/create
+    through the table's transactional log. Executors stream their arrow
+    batches into one parquet shard each under a fresh ``data/<uuid>``
+    commit dir (physical column names, zstd); the driver-side commit
+    derives footer stats + bloom sidecars per shard (the same
+    ``_add_action`` the engine write paths use) and lands ONE atomic
+    log record; abort deletes the orphan shards. Lost append races
+    retry against the new head — add-only commits commute, files are
+    never rewritten.
+
+    Honest boundaries: tables with CHECK constraints or generated
+    columns refuse this path at PLAN time (enforcement needs the engine
+    — use ``SnapshotTable.append``); the input schema must equal the
+    table's logical schema exactly (no evolution through the writer);
+    local roots only, like the reader."""
+
+    def __init__(self, path: str, schema, overwrite: bool, options):
+        table = _local_table(path)
+        self.path = path
+        self.overwrite = overwrite
+        self.commit_dir = f"data/{uuid.uuid4().hex}"
+        exists = table.latest_version() is not None
+        self.create = not exists
+        self.cluster_by = None
+        mapping = None
+        if exists:
+            state = table._state()
+            if state["constraints"]:
+                raise ValueError(
+                    "wopen_snapshot writer cannot enforce CHECK constraints "
+                    f"({sorted(state['constraints'])}); use SnapshotTable.append"
+                )
+            if state["generated"]:
+                raise ValueError(
+                    "wopen_snapshot writer cannot compute generated columns "
+                    f"({sorted(state['generated'])}); use SnapshotTable.append"
+                )
+            table_schema = T.StructType.fromJson(state["schema"])
+            if [
+                (f.name, f.dataType.simpleString()) for f in schema.fields
+            ] != [(f.name, f.dataType.simpleString()) for f in table_schema.fields]:
+                raise ValueError(
+                    "input schema must equal the table schema exactly "
+                    f"(writer does not evolve schemas): input "
+                    f"{schema.simpleString()} vs table "
+                    f"{table_schema.simpleString()}"
+                )
+            mapping = state["column_mapping"]
+            self.cluster_by = state["cluster_by"]
+        self.schema_json = json.dumps(schema.jsonValue())
+        self.mapping_json = json.dumps(mapping or {})
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        mapping = json.loads(self.mapping_json)
+        arrow = to_arrow_schema(schema)
+        phys_names = [mapping.get(f.name, f.name) for f in arrow]
+        phys = pa.schema(
+            [f.with_name(p) for f, p in zip(arrow, phys_names)]
+        )
+        rel = f"{self.commit_dir}/part-{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        writer, n = None, 0
+        for batch in iterator:
+            t = (
+                pa.Table.from_batches([batch])
+                .cast(arrow, safe=False)
+                .rename_columns(phys_names)
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(dest, phys, compression="zstd")
+            writer.write_table(t)
+            n += t.num_rows
+        if writer is None:
+            return _ShardMessage(rels=())
+        writer.close()
+        if n == 0:
+            os.remove(dest)
+            return _ShardMessage(rels=())
+        return _ShardMessage(rels=(rel,))
+
+    def commit(self, messages):
+        table = _local_table(self.path)
+        rels = sorted(r for m in messages if m is not None for r in m.rels)
+        mapping = json.loads(self.mapping_json)
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        bloom_phys = (
+            mapping.get(self.cluster_by[0], self.cluster_by[0])
+            if self.cluster_by
+            else None
+        )
+        adds = []
+        for rel in rels:
+            meta = table._add_action(rel, bloom_phys)
+            if meta is not None:
+                adds.append(meta)
+        if self.create:
+            record = {
+                "operation": "create",
+                "schema": schema.jsonValue(),
+                "cluster_by": None,
+                "add": adds,
+                "remove": [],
+            }
+            table._try_commit(1, record)
+            return
+        op = "overwrite" if self.overwrite else "append"
+        for _ in range(5):
+            state = table._state()
+            if state["constraints"] or state["generated"]:
+                raise CommitConflictError(
+                    "a concurrent commit added constraints or generated "
+                    "columns the writer cannot enforce — re-run via "
+                    "SnapshotTable.append"
+                )
+            record = {
+                "operation": op,
+                "schema": state["schema"],
+                "add": adds,
+                "remove": sorted(state["files"]) if self.overwrite else [],
+            }
+            try:
+                table._try_commit(state["version"] + 1, record)
+                return
+            except CommitConflictError:
+                continue  # append commutes; overwrite re-resolves the head
+        raise CommitConflictError(
+            f"wopen_snapshot write to {self.path} lost 5 commit races"
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is None:
+                continue
+            for rel in m.rels:
+                try:
+                    os.remove(os.path.join(self.path, rel))
+                except FileNotFoundError:
+                    pass
+
+
 class SnapshotTableDataSource(DataSource):
     """``format("wopen_snapshot")`` — batch snapshot reads (with
     ``version`` time travel and file-skipping filter pushdown) and
@@ -427,6 +584,9 @@ class SnapshotTableDataSource(DataSource):
                 ".option('readChangeFeed', 'true') (snapshot reads are batch)"
             )
         return _SnapshotCdfStreamReader(self._path(), self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _SnapshotWriter(self._path(), schema, overwrite, self.options)
 
 
 def register_snapshot_datasource(spark) -> None:

@@ -951,3 +951,45 @@ def snapshot_datasource_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("n_live") > 0)
         .orderBy("event_type")
     )
+
+
+@query(
+    "snapshot_datasource_write_read",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey % 2 = 0
+    ORDER BY c_custkey
+    """,
+)
+def snapshot_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer side of the data source: ``df.write.format(
+    "wopen_snapshot")`` CREATES the table on first save (executors
+    stream arrow shards, the driver commit derives footer stats and
+    lands one atomic log record), a second save with
+    ``mode("overwrite")`` replaces the contents transactionally, and the
+    read back through the same format must hash-match the oracle. Time
+    travel across the overwrite is asserted — the overwritten version
+    stays readable, proving the writer went through the log, not past
+    it."""
+    import tempfile
+
+    from wopen_spark.datasource import register_snapshot_datasource
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    register_snapshot_datasource(spark)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="wopen_ds_write_") + "/customer"
+    cust.repartition(4).write.format("wopen_snapshot").mode("append").save(path)
+    cust.filter(F.col("c_custkey") % 2 == 0).repartition(2).write.format(
+        "wopen_snapshot"
+    ).mode("overwrite").save(path)
+
+    t = SnapshotTable(spark, path)
+    assert t.latest_version() == 2
+    assert t.read(version=1).count() == cust.count(), "history must survive"
+    return (
+        spark.read.format("wopen_snapshot").load(path).orderBy("c_custkey")
+    )

@@ -1500,55 +1500,63 @@ class SnapshotTable:
         )
         adds = []
         for name in self._data.publish_dir(commit_dir):
-            rel = f"{commit_dir}/{name}"
-            with self._data.open_input(rel) as src:
-                meta = _file_meta(src, rel, self._data.size(rel))
-            if meta["rows"] == 0:  # empty-partition task output: not
-                self._data.delete(rel)  # worth a manifest entry
-                continue
-            if bloom_phys is not None and meta["rows"] <= _BLOOM_MAX_ROWS:
-                import pyarrow.parquet as _pq
-
-                with self._data.open_input(rel) as src:
-                    try:
-                        col = _pq.ParquetFile(src).read(
-                            columns=[bloom_phys]
-                        )[bloom_phys]
-                    except KeyError:   # subset-schema append w/o the col
-                        col = None
-                if col is not None:
-                    import pyarrow as _pa
-
-                    m = _bloom_params(meta["rows"])
-                    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
-                    # ONLY integer and string columns get blooms: any
-                    # type with more than one textual rendering of the
-                    # same logical value (float 150.0 vs probe 150,
-                    # dates, decimals) would hash differently on the
-                    # probe side and SKIP A FILE THAT MATCHES — a bloom
-                    # must be false-positive-only, never false-negative
-                    if _pa.types.is_integer(arr.type):
-                        kind = "i64"
-                        vals = arr.drop_null().to_numpy(zero_copy_only=False)
-                        blob = _bloom_build_ints(vals, m)
-                    elif _pa.types.is_string(arr.type) or _pa.types.is_large_string(arr.type):
-                        kind = "md5"
-                        blob = _bloom_build_strs(arr.to_pylist(), m)
-                    else:
-                        kind = None
-                        blob = None
-                    if blob is not None:
-                        side = f"{rel}.bloom"
-                        self._data.put_bytes(side, blob)
-                        # SIDECAR, not inline: the JSON log stays
-                        # O(files), never O(bloom bits); the sidecar
-                        # lives and dies with its data file (vacuum
-                        # deletes them together)
-                        meta["bloom"] = {
-                            "col": bloom_phys, "path": side, "h": kind,
-                        }
-            adds.append(meta)
+            meta = self._add_action(f"{commit_dir}/{name}", bloom_phys)
+            if meta is not None:
+                adds.append(meta)
         return adds
+
+    def _add_action(self, rel: str, bloom_phys: str | None) -> dict | None:
+        """Footer stats + optional bloom sidecar for one just-written
+        data file -> its add-action metadata (None for a 0-row file,
+        which is deleted). Shared by _write_files and the wopen_snapshot
+        DataSourceWriter commit path."""
+        with self._data.open_input(rel) as src:
+            meta = _file_meta(src, rel, self._data.size(rel))
+        if meta["rows"] == 0:  # empty-partition task output: not
+            self._data.delete(rel)  # worth a manifest entry
+            return None
+        if bloom_phys is not None and meta["rows"] <= _BLOOM_MAX_ROWS:
+            import pyarrow.parquet as _pq
+
+            with self._data.open_input(rel) as src:
+                try:
+                    col = _pq.ParquetFile(src).read(
+                        columns=[bloom_phys]
+                    )[bloom_phys]
+                except KeyError:   # subset-schema append w/o the col
+                    col = None
+            if col is not None:
+                import pyarrow as _pa
+
+                m = _bloom_params(meta["rows"])
+                arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+                # ONLY integer and string columns get blooms: any
+                # type with more than one textual rendering of the
+                # same logical value (float 150.0 vs probe 150,
+                # dates, decimals) would hash differently on the
+                # probe side and SKIP A FILE THAT MATCHES — a bloom
+                # must be false-positive-only, never false-negative
+                if _pa.types.is_integer(arr.type):
+                    kind = "i64"
+                    vals = arr.drop_null().to_numpy(zero_copy_only=False)
+                    blob = _bloom_build_ints(vals, m)
+                elif _pa.types.is_string(arr.type) or _pa.types.is_large_string(arr.type):
+                    kind = "md5"
+                    blob = _bloom_build_strs(arr.to_pylist(), m)
+                else:
+                    kind = None
+                    blob = None
+                if blob is not None:
+                    side = f"{rel}.bloom"
+                    self._data.put_bytes(side, blob)
+                    # SIDECAR, not inline: the JSON log stays
+                    # O(files), never O(bloom bits); the sidecar
+                    # lives and dies with its data file (vacuum
+                    # deletes them together)
+                    meta["bloom"] = {
+                        "col": bloom_phys, "path": side, "h": kind,
+                    }
+        return meta
 
     # Lossless widenings the parquet reader performs transparently when
     # old (narrow) files are read through the widened table schema —
