@@ -1282,3 +1282,46 @@ def test_ivfpq_index_persist_search_incremental_timetravel(spark, tmp_path):
     # time travel: pre-append index still answers like r1
     out_tt, _ = idx.search(q, nprobe=2, topk=3, version=v1)
     assert [tuple(r) for r in out_tt.collect()] == r1
+
+
+def test_dbscan_from_pairs_roles_and_determinism(spark):
+    """Hand-built neighborhood graph covering every DBSCAN role:
+
+    - triangle {1,2,3} + pendant 4: all of 1-3 are core (deg+1 >= 3);
+      4 has one neighbor -> border, attaches to min core label 1
+    - star center 10 with leaves 11,12,13 (leaves mutually unconnected):
+      center core, leaves border -> all cluster 10; center is a core
+      with NO core neighbor -> singleton-core path
+    - isolated pair {20,21}: both deg+1 = 2 < 3 -> noise, absent
+    """
+    from wopen_spark.operators.graph import dbscan_from_pairs
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3), (3, 4),
+            (10, 11), (10, 12), (10, 13),
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: (r.cluster, r.role)
+        for r in dbscan_from_pairs(pairs, min_pts=3).collect()
+    }
+    assert got == {
+        1: (1, "core"),
+        2: (1, "core"),
+        3: (1, "core"),
+        4: (1, "border"),
+        10: (10, "core"),
+        11: (10, "border"),
+        12: (10, "border"),
+        13: (10, "border"),
+    }
+    # border tie-break is MIN over core neighbors: connect 4 to both
+    # clusters; it must pick cluster 1, never 10
+    pairs2 = pairs.unionByName(
+        spark.createDataFrame([(10, 4)], "id_a long, id_b long")
+    )
+    got2 = {r.node: r.cluster for r in dbscan_from_pairs(pairs2, 3).collect() if r.node == 4}
+    assert got2 == {4: 1}

@@ -296,3 +296,64 @@ def bfs_hops(
         frontier = nxt
     e.unpersist()  # single-caller invariant, fact-derived: release it
     return visited
+
+
+def dbscan_from_pairs(
+    pairs: DataFrame,
+    min_pts: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """DBSCAN given a materialized eps-neighborhood pair list: returns
+    ``(node, cluster, role)`` where role is ``core`` or ``border`` and
+    noise points are absent (standard DBSCAN — noise joins no cluster).
+
+    ``pairs`` holds each neighbor pair once in either orientation; a
+    point's neighborhood size counts the point itself (the textbook
+    |N_eps(p)| >= minPts). Core points cluster by connectivity through
+    CORE-CORE edges (the density-reachability fixpoint collapses to
+    connected components over cores); a border point attaches to the
+    MINIMUM cluster label among its core neighbors — deterministic where
+    the classic scan-order algorithm is arbitrary, which is what makes a
+    distributed DBSCAN reproducible run-to-run.
+
+    Scale shape: one symmetrize + degree shuffle, the CC rounds on the
+    (much smaller) core-core subgraph, one broadcast-size label join for
+    borders. The caller produces ``pairs`` with whatever bucketed
+    candidate generation fits the metric (hyperplane LSH for cosine,
+    banded minhash for Jaccard) — neighborhoods are never all-pairs."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("n_neigh"))
+    core = deg.filter(F.col("n_neigh") + 1 >= min_pts).select("a")
+    core_edges = (
+        sym.join(core, "a", "left_semi")
+        .join(core.select(F.col("a").alias("b")), "b", "left_semi")
+    )
+    linked = connected_components(core_edges, src="a", dst="b").select(
+        F.col("node"), F.col("component").alias("cluster")
+    )
+    # a core with no CORE neighbor (its density came from borders) is a
+    # singleton cluster of its own id
+    singletons = (
+        core.join(linked.select(F.col("node").alias("a")), "a", "left_anti")
+        .select(F.col("a").alias("node"), F.col("a").alias("cluster"))
+    )
+    core_lab = linked.unionByName(singletons)
+    border = (
+        sym.join(core, "a", "left_anti")  # non-core side
+        .join(
+            core_lab.select(F.col("node").alias("b"), "cluster"), "b"
+        )  # core neighbor labels
+        .groupBy("a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a").alias("node"), "cluster")
+    )
+    out = core_lab.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    return out

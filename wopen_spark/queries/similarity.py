@@ -1794,3 +1794,157 @@ def ivfpq_index_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, report = idx.search(queries_df, nprobe=_IVFPQ_NPROBE, topk=10)
     assert report["files_read"] <= report["files_total"]
     return out
+
+
+# LSH-DBSCAN: density-based clustering where the eps-neighborhood lists
+# come from the SAME banded hyperplane candidate generation the near-dup
+# family uses (neighborhoods are never all-pairs — the property that
+# makes DBSCAN survive corpus scale). Both engines derive identical
+# neighborhoods (deterministic planes, exact rounded cosines), so the
+# clustering is value-checkable. Density structure is planted on the
+# dedup'd reps: EVEN reps get two twins (dim-1 scaled by 1±2^-9, both
+# exact in IEEE double) -> a mutual 3-clique, every member core at
+# minPts=3; ODD reps get one twin -> a pair whose members see only 2
+# neighbors (self included) -> noise, absent from the output. Border
+# attachment (a non-core with a core neighbor) is geometry tiny
+# perturbations cannot stage robustly, so it is pinned by the operator
+# unit test instead (tests/test_operators.py::test_dbscan_from_pairs_*).
+_PERTURB_DN = 0.998046875  # 1 - 2^-9, exact in double
+
+
+@query(
+    "dbscan_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT min(vec_id) AS vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings GROUP BY embedding
+    ),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET}, [v[1] * {_PERTURB}] || v[2:]
+      FROM base WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT vec_id + {2 * _TWIN_OFFSET}, [v[1] * {_PERTURB_DN}] || v[2:]
+      FROM base WHERE vec_id % 2 = 0
+      UNION ALL
+      SELECT vec_id + {_TWIN_OFFSET}, [v[1] * {_PERTURB}] || v[2:]
+      FROM base WHERE vec_id % 2 = 1
+    ),
+    b AS (
+      SELECT vec_id, v,
+             {", ".join(f"{_duck_band_bucket(k)} AS bucket{k}" for k in range(_N_BANDS))}
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        {" UNION ALL ".join(_duck_band_join(k) for k in range(_N_BANDS))}
+      )
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS bb FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT a, count(*) AS c FROM edges GROUP BY a),
+    core AS (SELECT a FROM deg WHERE c + 1 >= 3),
+    cedges AS (
+      SELECT e.a, e.bb FROM edges e
+      JOIN core c1 ON e.a = c1.a
+      JOIN core c2 ON e.bb = c2.a
+    ),
+    reach(a, bb) AS (
+      SELECT a, a FROM core
+      UNION
+      SELECT r.a, e.bb FROM reach r JOIN cedges e ON r.bb = e.a
+    ),
+    core_lab AS (SELECT a AS node, MIN(bb) AS cluster FROM reach GROUP BY a),
+    border AS (
+      SELECT e.a AS node, MIN(cl.cluster) AS cluster
+      FROM edges e JOIN core_lab cl ON e.bb = cl.node
+      WHERE e.a NOT IN (SELECT a FROM core)
+      GROUP BY e.a
+    )
+    SELECT node, cluster, role FROM (
+      SELECT node, cluster, 'core' AS role FROM core_lab
+      UNION ALL
+      SELECT node, cluster, 'border' AS role FROM border
+    ) ORDER BY node
+    """,
+)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over embedding cosine neighborhoods (minPts=3, eps =
+    cosine 0.99), neighborhoods bucketed by the banded hyperplane LSH:
+    cores cluster by core-core connectivity (the reachability fixpoint
+    collapsed to connected components), borders attach to their minimum
+    core label, noise vanishes. Deterministic end-to-end where textbook
+    DBSCAN is scan-order-dependent — the property that makes the result
+    reproducible across a 1000-executor run."""
+    from wopen_spark.operators.graph import dbscan_from_pairs
+    from wopen_spark.operators.similarity import (
+        cosine_from_norms,
+        hyperplane_bucket,
+        vec_norm,
+    )
+
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+    def twin(df: DataFrame, offset: int, factor: float) -> DataFrame:
+        return df.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("v", 1) * factor), F.slice("v", 2, 63)
+            ).alias("v"),
+        )
+
+    even = base.filter(F.col("vec_id") % 2 == 0)
+    odd = base.filter(F.col("vec_id") % 2 == 1)
+    corpus = (
+        base.unionByName(twin(even, _TWIN_OFFSET, _PERTURB))
+        .unionByName(twin(even, 2 * _TWIN_OFFSET, _PERTURB_DN))
+        .unionByName(twin(odd, _TWIN_OFFSET, _PERTURB))
+        .select(
+            "vec_id",
+            "v",
+            *[
+                hyperplane_bucket(
+                    F.col("v"), _PLANES[k * _BAND_BITS : (k + 1) * _BAND_BITS]
+                ).alias(f"bucket{k}")
+                for k in range(_N_BANDS)
+            ],
+            vec_norm(F.col("v")).alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cos = F.round(
+        cosine_from_norms(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ),
+        6,
+    )
+    parts = []
+    for k in range(_N_BANDS):
+        cond = (F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.99)
+        for e in range(k):
+            cond &= F.col(f"a.bucket{e}") != F.col(f"b.bucket{e}")
+        parts.append(
+            a.join(b, f"bucket{k}")
+            .filter(cond)
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    return dbscan_from_pairs(pairs, min_pts=3).orderBy("node")
