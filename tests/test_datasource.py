@@ -163,9 +163,11 @@ def test_option_validation(ds_spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck2"))
         .start()
     )
+    # the guard message must NOT match the raises pattern, or a
+    # regression that lets the stream succeed would still pass
     with pytest.raises(Exception, match="[Ss]treaming|readChangeFeed"):
         q.awaitTermination(60)
-        raise AssertionError("stream reader without readChangeFeed must fail")
+        raise AssertionError("snapshot stream was planned without CDF opt-in")
     with pytest.raises(Exception, match="local"):
         ds_spark.read.format("wopen_snapshot").load("s3a://bucket/t").collect()
 

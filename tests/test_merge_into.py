@@ -291,3 +291,31 @@ def test_validation_errors(spark, tmp_path):
         t.merge_into(src.drop("id"), "id", matched=[{"action": "delete"}])
     with pytest.raises(ValueError, match="mode"):
         t.merge_into(src, "id", matched=[{"action": "delete"}], mode="x")
+
+
+def test_cow_no_duplication_with_dup_source_and_no_matched_clauses(spark, tmp_path):
+    """Review finding: with only insert + by-source clauses (dup source
+    keys LEGAL — the multiple-match guard applies to matched clauses),
+    the cow rewrite used to re-join the full source and write a matched
+    survivor once per duplicate. Survivors must come out exactly once."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(2, "b", 20.0), (4, "d", 40.0)], "id int, name string, val double"
+        ).coalesce(1)
+    )
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0), (9, "i", 90.0)],
+        "id int, name string, val double",
+    )
+    t.merge_into(
+        dup,
+        "id",
+        not_matched=[{"action": "insert", "cond": None}],
+        not_matched_by_source=[{"action": "delete", "cond": "t.id >= 4"}],
+    )
+    rows = sorted((r.id, r.name) for r in t.read().collect())
+    # id=2 survives ONCE; id=4 deleted by the by-source clause; both dup
+    # source rows insert (unmatched, SQL MERGE semantics)... but id=2 is
+    # matched so neither inserts; id=9 inserts once
+    assert rows == [(2, "b"), (9, "i")]

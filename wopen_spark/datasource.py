@@ -59,8 +59,11 @@ from pyspark.sql.datasource import (
 )
 
 from wopen_spark.snapshot_table import (
+    _DV_FILE,
+    _DV_ROW,
     CommitConflictError,
     SnapshotTable,
+    VacuumedVersionError,
     _bloom_test,
     _json_safe,
 )
@@ -121,10 +124,10 @@ def _task_rows(task: _FileTask):
             continue
         hit: set[int] = set()
         for p in paths:
-            mt = pq.read_table(p)
-            files = mt.column(0).to_pylist()
-            rows = mt.column(1).to_pylist()
-            hit.update(r for f, r in zip(files, rows) if f == base)
+            # row-group/page-predicated read: a mask covering 100 files
+            # must not materialize all its rows in every file's task
+            mt = pq.read_table(p, filters=[(_DV_FILE, "=", base)])
+            hit.update(mt.column(_DV_ROW).to_pylist())
         if kind == "anti":
             mask_rows = hit if mask_rows is None else mask_rows | hit
         else:
@@ -276,6 +279,8 @@ class _SnapshotBatchReader(DataSourceReader):
         return out
 
     def read(self, partition):
+        if partition is None:  # Spark substitutes [None] for an empty
+            return             # partition list (empty table / all pruned)
         yield from _task_rows(partition)
 
 
@@ -376,9 +381,28 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
                             commit_version=v,
                         )
                     )
+        # same typed error batch CDF gives: a vacuumed range must fail
+        # loudly on the driver, not as a generic executor task retry
+        missing = [
+            t.file_abs
+            for t in out
+            if not os.path.exists(t.file_abs)
+        ] + [
+            p
+            for t in out
+            for p in (*t.dv_abs, *t.semi_abs)
+            if not os.path.exists(p)
+        ]
+        if missing:
+            raise VacuumedVersionError(
+                f"change-feed stream over ({lo}, {hi}] references "
+                f"{len(missing)} vacuumed file(s)"
+            )
         return out
 
     def read(self, partition):
+        if partition is None:
+            return
         yield from _task_rows(partition)
 
     def commit(self, end):

@@ -294,6 +294,60 @@ _PERTURB = 1.001953125  # 1 + 2^-9
 _TWIN_OFFSET = 100_000_000  # far above any real vec_id at any SF
 
 
+def _lsh_candidate_pairs(corpus: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Banded-hyperplane candidate pairs over ``corpus`` (vec_id, v):
+    score all bands + the norm in ONE pass (localCheckpoint: the pass is
+    referenced by every band's self-join), self-join per band, keep
+    ``cosine >= threshold`` with each pair emitted by its FIRST
+    colliding band only (later bands require an earlier-band mismatch,
+    so the union needs no distinct). Returns (id_a, id_b, cosine) with
+    the 6-digit rounding the DuckDB oracles mirror — shared by the
+    near-dup and DBSCAN queries so the engine/oracle parity argument
+    lives in exactly one place."""
+    from wopen_spark.operators.similarity import (
+        cosine_from_norms,
+        hyperplane_bucket,
+        vec_norm,
+    )
+
+    scored = corpus.select(
+        "vec_id",
+        "v",
+        *[
+            hyperplane_bucket(
+                F.col("v"), _PLANES[k * _BAND_BITS : (k + 1) * _BAND_BITS]
+            ).alias(f"bucket{k}")
+            for k in range(_N_BANDS)
+        ],
+        vec_norm(F.col("v")).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    a, b = scored.alias("a"), scored.alias("b")
+    cos = F.round(
+        cosine_from_norms(
+            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+        ),
+        6,
+    )
+    parts = []
+    for k in range(_N_BANDS):
+        cond = (F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= threshold)
+        for e in range(k):  # first-colliding-band dedup
+            cond &= F.col(f"a.bucket{e}") != F.col(f"b.bucket{e}")
+        parts.append(
+            a.join(b, f"bucket{k}")
+            .filter(cond)
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cos.alias("cosine"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _duck_planes_sql() -> list[str]:
     return [f"[{', '.join(str(x) for x in pl)}]::DOUBLE[]" for pl in _PLANES]
 
@@ -341,12 +395,6 @@ def _duck_band_join(band: int) -> str:
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from wopen_spark.operators.similarity import (
-        cosine_from_norms,
-        hyperplane_bucket,
-        vec_norm,
-    )
-
     base = (
         _t(spark, sf_dir, "embeddings")
         .groupBy("embedding")  # byte-equal float32 arrays -> one rep
@@ -364,47 +412,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms precomputed per vector: the pair stage then does ONE dot per
     # candidate instead of three (the norms' arithmetic is identical to
     # the oracle's sqrt(dot(v,v)), so values stay bit-equal)
-    # lazy localCheckpoint: the 48-hyperplane scoring + norm pass is
-    # referenced by all 3 band self-joins (6 plan arms); checkpointing
-    # materializes it once instead of recomputing per arm — the standard
-    # persist-before-reuse move for multi-branch plans
-    corpus = (
-        base.unionByName(twin)
-        .select(
-            "vec_id",
-            "v",
-            *[
-                hyperplane_bucket(
-                    F.col("v"), _PLANES[k * _BAND_BITS : (k + 1) * _BAND_BITS]
-                ).alias(f"bucket{k}")
-                for k in range(_N_BANDS)
-            ],
-            vec_norm(F.col("v")).alias("nrm"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    a, b = corpus.alias("a"), corpus.alias("b")
-    cos = F.round(
-        cosine_from_norms(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 6
-    )
-    parts = []
-    for k in range(_N_BANDS):
-        cond = (F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.99)
-        for e in range(k):  # first-colliding-band dedup
-            cond &= F.col(f"a.bucket{e}") != F.col(f"b.bucket{e}")
-        parts.append(
-            a.join(b, f"bucket{k}")
-            .filter(cond)
-            .select(
-                F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"),
-                cos.alias("cosine"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("id_a", "id_b")
+    return _lsh_candidate_pairs(base.unionByName(twin)).orderBy("id_a", "id_b")
 
 
 # SemDeDup-style semantic dedup: bucket vectors by nearest seed centroid
@@ -1881,11 +1889,6 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DBSCAN is scan-order-dependent — the property that makes the result
     reproducible across a 1000-executor run."""
     from wopen_spark.operators.graph import dbscan_from_pairs
-    from wopen_spark.operators.similarity import (
-        cosine_from_norms,
-        hyperplane_bucket,
-        vec_norm,
-    )
 
     base = (
         _t(spark, sf_dir, "embeddings")
@@ -1911,40 +1914,6 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(twin(even, _TWIN_OFFSET, _PERTURB))
         .unionByName(twin(even, 2 * _TWIN_OFFSET, _PERTURB_DN))
         .unionByName(twin(odd, _TWIN_OFFSET, _PERTURB))
-        .select(
-            "vec_id",
-            "v",
-            *[
-                hyperplane_bucket(
-                    F.col("v"), _PLANES[k * _BAND_BITS : (k + 1) * _BAND_BITS]
-                ).alias(f"bucket{k}")
-                for k in range(_N_BANDS)
-            ],
-            vec_norm(F.col("v")).alias("nrm"),
-        )
-        .localCheckpoint(eager=False)
     )
-    a, b = corpus.alias("a"), corpus.alias("b")
-    cos = F.round(
-        cosine_from_norms(
-            F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-        ),
-        6,
-    )
-    parts = []
-    for k in range(_N_BANDS):
-        cond = (F.col("a.vec_id") < F.col("b.vec_id")) & (cos >= 0.99)
-        for e in range(k):
-            cond &= F.col(f"a.bucket{e}") != F.col(f"b.bucket{e}")
-        parts.append(
-            a.join(b, f"bucket{k}")
-            .filter(cond)
-            .select(
-                F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"),
-            )
-        )
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
+    pairs = _lsh_candidate_pairs(corpus).drop("cosine")
     return dbscan_from_pairs(pairs, min_pts=3).orderBy("node")

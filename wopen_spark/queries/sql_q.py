@@ -649,7 +649,7 @@ def snapshot_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS c_mktsegment
       FROM base WHERE c_custkey % 7 <> 0
       UNION ALL
-      SELECT c_custkey + 10000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+      SELECT c_custkey + 1000000000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
              CAST(0.0 AS DOUBLE), 'CDC'
       FROM base WHERE c_custkey % 7 = 2
     )
@@ -698,7 +698,12 @@ def snapshot_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("op"),
     )
     inserts = cust.filter(k == 2).select(
-        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        # 10^12: far above any replicated key domain (the scaled corpora
+        # offset custkeys by replica*1e6 — a low offset COLLIDES with a
+        # higher replica's keys at sf10+, and a colliding "insert" is a
+        # matched row the engine rightly skips while a naive oracle
+        # union double-counts it; caught by the sf10 gate)
+        (F.col("c_custkey") + 1_000_000_000_000).alias("c_custkey"),
         F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
         F.lit(0.0).alias("c_acctbal"),
         F.lit("CDC").alias("c_mktsegment"),

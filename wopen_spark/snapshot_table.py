@@ -2636,9 +2636,19 @@ class SnapshotTable:
             cand, skipped = self._candidate_files(state, keys, key_df)
 
         # ---- classify target-side rows: first-matching clause wins
+        # Without matched clauses the target side needs the source ONLY
+        # as a key-existence marker (is_matched for the by-source flag);
+        # joining the FULL source there would duplicate every target row
+        # a dup-keyed source matches (legal input when no matched clause
+        # exists) straight into the rewrite — silent row duplication.
+        join_src = (
+            src
+            if matched
+            else key_df.withColumn("__sn_mrg_present", F.lit(True)).alias("s")
+        )
         tgt = self._read_snapshot(state, cand, keep_lineage=True).alias("t")
         joined = tgt.join(
-            src, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"
+            join_src, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"
         )
         # a left-joined source row is present iff its key columns came
         # through non-null; key equality already excludes null keys, so
@@ -2802,7 +2812,7 @@ class SnapshotTable:
             # action column — same two-phase probe/rewrite shape as merge
             t2 = self._read_snapshot(state, touched, keep_lineage=True).alias("t")
             j2 = t2.join(
-                src, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"
+                join_src, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"
             ).withColumn(self._MRG_ACT, act_col)
             # drop exactly the delete-labeled rows; unclaimed rows and
             # update-labeled rows (their image is rewritten) survive
