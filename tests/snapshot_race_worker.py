@@ -66,6 +66,39 @@ def main() -> int:
             elif roll < 0.55:
                 removed = table.vacuum(retain_last=3, orphan_grace_s=3600.0)
                 events.append({"op": "vacuum", "removed": removed})
+            elif roll < 0.8:
+                # multi-clause MERGE racing appends/compacts/vacuums from
+                # the other process: upsert into a writer-owned key band
+                # (merge is non-commuting — a lost race surfaces as
+                # CommitConflictError, recorded, never silently retried)
+                mid = writer_id * 2_000_000 + i
+                try:
+                    r = table.merge_into(
+                        spark.createDataFrame(
+                            [(mid, writer_id, 100 + i)],
+                            "id long, writer int, seq int",
+                        ).coalesce(1),
+                        "id",
+                        matched=[
+                            {
+                                "action": "update",
+                                "cond": None,
+                                "set": {"seq": "s.seq"},
+                            }
+                        ],
+                        not_matched=[{"action": "insert", "cond": None}],
+                        mode="dv" if rng.random() < 0.5 else "cow",
+                    )
+                    events.append(
+                        {
+                            "op": "merge",
+                            "version": r["version"],
+                            "id": mid,
+                            "seq": 100 + i,
+                        }
+                    )
+                except CommitConflictError:
+                    events.append({"op": "merge_conflict"})
         with open(out_file, "w") as f:
             json.dump(events, f)
         return 0

@@ -29,6 +29,10 @@ WORKER = os.path.join(REPO, "tests", "snapshot_race_worker.py")
 N_APPENDS = 6
 
 
+def wid_of(merge_id: int) -> int:
+    return merge_id // 2_000_000
+
+
 def test_two_process_writers_race_cleanly(spark, tmp_path):
     from wopen_spark.snapshot_table import SnapshotTable
 
@@ -82,10 +86,10 @@ def test_two_process_writers_race_cleanly(spark, tmp_path):
     claimed = [e["version"] for e in events if "version" in e]
     assert len(claimed) == len(set(claimed)), "two writers claimed one version"
     assert set(claimed).issubset(set(versions))
-    # commit count = create + appends + successful compacts (vacuum
-    # deletes physically, never commits)
+    # commit count = create + appends + successful compacts + successful
+    # merges (vacuum deletes physically, never commits)
     n_commits_expected = 1 + sum(
-        1 for e in events if e["op"] in ("append", "compact")
+        1 for e in events if e["op"] in ("append", "compact", "merge")
     )
     assert len(versions) == n_commits_expected
 
@@ -104,6 +108,7 @@ def test_two_process_writers_race_cleanly(spark, tmp_path):
     expected = sorted(
         [(1, 0, 0), (2, 0, 1)]
         + [(wid * 1_000_000 + i, wid, i) for wid in (1, 2) for i in range(N_APPENDS)]
+        + [(e["id"], wid_of(e["id"]), e["seq"]) for e in events if e["op"] == "merge"]
     )
     assert rows == expected
 
