@@ -998,3 +998,69 @@ def snapshot_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         spark.read.format("wopen_snapshot").load(path).orderBy("c_custkey")
     )
+
+
+@query("sql_merge_cdc_apply", oracle=ORACLES["snapshot_merge_cdc_apply"])
+def sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME CDC apply as snapshot_merge_cdc_apply, driven entirely
+    from SQL text: the standard MERGE INTO statement (conditional
+    matched DELETE/UPDATE, NOT MATCHED INSERT, with the change batch as
+    a temp view) is parsed by the DML front-door and dispatched to the
+    transactional multi-clause merge. Shared oracle — the SQL surface,
+    the DataFrame surface, and the relational replay are pinned to one
+    answer."""
+    import tempfile
+
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.sql_dml import execute_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_sql_merge_") + "/customer"
+    )
+    t.create(cust.repartition(4), cluster_by=["c_custkey"])
+
+    k = F.col("c_custkey") % 7
+    deletes = cust.filter(k == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    updates = cust.filter(k == 1).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+    )
+    inserts = cust.filter(k == 2).select(
+        (F.col("c_custkey") + 1_000_000_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    deletes.unionByName(updates).unionByName(inserts).createOrReplaceTempView(
+        "customer_cdc_batch"
+    )
+    rep = execute_merge(
+        spark,
+        """
+        MERGE INTO customer_tbl AS trg
+        USING customer_cdc_batch AS src
+        ON trg.c_custkey = src.c_custkey
+        WHEN MATCHED AND src.op = 'D' THEN DELETE
+        WHEN MATCHED AND src.op = 'U' THEN
+          UPDATE SET c_acctbal = src.c_acctbal, c_mktsegment = src.c_mktsegment
+        WHEN NOT MATCHED AND src.op = 'I' THEN INSERT *
+        """,
+        tables={"customer_tbl": t},
+        mode="dv",
+    )
+    assert rep["files_rewritten"] == 0
+    return t.read().orderBy("c_custkey")
