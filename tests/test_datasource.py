@@ -233,3 +233,59 @@ def test_writer_roundtrip_through_reader_and_engine(ds_spark, tmp_path):
     via_ds = ds_spark.read.format("wopen_snapshot").load(p)
     assert _rows(via_ds) == _rows(t.read())
     assert via_ds.count() == 50 - len([i for i in range(50) if i % 7 == 1])
+
+
+def test_stream_sink_exactly_once(ds_spark, tmp_path):
+    """writeStream.format('wopen_snapshot'): each epoch is one atomic
+    commit keyed (txnApp, batchId); same-checkpoint reruns and
+    fresh-checkpoint replays (batch ids restart at 0) both land zero
+    duplicate rows; new data flows through as new epochs."""
+    from pyspark.sql import types as T
+
+    from wopen_spark.streaming.topic import FileTopic
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    topic = FileTopic(str(tmp_path / "topic"), partitions=2)
+    topic.produce(0, [{"k": i, "v": f"a{i}"} for i in range(40)])
+    topic.produce(1, [{"k": 100 + i, "v": f"b{i}"} for i in range(40)])
+    sink_path = str(tmp_path / "sunk")
+
+    def run(ckpt):
+        q = (
+            topic.stream(ds_spark, schema)
+            .select("k", "v")
+            .writeStream.format("wopen_snapshot")
+            .option("txnApp", "sink-test")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .option("path", sink_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+
+    run("ck1")
+    t = SnapshotTable(ds_spark, sink_path)
+    assert t.read().count() == 80
+    run("ck1")  # no new input: no-op
+    assert t.read().count() == 80
+    run("ck2")  # fresh checkpoint: replayed epochs rejected by the HWM
+    assert t.read().count() == 80
+    topic.produce(0, [{"k": 1000, "v": "late"}])
+    run("ck1")
+    assert t.read().count() == 81
+    # missing txnApp refuses at plan time
+    q2 = (
+        topic.stream(ds_spark, schema)
+        .select("k", "v")
+        .writeStream.format("wopen_snapshot")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .option("path", str(tmp_path / "other"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="txnApp"):
+        q2.awaitTermination(120)
+        raise RuntimeError("sink without a writer identity must fail")

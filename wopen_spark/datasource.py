@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -442,26 +443,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
         mapping = None
         if exists:
             state = table._state()
-            if state["constraints"]:
-                raise ValueError(
-                    "wopen_snapshot writer cannot enforce CHECK constraints "
-                    f"({sorted(state['constraints'])}); use SnapshotTable.append"
-                )
-            if state["generated"]:
-                raise ValueError(
-                    "wopen_snapshot writer cannot compute generated columns "
-                    f"({sorted(state['generated'])}); use SnapshotTable.append"
-                )
-            table_schema = T.StructType.fromJson(state["schema"])
-            if [
-                (f.name, f.dataType.simpleString()) for f in schema.fields
-            ] != [(f.name, f.dataType.simpleString()) for f in table_schema.fields]:
-                raise ValueError(
-                    "input schema must equal the table schema exactly "
-                    f"(writer does not evolve schemas): input "
-                    f"{schema.simpleString()} vs table "
-                    f"{table_schema.simpleString()}"
-                )
+            _writer_refusals(state, schema)
             mapping = state["column_mapping"]
             self.cluster_by = state["cluster_by"]
         self.schema_json = json.dumps(schema.jsonValue())
@@ -561,6 +543,125 @@ class _SnapshotWriter(DataSourceArrowWriter):
                     pass
 
 
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("wopen_snapshot")`` — the exactly-once
+    streaming append sink through Spark's standard API: each micro-batch
+    lands as ONE atomic log commit carrying the epoch id as its
+    transaction version (``.option("txnApp", ...)`` names the writer),
+    so a replayed epoch — crash-rerun, checkpoint reset, speculative
+    re-execution — commits nothing and its shards stay uncommitted
+    orphans for vacuum's grace sweep. The same ``txnAppId/txnVersion``
+    idempotency `SnapshotTable.streaming_sink` gives foreachBatch users,
+    here with zero user code. Creates the table (empty, with the stream
+    schema) if absent. Same honest boundaries as the batch writer:
+    exact schema, no constraints/generated columns, local roots."""
+
+    def __init__(self, path: str, schema, options):
+        self.txn_app = options.get("txnapp") or options.get("txnappid")
+        if not self.txn_app:
+            raise ValueError(
+                "the wopen_snapshot streaming sink needs "
+                '.option("txnApp", "<writer name>") — the stable identity '
+                "its exactly-once high-water mark is keyed on"
+            )
+        table = _local_table(path)
+        self.path = path
+        self.commit_dir = f"data/{uuid.uuid4().hex}"
+        if table.latest_version() is None:
+            table._try_commit(
+                1,
+                {
+                    "operation": "create",
+                    "schema": schema.jsonValue(),
+                    "cluster_by": None,
+                    "add": [],
+                    "remove": [],
+                },
+            )
+        state = table._state()
+        _writer_refusals(state, schema)
+        self.schema_json = json.dumps(schema.jsonValue())
+        self.mapping_json = json.dumps(state["column_mapping"] or {})
+        self.cluster_by = state["cluster_by"]
+
+    write = _SnapshotWriter.write  # identical shard protocol
+
+    def _cleanup(self, rels):
+        for rel in rels:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+
+    def commit(self, messages, batchId: int):
+        table = _local_table(self.path)
+        rels = sorted(r for m in messages if m is not None for r in m.rels)
+        mapping = json.loads(self.mapping_json)
+        bloom_phys = (
+            mapping.get(self.cluster_by[0], self.cluster_by[0])
+            if self.cluster_by
+            else None
+        )
+        adds = [
+            meta
+            for rel in rels
+            if (meta := table._add_action(rel, bloom_phys)) is not None
+        ]
+        for _ in range(5):
+            state = table._state()
+            if self.txn_app in state["txns"] and state["txns"][self.txn_app] >= batchId:
+                self._cleanup(rels)  # replayed epoch: already committed
+                return
+            _writer_refusals(state, T.StructType.fromJson(json.loads(self.schema_json)))
+            try:
+                table._try_commit(
+                    state["version"] + 1,
+                    {
+                        "operation": "append",
+                        "schema": state["schema"],
+                        "add": adds,
+                        "remove": [],
+                        "txn_app": self.txn_app,
+                        "txn_version": batchId,
+                    },
+                )
+                return
+            except CommitConflictError:
+                continue  # appends commute; re-resolve the head
+        raise CommitConflictError(
+            f"streaming sink epoch {batchId} lost 5 commit races at {self.path}"
+        )
+
+    def abort(self, messages, batchId: int):
+        self._cleanup(
+            [r for m in messages if m is not None for r in m.rels]
+        )
+
+
+def _writer_refusals(state: dict, schema) -> None:
+    """Shared batch/stream writer guards: no post-hoc-unenforceable
+    table features, exact logical schema match."""
+    if state["constraints"]:
+        raise ValueError(
+            "wopen_snapshot writer cannot enforce CHECK constraints "
+            f"({sorted(state['constraints'])}); use SnapshotTable.append"
+        )
+    if state["generated"]:
+        raise ValueError(
+            "wopen_snapshot writer cannot compute generated columns "
+            f"({sorted(state['generated'])}); use SnapshotTable.append"
+        )
+    table_schema = T.StructType.fromJson(state["schema"])
+    if [(f.name, f.dataType.simpleString()) for f in schema.fields] != [
+        (f.name, f.dataType.simpleString()) for f in table_schema.fields
+    ]:
+        raise ValueError(
+            "input schema must equal the table schema exactly (writer "
+            f"does not evolve schemas): input {schema.simpleString()} vs "
+            f"table {table_schema.simpleString()}"
+        )
+
+
 class SnapshotTableDataSource(DataSource):
     """``format("wopen_snapshot")`` — batch snapshot reads (with
     ``version`` time travel and file-skipping filter pushdown) and
@@ -611,6 +712,9 @@ class SnapshotTableDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _SnapshotWriter(self._path(), schema, overwrite, self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _SnapshotStreamWriter(self._path(), schema, self.options)
 
 
 def register_snapshot_datasource(spark) -> None:

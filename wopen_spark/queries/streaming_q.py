@@ -400,3 +400,88 @@ def streaming_upsert_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_snapshot_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_id % 250 = 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table format as a STANDARD Structured Streaming sink: a
+    0.4% event sample flows topic -> readStream ->
+    ``writeStream.format("wopen_snapshot")`` with an AvailableNow
+    trigger; each micro-batch lands as one atomic log commit keyed
+    (txnApp, epoch). The stream then RERUNS against a FRESH checkpoint —
+    epoch ids restart at zero, and the table's transaction high-water
+    mark must reject every replayed epoch (asserted: version unchanged).
+    If one replayed row landed, the aggregate below would double-count
+    and the oracle hash would catch it. Zero user sink code — the same
+    exactly-once contract topic_exactly_once_ingest proves for the
+    foreachBatch path, through Spark's native sink API."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from wopen_spark.datasource import register_snapshot_datasource
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.streaming.topic import FileTopic
+
+    register_snapshot_datasource(spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 250 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    root = tempfile.mkdtemp(prefix="wopen_stream_sink_")
+    topic = FileTopic(f"{root}/feed", partitions=2)
+    topic.produce(0, [r for r in rows if r["event_id"] % 500 == 0])
+    topic.produce(1, [r for r in rows if r["event_id"] % 500 != 0])
+
+    sink_path = f"{root}/landed"
+
+    def run(ckpt: str) -> None:
+        q = (
+            topic.stream(spark, schema)
+            .select("event_id", "event_type", "value")
+            .writeStream.format("wopen_snapshot")
+            .option("txnApp", "events-sink")
+            .option("checkpointLocation", f"{root}/{ckpt}")
+            .option("path", sink_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert q.exception() is None, q.exception()
+
+    run("ck1")
+    t = SnapshotTable(spark, sink_path)
+    v = t.latest_version()
+    run("ck2")  # fresh checkpoint: every epoch replays and must bounce
+    assert t.latest_version() == v, "replayed epochs must commit nothing"
+
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
