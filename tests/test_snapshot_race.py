@@ -98,7 +98,11 @@ def test_two_process_writers_race_cleanly(spark, tmp_path):
     for v in versions:
         with open(os.path.join(log_dir, f"{v:08d}.json"), "rb") as f:
             c = json.loads(f.read())
-        assert "add" in c and "remove" in c, v
+        # complete record, not a torn prefix: every commit names its
+        # operation and carries SOME action payload (dv merges/deletes
+        # have dv_add without remove — the key set is per-operation)
+        assert "operation" in c, v
+        assert any(k in c for k in ("add", "remove", "dv_add")), v
 
     # --- no lost updates: both writers' rows all present exactly once
     rows = sorted(
