@@ -8,7 +8,13 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_SMOKE
-from wopen_spark.plans import exchanges, join_strategies, pushed_filters, scan_schemas
+from wopen_spark.plans import (
+    exchanges,
+    join_strategies,
+    plan_string,
+    pushed_filters,
+    scan_schemas,
+)
 
 
 def _q(spark, name):
@@ -1157,3 +1163,28 @@ def test_zipf_and_diversity_no_cartesian(spark):
                  "near_dup_keep_best_quality"):
         df = _q(spark, name)
         assert "CartesianProduct" not in join_strategies(df), name
+
+
+def test_dbscan_candidate_stage_never_cartesian(spark):
+    """LSH-DBSCAN's neighborhood stage must stay banded equi-joins —
+    a regression to all-pairs would show up as a cartesian/BNLJ here
+    and as an O(n^2) blowup at corpus scale."""
+    df = _q(spark, "dbscan_embedding_clusters")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_merge_parses_to_the_same_clause_structure(spark):
+    """The SQL front-door and the DataFrame API must stay one engine:
+    parse_merge output feeds merge_into verbatim, so the parsed clause
+    dicts ARE the contract — pin the translation."""
+    from wopen_spark.sql_dml import parse_merge
+
+    p = parse_merge(
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert p["keys"] == ["k"]
+    assert p["matched"] == [{"action": "update", "cond": None, "set": {"v": "s.v"}}]
+    assert p["not_matched"] == [{"action": "insert", "cond": None}]

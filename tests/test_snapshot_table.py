@@ -1087,3 +1087,36 @@ def test_review_fixes_subset_schema_bloom_types_restore_guard(spark, table):
     df, rep = t3.read_where({"id": (3, 3)})
     assert rep["files_skipped_by_bloom"] >= 1
     assert [r["id"] for r in df.collect()] == [3]
+
+
+def test_maintain_policy_thresholds(spark, tmp_path):
+    """maintain(): under-threshold tables are untouched (no commit); at
+    the threshold one binpack commit lands; dv-masked files always
+    qualify (the mask purge is the point); vacuum runs when asked."""
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1),
+        cluster_by=["id"],
+    )
+    for i in range(2, 6):
+        t.append(
+            spark.createDataFrame([(i, "x")], "id long, v string").coalesce(1)
+        )
+    v = t.latest_version()
+    rep = t.maintain(min_small_files=8)
+    assert not rep["binpacked"] and t.latest_version() == v  # under threshold
+
+    rep = t.maintain(min_small_files=5)
+    assert rep["binpacked"] and t.latest_version() == v + 1
+    assert len(t._state()["files"]) < 5
+
+    # a dv mask makes maintenance due regardless of the count threshold
+    t.delete_where("id = 3", mode="dv")
+    rep = t.maintain(min_small_files=50, vacuum_retain_last=1)
+    assert rep["binpacked"], rep
+    assert not t._state()["dvs"], "binpack must purge the mask"
+    assert rep["vacuum_removed"] >= 1
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == [1, 2, 4, 5]

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--name", required=True)
     sc = sub.add_parser("set-cluster-by")
     sc.add_argument("--cols", required=True)
+    m = sub.add_parser("maintain")
+    m.add_argument("--small-file-mb", type=int, default=128)
+    m.add_argument("--min-small-files", type=int, default=8)
+    m.add_argument("--vacuum-retain-last", type=int, default=None)
     return p
 
 
@@ -116,6 +120,12 @@ def run(args: argparse.Namespace, spark=None) -> dict:
         return {"version": t.drop_constraint(args.name)}
     if args.action == "set-cluster-by":
         return {"version": t.set_cluster_by(args.cols.split(","))}
+    if args.action == "maintain":
+        return t.maintain(
+            small_file_bytes=args.small_file_mb * (1 << 20),
+            min_small_files=args.min_small_files,
+            vacuum_retain_last=args.vacuum_retain_last,
+        )
     raise SystemExit(f"unknown action {args.action}")
 
 

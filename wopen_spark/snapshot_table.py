@@ -3318,6 +3318,45 @@ class SnapshotTable:
 
     # -------------------------------------------------------- maintenance
 
+    def maintain(
+        self,
+        *,
+        small_file_bytes: int = 128 << 20,
+        min_small_files: int = 8,
+        vacuum_retain_last: int | None = None,
+        orphan_grace_s: float = 3600.0,
+    ) -> dict:
+        """The nightly table-service pass as one policy call (Delta's
+        auto-compaction shape): bin-pack ONLY when enough sub-threshold
+        files (or dv-masked files) have accumulated to be worth a
+        rewrite, then optionally vacuum. A table under the thresholds is
+        untouched — zero commits, zero reads — so the call is safe to
+        run after every ingest batch; the thresholds are what keep a
+        streaming sink's many small epoch commits from turning into a
+        compaction after each one. Returns what ran and why."""
+        state = self._state()
+        small = [
+            rel
+            for rel, meta in state["files"].items()
+            if meta.get("bytes", 0) < small_file_bytes
+        ]
+        masked = [rel for rel in state["files"] if state["dvs"].get(rel)]
+        due = len(small) >= min_small_files or bool(masked)
+        report: dict = {
+            "small_files": len(small),
+            "masked_files": len(masked),
+            "binpacked": False,
+        }
+        if due:
+            r = self.optimize_small_files(max_file_bytes=small_file_bytes)
+            report["binpacked"] = "version" in r
+            report["binpack"] = r
+        if vacuum_retain_last is not None:
+            report["vacuum_removed"] = self.vacuum(
+                retain_last=vacuum_retain_last, orphan_grace_s=orphan_grace_s
+            )
+        return report
+
     def compact(self, target_files: int = 1) -> dict:
         """Rewrite the current snapshot into ``target_files`` files — a
         normal commit, so time travel to pre-compaction versions still
