@@ -315,3 +315,88 @@ def test_bloom_never_false_negative(ints, probes, strs):
     if strs:
         blob = _bloom_build_strs(strs, m)
         assert all(_bloom_test(blob, v, "md5") for v in strs)
+
+
+# ---- SQL MERGE parser round-trip: any clause structure rendered to the
+# canonical statement text parses back to exactly itself. The generator
+# draws conditions/expressions from a pool that includes the hazards the
+# hand tests pin one-by-one (embedded commas in function calls, string
+# literals containing alias-like prefixes and commas, qualified t./s.
+# references) — the property covers their combinations.
+
+_MERGE_CONDS = [
+    None,
+    "s.op = 'D'",
+    "t.val > 10",
+    "coalesce(s.x, t.x, 0) < 5",
+    "s.tag = 's.not_a_ref, still one literal'",
+]
+_MERGE_EXPRS = [
+    "s.val",
+    "t.val + 1",
+    "coalesce(s.a, t.b, 0)",
+    "concat(s.name, ', ', t.name)",
+    "'lit,with,commas'",
+]
+_COLS = ["val", "name", "x"]
+
+
+def _clause(actions):
+    return st.builds(
+        dict,
+        action=st.sampled_from(actions),
+        cond=st.sampled_from(_MERGE_CONDS),
+        set=st.dictionaries(
+            st.sampled_from(_COLS), st.sampled_from(_MERGE_EXPRS),
+            min_size=1, max_size=3,
+        ),
+    )
+
+
+@given(
+    matched=st.lists(_clause(["update", "delete"]), max_size=3),
+    not_matched=st.lists(_clause(["insert"]), max_size=2),
+    by_source=st.lists(_clause(["update", "delete"]), max_size=2),
+    keys=st.lists(st.sampled_from(["id", "k2", "k3"]), min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=120, deadline=None)
+def test_merge_parser_roundtrip(matched, not_matched, by_source, keys):
+    from wopen_spark.sql_dml import parse_merge
+
+    if not (matched or not_matched or by_source):
+        return  # statement needs >= 1 clause; parse_merge raises on none
+
+    def norm(cl):
+        out = {"action": cl["action"], "cond": cl["cond"]}
+        if cl["action"] == "update":
+            out["set"] = cl["set"]
+        return out
+
+    def render(cl, kind):
+        cond = f" AND {cl['cond']}" if cl["cond"] else ""
+        if cl["action"] == "update":
+            sets = ", ".join(f"{c} = {e}" for c, e in cl["set"].items())
+            act = f"UPDATE SET {sets}"
+        elif cl["action"] == "delete":
+            act = "DELETE"
+        else:
+            act = "INSERT *"
+        return f"WHEN {kind}{cond} THEN {act}"
+
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    text = (
+        f"MERGE INTO target t USING src_view s ON {on} "
+        + " ".join(
+            [render(c, "MATCHED") for c in matched]
+            + [render(c, "NOT MATCHED") for c in not_matched]
+            + [render(c, "NOT MATCHED BY SOURCE") for c in by_source]
+        )
+    )
+    p = parse_merge(text)
+    assert p["target"] == "target" and p["keys"] == keys
+    assert p["matched"] == [norm(c) for c in matched]
+    assert p["not_matched"] == [
+        {"action": "insert", "cond": c["cond"]} for c in not_matched
+    ]
+    assert p["not_matched_by_source"] == [norm(c) for c in by_source]
+    assert not p["leftover"]
