@@ -289,3 +289,88 @@ def test_stream_sink_exactly_once(ds_spark, tmp_path):
     with pytest.raises(Exception, match="txnApp"):
         q2.awaitTermination(120)
         raise RuntimeError("sink without a writer identity must fail")
+
+
+def _bloom_audit(root):
+    """(orphan sidecars, referenced-but-missing sidecars) under root."""
+    import os
+
+    on_disk = set()
+    for dirpath, _, names in os.walk(os.path.join(root, "data")):
+        for n in names:
+            if n.endswith(".bloom"):
+                rel = os.path.relpath(os.path.join(dirpath, n), root)
+                on_disk.add(rel.replace(os.sep, "/"))
+    return on_disk
+
+
+def test_stream_sink_replay_leaves_no_orphan_sidecars(ds_spark, tmp_path):
+    """Clustered sink: add-action derivation writes .bloom sidecars, so a
+    replayed epoch (fresh checkpoint -> batch ids restart) must clean up
+    sidecars along with the shards. An orphaned sidecar is unreclaimable
+    (vacuum deletes a bloom only with its data file) and pins its commit
+    dir forever."""
+    from pyspark.sql import types as T
+
+    from wopen_spark.streaming.topic import FileTopic
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    sink_path = str(tmp_path / "sunk")
+    # pre-create CLUSTERED so every committed shard carries a bloom
+    t = SnapshotTable(ds_spark, sink_path)
+    t.create(
+        ds_spark.createDataFrame([], "k long, v string"), cluster_by=["k"]
+    )
+    topic = FileTopic(str(tmp_path / "topic"), partitions=1)
+    topic.produce(0, [{"k": i, "v": f"a{i}"} for i in range(30)])
+
+    def run(ckpt):
+        q = (
+            topic.stream(ds_spark, schema)
+            .select("k", "v")
+            .writeStream.format("wopen_snapshot")
+            .option("txnApp", "sidecar-test")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .option("path", sink_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+
+    run("ck1")
+    assert t.read().count() == 30
+    run("ck2")  # fresh checkpoint: epoch 0 replays, HWM rejects it
+    assert t.read().count() == 30
+    referenced = {
+        m["bloom"]["path"]
+        for m in t._state()["files"].values()
+        if m.get("bloom")
+    }
+    assert referenced, "clustered shards should carry blooms"
+    on_disk = _bloom_audit(sink_path)
+    assert on_disk == referenced, (
+        f"orphan sidecars: {sorted(on_disk - referenced)}"
+    )
+
+
+def test_vacuum_sweeps_orphaned_sidecar(ds_spark, tmp_path):
+    """Defense in depth: a .bloom whose data file is gone (legacy leak,
+    crashed writer) is garbage vacuum must reclaim once past the grace
+    window."""
+    import os
+
+    p = str(tmp_path / "t")
+    t = SnapshotTable(ds_spark, p)
+    t.create(ds_spark.range(0, 10).selectExpr("id as k"), cluster_by=["k"])
+    orphan = os.path.join(p, "data", "deadbeef", "gone.parquet.bloom")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"\x00" * 16)
+    old = os.path.getmtime(orphan) - 7200
+    os.utime(orphan, (old, old))
+    t.vacuum(retain_last=1, orphan_grace_s=3600)
+    assert not os.path.exists(orphan)
+    assert t.read().count() == 10

@@ -1168,9 +1168,19 @@ def test_zipf_and_diversity_no_cartesian(spark):
 def test_dbscan_candidate_stage_never_cartesian(spark):
     """LSH-DBSCAN's neighborhood stage must stay banded equi-joins —
     a regression to all-pairs would show up as a cartesian/BNLJ here
-    and as an O(n^2) blowup at corpus scale."""
-    df = _q(spark, "dbscan_embedding_clusters")
-    plan = plan_string(df)
+    and as an O(n^2) blowup at corpus scale. The operator materializes
+    its result (releasing its cached neighborhood), so the registered
+    query's final plan is an RDD scan — pin the candidate-pair stage
+    and the operator's lazy plan directly instead."""
+    from wopen_spark.operators.graph import dbscan_from_pairs
+    from wopen_spark.queries.similarity import _dbscan_eps_pairs
+
+    pairs = _dbscan_eps_pairs(spark, SF_SMOKE)
+    plan = plan_string(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    lazy = dbscan_from_pairs(pairs, min_pts=3, materialize=False)
+    plan = plan_string(lazy)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -340,6 +340,24 @@ _MERGE_EXPRS = [
 ]
 _COLS = ["val", "name", "x"]
 
+# CASE WHEN .. THEN .. END inside conditions and SET expressions is the
+# r8-review hazard: the regex splitter truncated the clause at the
+# CASE's WHEN. The scanner parse must treat them as opaque.
+_MERGE_CONDS = _MERGE_CONDS + [
+    "CASE WHEN s.op = 'U' THEN true ELSE false END",
+]
+_MERGE_EXPRS = _MERGE_EXPRS + [
+    "CASE WHEN s.val > t.val THEN s.val ELSE t.val END",
+]
+# insert VALUES expressions see s.* only (no target row exists)
+_INSERT_EXPRS = [
+    "s.val",
+    "upper(s.name)",
+    "coalesce(s.a, 0)",
+    "CASE WHEN s.val > 0 THEN s.val ELSE 0 END",
+    "'lit,with,commas'",
+]
+
 
 def _clause(actions):
     return st.builds(
@@ -349,6 +367,13 @@ def _clause(actions):
         set=st.dictionaries(
             st.sampled_from(_COLS), st.sampled_from(_MERGE_EXPRS),
             min_size=1, max_size=3,
+        ),
+        values=st.one_of(
+            st.none(),
+            st.dictionaries(
+                st.sampled_from(_COLS), st.sampled_from(_INSERT_EXPRS),
+                min_size=1, max_size=3,
+            ),
         ),
     )
 
@@ -370,6 +395,8 @@ def test_merge_parser_roundtrip(matched, not_matched, by_source, keys):
         out = {"action": cl["action"], "cond": cl["cond"]}
         if cl["action"] == "update":
             out["set"] = cl["set"]
+        if cl["action"] == "insert" and cl["values"] is not None:
+            out["values"] = cl["values"]
         return out
 
     def render(cl, kind):
@@ -379,6 +406,10 @@ def test_merge_parser_roundtrip(matched, not_matched, by_source, keys):
             act = f"UPDATE SET {sets}"
         elif cl["action"] == "delete":
             act = "DELETE"
+        elif cl["values"] is not None:
+            cols = ", ".join(cl["values"])
+            exprs = ", ".join(cl["values"].values())
+            act = f"INSERT ({cols}) VALUES ({exprs})"
         else:
             act = "INSERT *"
         return f"WHEN {kind}{cond} THEN {act}"
@@ -395,8 +426,6 @@ def test_merge_parser_roundtrip(matched, not_matched, by_source, keys):
     p = parse_merge(text)
     assert p["target"] == "target" and p["keys"] == keys
     assert p["matched"] == [norm(c) for c in matched]
-    assert p["not_matched"] == [
-        {"action": "insert", "cond": c["cond"]} for c in not_matched
-    ]
+    assert p["not_matched"] == [norm(c) for c in not_matched]
     assert p["not_matched_by_source"] == [norm(c) for c in by_source]
     assert not p["leftover"]

@@ -117,3 +117,157 @@ def test_execute_merge_end_to_end(spark, tmp_path):
             "WHEN MATCHED THEN DELETE",
             tables={"tgt": t},
         )
+
+
+def test_case_when_in_set_survives_clause_split():
+    """r8 review finding: a SET expression containing CASE WHEN .. END
+    was truncated at the CASE's WHEN by the regex splitter. The scanner
+    must keep it whole and still find the NEXT merge clause."""
+    from wopen_spark.sql_dml import parse_update
+
+    p = parse_merge(
+        "MERGE INTO a t USING v s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET x = CASE WHEN s.x > 1 THEN s.x "
+        "ELSE t.x END, y = s.y "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert p["matched"][0]["set"] == {
+        "x": "CASE WHEN s.x > 1 THEN s.x ELSE t.x END",
+        "y": "s.y",
+    }
+    assert p["not_matched"] == [{"action": "insert", "cond": None}]
+    # and in an UPDATE statement's SET/WHERE too
+    u = parse_update(
+        "UPDATE tgt SET x = CASE WHEN y = 1 THEN 2 ELSE 3 END "
+        "WHERE z IN (1, 2)"
+    )
+    assert u["set"] == {"x": "CASE WHEN y = 1 THEN 2 ELSE 3 END"}
+    assert u["where"] == "z IN (1, 2)"
+
+
+def test_deeply_nested_using_subquery_parses():
+    """r8 review finding: the USING pattern tolerated one paren level;
+    coalesce(nullif(a,b),c) in the subquery failed. Any nesting now."""
+    p = parse_merge(
+        "MERGE INTO a t USING (SELECT coalesce(nullif(x, (1+2)), abs(-(3))) "
+        "AS id FROM v WHERE x IN (SELECT y FROM w)) s "
+        "ON t.id = s.id WHEN MATCHED THEN DELETE"
+    )
+    assert p["source_sql"].startswith("(SELECT coalesce(nullif")
+    assert p["keys"] == ["id"]
+
+
+def test_explicit_column_insert_parses():
+    p = parse_merge(
+        "MERGE INTO a t USING v s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.op = 'I' THEN "
+        "INSERT (id, name, val) VALUES (s.id, upper(s.name), s.val * 2)"
+    )
+    assert p["not_matched"] == [
+        {
+            "action": "insert",
+            "cond": "s.op = 'I'",
+            "values": {
+                "id": "s.id",
+                "name": "upper(s.name)",
+                "val": "s.val * 2",
+            },
+        }
+    ]
+    with pytest.raises(ValueError, match="count mismatch"):
+        parse_merge(
+            "MERGE INTO a t USING v s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id)"
+        )
+    with pytest.raises(ValueError, match="listed twice"):
+        parse_merge(
+            "MERGE INTO a t USING v s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, id) VALUES (s.id, s.id)"
+        )
+
+
+def test_explicit_column_insert_end_to_end(spark, tmp_path):
+    """INSERT (cols) VALUES (exprs): expressions evaluate against s.*,
+    unmentioned columns land NULL; INSERT * clauses coexist with
+    first-match-wins across the insert clause list."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "id int, name string, val double"
+        ),
+        cluster_by=["id"],
+    )
+    spark.createDataFrame(
+        [(5, "x", 50.0, "lo"), (6, "y", 60.0, "hi")],
+        "id int, name string, val double, band string",
+    ).createOrReplaceTempView("ins_src")
+    execute_merge(
+        spark,
+        """
+        MERGE INTO tgt t USING ins_src s ON t.id = s.id
+        WHEN NOT MATCHED AND s.band = 'hi'
+            THEN INSERT (id, name) VALUES (s.id, concat(s.name, '!'))
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables={"tgt": t},
+    )
+    rows = sorted(
+        (r.id, r.name, r.val) for r in t.read().collect()
+    )
+    # 5 fell through to INSERT * (full source image); 6 hit the explicit
+    # clause first (val unmentioned -> NULL, name transformed)
+    assert rows == [(1, "a", 10.0), (5, "x", 50.0), (6, "y!", None)]
+
+
+def test_sql_update_and_delete_end_to_end(spark, tmp_path):
+    from wopen_spark.sql_dml import execute_delete, execute_update
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(10)],
+            "id int, name string, val double",
+        ),
+        cluster_by=["id"],
+    )
+    rep = execute_update(
+        spark,
+        "UPDATE tgt AS g SET val = g.val * 10, name = upper(g.name) "
+        "WHERE g.id < 3",
+        tables={"tgt": t},
+    )
+    assert rep["version"] == 2
+    rows = {r.id: (r.name, r.val) for r in t.read().collect()}
+    assert rows[0] == ("N0", 0.0) and rows[2] == ("N2", 20.0)
+    assert rows[5] == ("n5", 5.0)
+
+    rep = execute_delete(
+        spark, "DELETE FROM tgt WHERE id % 2 = 1", tables={"tgt": t}, mode="dv"
+    )
+    assert rep["files_rewritten"] == 0  # dv mode masks, never rewrites
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 4, 6, 8]
+
+    # WHERE-less forms hit every row (ANSI semantics)
+    execute_update(
+        spark, "UPDATE tgt SET val = 0", tables={"tgt": t}
+    )
+    assert {r.val for r in t.read().collect()} == {0.0}
+    execute_delete(spark, "DELETE FROM tgt", tables={"tgt": t})
+    assert t.read().count() == 0
+
+
+@pytest.mark.parametrize(
+    "bad,frag",
+    [
+        ("UPDATE tgt WHERE id = 1", "unparseable UPDATE"),
+        ("UPDATE tgt SET WHERE id = 1", "at least one SET"),
+        ("UPDATE tgt SET x = 1 WHERE", "empty WHERE"),
+        ("DELETE tgt WHERE id = 1", "unparseable DELETE"),
+        ("DELETE FROM tgt extra words here", "unparseable DELETE"),
+    ],
+)
+def test_update_delete_parser_rejects(bad, frag):
+    from wopen_spark.sql_dml import parse_delete, parse_update
+
+    with pytest.raises(ValueError, match=frag):
+        (parse_update if bad.startswith("UPDATE") else parse_delete)(bad)

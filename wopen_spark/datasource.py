@@ -304,11 +304,26 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
     """The change feed as a Structured Streaming source: offsets are
     table versions, a micro-batch is the commits in (start, end] — one
     task per changed file, read executor-side. Maintenance commits
-    (dataChange false) contribute nothing, matching batch CDF."""
+    (dataChange false) contribute nothing, matching batch CDF.
+
+    Version-bound semantics: the bound is EXCLUSIVE — the stream emits
+    changes AFTER it, matching this engine's ``read_changes(from_version)``
+    convention everywhere (``0`` = everything). The explicit spelling is
+    ``.option("afterVersion", N)``; ``startingVersion`` is accepted as an
+    alias with the SAME exclusive meaning — note this differs from
+    Delta's identically-named option, which includes commit N itself
+    (ask for ``N-1`` here to see commit N)."""
 
     def __init__(self, path: str, options):
         self.path = path
-        self.starting = int(options.get("startingVersion", "0"))
+        if "afterversion" in options and "startingversion" in options:
+            raise ValueError(
+                "pass either afterVersion or startingVersion, not both "
+                "(they are the same exclusive bound)"
+            )
+        self.starting = int(
+            options.get("afterversion", options.get("startingversion", "0"))
+        )
 
     def initialOffset(self):
         return {"version": self.starting}
@@ -537,10 +552,15 @@ class _SnapshotWriter(DataSourceArrowWriter):
             if m is None:
                 continue
             for rel in m.rels:
-                try:
-                    os.remove(os.path.join(self.path, rel))
-                except FileNotFoundError:
-                    pass
+                # the sidecar too: commit() may have written blooms via
+                # _add_action before failing (e.g. 5 lost races) — an
+                # orphaned .bloom is invisible to vacuum's file sweep
+                # and would pin its commit dir forever
+                for p in (rel, f"{rel}.bloom"):
+                    try:
+                        os.remove(os.path.join(self.path, p))
+                    except FileNotFoundError:
+                        pass
 
 
 class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
@@ -588,14 +608,26 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
 
     def _cleanup(self, rels):
         for rel in rels:
-            try:
-                os.remove(os.path.join(self.path, rel))
-            except FileNotFoundError:
-                pass
+            # data shard AND any bloom sidecar _add_action wrote for it:
+            # vacuum only deletes a sidecar together with its data file,
+            # so a sidecar left behind here would be unreclaimable and
+            # keep its commit dir from ever being swept
+            for p in (rel, f"{rel}.bloom"):
+                try:
+                    os.remove(os.path.join(self.path, p))
+                except FileNotFoundError:
+                    pass
 
     def commit(self, messages, batchId: int):
         table = _local_table(self.path)
         rels = sorted(r for m in messages if m is not None for r in m.rels)
+        # replayed-epoch check FIRST: deriving add-actions writes bloom
+        # sidecars for clustered tables, and a replay's _cleanup must not
+        # have sidecars to leak in the first place
+        state = table._state()
+        if self.txn_app in state["txns"] and state["txns"][self.txn_app] >= batchId:
+            self._cleanup(rels)  # replayed epoch: already committed
+            return
         mapping = json.loads(self.mapping_json)
         bloom_phys = (
             mapping.get(self.cluster_by[0], self.cluster_by[0])
@@ -610,7 +642,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         for _ in range(5):
             state = table._state()
             if self.txn_app in state["txns"] and state["txns"][self.txn_app] >= batchId:
-                self._cleanup(rels)  # replayed epoch: already committed
+                self._cleanup(rels)  # lost the race to a concurrent replay
                 return
             _writer_refusals(state, T.StructType.fromJson(json.loads(self.schema_json)))
             try:

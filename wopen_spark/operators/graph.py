@@ -303,6 +303,7 @@ def dbscan_from_pairs(
     min_pts: int,
     src: str = "id_a",
     dst: str = "id_b",
+    materialize: bool = True,
 ) -> DataFrame:
     """DBSCAN given a materialized eps-neighborhood pair list: returns
     ``(node, cluster, role)`` where role is ``core`` or ``border`` and
@@ -356,4 +357,18 @@ def dbscan_from_pairs(
     out = core_lab.withColumn("role", F.lit("core")).unionByName(
         border.withColumn("role", F.lit("border"))
     )
+    if not materialize:
+        # plan-inspection escape hatch: the lazy plan keeps the full
+        # candidate-join lineage visible to explain(); nothing runs, so
+        # the persist above never occupies storage. Callers that DO run
+        # the lazy plan own releasing sym themselves.
+        return out
+    # materialize the labels (|clustered points|-sized, one job) and
+    # release the cached neighborhood — unlike connected_components'
+    # shared candidate graph, this symmetrized pair set is derived from
+    # the caller's eps-neighborhood input and has a single consumer, so
+    # leaving it cached would leak storage per invocation (bfs_hops /
+    # pagerank make the same single-caller release)
+    out = out.localCheckpoint()
+    sym.unpersist()
     return out

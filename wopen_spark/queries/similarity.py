@@ -1890,6 +1890,15 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across a 1000-executor run."""
     from wopen_spark.operators.graph import dbscan_from_pairs
 
+    pairs = _dbscan_eps_pairs(spark, sf_dir)
+    return dbscan_from_pairs(pairs, min_pts=3).orderBy("node")
+
+
+def _dbscan_eps_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eps-neighborhood pair list feeding dbscan_embedding_clusters,
+    exposed so plan tests can pin the candidate stage's lazy plan (the
+    operator materializes its result, which hides this lineage from the
+    registered query's explain output)."""
     base = (
         _t(spark, sf_dir, "embeddings")
         .groupBy("embedding")
@@ -1915,5 +1924,4 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(twin(even, 2 * _TWIN_OFFSET, _PERTURB_DN))
         .unionByName(twin(odd, _TWIN_OFFSET, _PERTURB))
     )
-    pairs = _lsh_candidate_pairs(corpus).drop("cosine")
-    return dbscan_from_pairs(pairs, min_pts=3).orderBy("node")
+    return _lsh_candidate_pairs(corpus).drop("cosine")

@@ -1128,3 +1128,148 @@ def snapshot_maintain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "sql_update_where",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 7 = 3 THEN p_brand || '-X' ELSE p_brand END AS p_brand,
+           CASE WHEN p_partkey % 7 = 3 AND p_retailprice > 1400
+                THEN CAST(p_retailprice AS DOUBLE) * 2
+                ELSE CAST(p_retailprice AS DOUBLE) END AS p_retailprice
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def sql_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UPDATE`` statement (r8 verdict #2): parsed by the DML
+    front-door and dispatched to the transactional ``update_where`` in
+    dv mode (masks the matched rows, appends updated images — O(changed
+    rows), zero rewrites, asserted). The SET list carries a CASE WHEN ..
+    END expression — the exact shape the r8 regex splitter truncated —
+    so the scanner parse is pinned end-to-end, not just in unit tests."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.sql_dml import execute_update
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_sql_upd_") + "/part"
+    )
+    t.create(part.repartition(4), cluster_by=["p_partkey"])
+    rep = execute_update(
+        spark,
+        """
+        UPDATE part_tbl AS p
+        SET p_retailprice = CASE WHEN p.p_retailprice > 1400
+                                 THEN p.p_retailprice * 2
+                                 ELSE p.p_retailprice END,
+            p_brand = concat(p.p_brand, '-X')
+        WHERE p.p_partkey % 7 = 3
+        """,
+        tables={"part_tbl": t},
+        mode="dv",
+    )
+    assert rep["files_rewritten"] == 0, rep
+    return t.read().orderBy("p_partkey")
+
+
+@query(
+    "sql_delete_where",
+    oracle="""
+    SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part
+    WHERE NOT (p_partkey % 9 = 4 OR p_brand = 'Brand#33')
+    ORDER BY p_partkey
+    """,
+)
+def sql_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``DELETE FROM`` statement (r8 verdict #2) through the DML
+    front-door into ``delete_where``: cow mode first (whole-table update
+    of the files holding matches), then a second dv-mode delete proves
+    both modes compose on one table; the survivors hash-match the
+    relational complement."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.sql_dml import execute_delete
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_sql_del_") + "/part"
+    )
+    t.create(part.repartition(4), cluster_by=["p_partkey"])
+    execute_delete(
+        spark,
+        "DELETE FROM part_tbl WHERE p_partkey % 9 = 4",
+        tables={"part_tbl": t},
+    )
+    rep = execute_delete(
+        spark,
+        "DELETE FROM part_tbl AS p WHERE p.p_brand = 'Brand#33'",
+        tables={"part_tbl": t},
+        mode="dv",
+    )
+    assert rep["files_rewritten"] == 0, rep
+    return t.read().orderBy("p_partkey")
+
+
+@query(
+    "sql_merge_explicit_insert",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, 'NEW-' || c_name, CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey % 3 = 1 AND c_acctbal >= 0
+    UNION ALL
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE)
+    FROM customer WHERE c_custkey % 3 = 1 AND c_acctbal < 0
+    ORDER BY c_custkey
+    """,
+)
+def sql_merge_explicit_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-column ``INSERT (cols) VALUES (exprs)`` in SQL MERGE
+    (r8 verdict #7, the Delta surface): the first insert clause claims
+    non-negative-balance rows with a transformed name and an unmentioned
+    (NULL) balance; the rest fall through to ``INSERT *`` —
+    first-match-wins across the insert clause list, proven against the
+    relational three-way union."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.sql_dml import execute_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_sql_ins_") + "/customer"
+    )
+    t.create(
+        cust.filter(F.col("c_custkey") % 3 == 0).repartition(4),
+        cluster_by=["c_custkey"],
+    )
+    cust.filter(F.col("c_custkey") % 3 == 1).createOrReplaceTempView(
+        "cust_ins_src"
+    )
+    execute_merge(
+        spark,
+        """
+        MERGE INTO tgt t USING cust_ins_src s ON t.c_custkey = s.c_custkey
+        WHEN NOT MATCHED AND s.c_acctbal >= 0 THEN
+          INSERT (c_custkey, c_name) VALUES (s.c_custkey, concat('NEW-', s.c_name))
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        tables={"tgt": t},
+    )
+    return t.read().orderBy("c_custkey")

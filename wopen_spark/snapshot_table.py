@@ -727,7 +727,9 @@ class LocalDataStore(DataStore):
             out.extend(
                 f"data/{sub}/{n}"
                 for n in sorted(os.listdir(subdir))
-                if n.endswith(".parquet")
+                # .bloom too: vacuum sweeps orphaned sidecars, and the
+                # blob/S3 stores already list every data/ key
+                if n.endswith((".parquet", ".bloom"))
             )
         return out
 
@@ -1221,7 +1223,7 @@ class HadoopFsDataStore(DataStore):
         out = []
         while it.hasNext():
             p = it.next().getPath().toString()
-            if p.endswith(".parquet"):
+            if p.endswith(".parquet") or p.endswith(".bloom"):
                 out.append(self.relativize(p))
         return sorted(out)
 
@@ -2550,7 +2552,10 @@ class SnapshotTable:
 
         Each clause is a dict: ``{"action": "update", "cond": sql|None,
         "set": {col: sql}}``, ``{"action": "delete", "cond": sql|None}``,
-        or ``{"action": "insert", "cond": sql|None}``. Conditions and
+        or ``{"action": "insert", "cond": sql|None}`` (``INSERT *``
+        semantics; add ``"values": {col: sql}`` for the explicit-column
+        ``INSERT (cols) VALUES (exprs)`` form — expressions see ``s.*``,
+        unmentioned columns insert NULL). Conditions and
         ``set`` expressions see the target row as ``t.*`` and the source
         row as ``s.*`` (``not_matched`` conds see only ``s.*``,
         ``not_matched_by_source`` only ``t.*``). Within each clause list,
@@ -2573,9 +2578,11 @@ class SnapshotTable:
 
         ``txn_app``/``txn_version`` make the merge idempotent for
         exactly-once streaming upsert sinks, same contract as
-        :meth:`append`. Like Delta, raises if a target row is matched by
-        more than one source row while matched clauses exist (the result
-        would be nondeterministic). Reference parity: the reference's
+        :meth:`append`. Like Delta, raises if a target row would be
+        updated/deleted by more than one source row (multiple matches are
+        legal as long as at most one pair is claimed by a matched
+        clause's condition — only an AMBIGUOUS modification is an
+        error). Reference parity: the reference's
         pandas pipelines express upsert-then-prune as full-frame
         rewrites; this is the keyed, file-pruned equivalent."""
         if mode not in ("cow", "dv"):
@@ -2599,6 +2606,10 @@ class SnapshotTable:
                 )
             if cl["action"] == "update" and not cl.get("set"):
                 raise ValueError("update clause requires a non-empty 'set'")
+            if cl["action"] == "insert" and cl.get("values") is not None and not cl["values"]:
+                raise ValueError(
+                    "explicit-column insert requires a non-empty 'values'"
+                )
 
         state = self._state()
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
@@ -2617,16 +2628,17 @@ class SnapshotTable:
         # extra non-schema source columns (a CDC batch's op/ts metadata)
         # are legal: conditions read them as s.<col>; insert images take
         # only the schema-named columns (merge_into never evolves schemas)
-        for cl in (*matched, *by_source):
-            gen = [c for c in cl.get("set", {}) if c in state["generated"]]
+        for cl in (*matched, *by_source, *not_matched):
+            assigned = cl.get("set") or cl.get("values") or {}
+            gen = [c for c in assigned if c in state["generated"]]
             if gen:
                 raise ValueError(
                     f"column(s) {gen} are GENERATED and recomputed from the "
                     f"updated row; they cannot be assigned directly"
                 )
-            bad = [c for c in cl.get("set", {}) if c not in types]
+            bad = [c for c in assigned if c not in types]
             if bad:
-                raise ValueError(f"update of unknown column(s): {bad}")
+                raise ValueError(f"update/insert of unknown column(s): {bad}")
 
         src = self._conform(source, state["schema"]).alias("s")
         key_df = src.select(*keys).distinct()
@@ -2678,8 +2690,14 @@ class SnapshotTable:
         joined = joined.withColumn(self._MRG_ACT, act_col)
 
         if matched:
+            # Delta semantics: error only when a target row would actually
+            # be UPDATED/DELETED by more than one source row (the action
+            # column claimed it >1 times) — multiple matches where at most
+            # one pair satisfies a clause condition are deterministic and
+            # legal. Restricting to claimed rows also keeps the probe on
+            # the same claimed-row scan the rewrite itself needs.
             dup = (
-                joined.filter(is_matched)
+                joined.filter(is_matched & F.col(self._MRG_ACT).isNotNull())
                 .groupBy(F.col(f"t.{_DV_FILE}"), F.col(f"t.{_DV_ROW}"))
                 .count()
                 .filter("count > 1")
@@ -2708,9 +2726,13 @@ class SnapshotTable:
                 cols.append(col.alias(f.name))
             return frame.select(*cols, F.col(self._MRG_ACT))
 
-        # ---- inserts: source rows with no target match, first insert
-        # clause (conds see s.* only) claiming them; image = source row
-        # conformed to the table schema, generated columns computed.
+        # ---- inserts: source rows with no target match, FIRST insert
+        # clause (conds see s.* only) claiming them. An ``INSERT *``
+        # clause's image is the source row conformed to the table schema;
+        # an explicit-column clause (``values``: col -> SQL expr, the
+        # Delta INSERT (cols) VALUES (exprs) surface) evaluates its
+        # expressions against s.* and NULLs every unmentioned column.
+        # Generated columns are computed later in _finalize either way.
         # Anti-join against the candidate files' keys is complete:
         # stats-skipped files provably contain no source key.
         inserts = None
@@ -2720,20 +2742,41 @@ class SnapshotTable:
                 keys,
                 "left_anti",
             ).alias("s")
-            conds = [
-                F.lit(True) if cl.get("cond") is None else F.expr(cl["cond"])
-                for cl in not_matched
-            ]
-            claim = conds[0]
-            for c in conds[1:]:
-                claim = claim | c
-            # generated columns are computed later in _finalize, with the
-            # updated images, in one pass
-            inserts = self._null_extend(
-                unmatched.filter(claim), state["schema"]
-            ).select(
-                *[f.name for f in schema.fields if f.name not in state["generated"]]
+            ichain = None
+            for i, cl in enumerate(not_matched):
+                cond = (
+                    F.lit(True) if cl.get("cond") is None else F.expr(cl["cond"])
+                )
+                ichain = (
+                    F.when(cond, F.lit(f"i{i}"))
+                    if ichain is None
+                    else ichain.when(cond, F.lit(f"i{i}"))
+                )
+            claimed_ins = (
+                unmatched.withColumn(self._MRG_ACT, ichain.otherwise(F.lit(None)))
+                .filter(F.col(self._MRG_ACT).isNotNull())
+                .alias("s")
             )
+            base = self._null_extend(claimed_ins, state["schema"]).alias("s")
+            ins_cols = []
+            for f in schema.fields:
+                if f.name in state["generated"]:
+                    continue
+                col = F.col(f.name)
+                for i, cl in enumerate(not_matched):
+                    vals = cl.get("values")
+                    if vals is None:
+                        continue  # INSERT *: keep the source value
+                    expr = (
+                        F.expr(vals[f.name]).cast(types[f.name])
+                        if f.name in vals
+                        else F.lit(None).cast(types[f.name])
+                    )
+                    col = F.when(
+                        F.col(self._MRG_ACT) == f"i{i}", expr
+                    ).otherwise(col)
+                ins_cols.append(col.alias(f.name))
+            inserts = base.select(*ins_cols)
 
         def _finalize(frame: DataFrame) -> tuple[DataFrame, list[dict], dict, dict | None]:
             """Rows being physically written: recompute generated columns
@@ -3533,9 +3576,26 @@ class SnapshotTable:
         removed = 0
         now = time.time()
         touched_dirs: set[str] = set()
-        for rel in self._data.list_data_files():
+        listed = self._data.list_data_files()
+        present = set(listed)
+        for rel in listed:
             if rel.endswith(".bloom"):
-                continue  # sidecars are handled with their data file
+                # sidecars live and die with their data file — but a
+                # sidecar whose data file is GONE (a crashed/aborted
+                # writer cleaned the shard without its bloom) is pure
+                # garbage; sweep it under the same grace window so an
+                # in-flight writer's fresh sidecar is never raced
+                data_rel = rel[: -len(".bloom")]
+                if data_rel in present or data_rel in retained:
+                    continue
+                try:
+                    if now - self._data.mtime(rel) <= orphan_grace_s:
+                        continue
+                except FileNotFoundError:
+                    continue
+                self._data.delete(rel)
+                touched_dirs.add(rel.rsplit("/", 1)[0])
+                continue
             if rel in retained:
                 continue
             if rel not in ever_referenced:

@@ -1,10 +1,10 @@
 """SQL DML front-door for SnapshotTable: parse the standard ``MERGE
-INTO`` statement (conditional matched UPDATE/DELETE, NOT MATCHED INSERT,
-NOT MATCHED BY SOURCE UPDATE/DELETE) and dispatch it to
-:meth:`SnapshotTable.merge_into` — so a SQL-only consumer drives the
-same transactional CDC-apply the DataFrame surface gets:
+INTO``, ``UPDATE`` and ``DELETE FROM`` statements and dispatch them to
+:meth:`SnapshotTable.merge_into` / :meth:`update_where` /
+:meth:`delete_where` — so a SQL-only consumer drives the same
+transactional writes the DataFrame surface gets:
 
-    from wopen_spark.sql_dml import execute_merge
+    from wopen_spark.sql_dml import execute_merge, execute_update, execute_delete
     execute_merge(spark, '''
         MERGE INTO tgt t
         USING (SELECT * FROM cdc_batch) s
@@ -14,17 +14,30 @@ same transactional CDC-apply the DataFrame surface gets:
         WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *
         WHEN NOT MATCHED BY SOURCE THEN DELETE
     ''', tables={"tgt": table})
+    execute_update(spark, "UPDATE tgt SET val = val * 2 WHERE id = 7",
+                   tables={"tgt": table})
+    execute_delete(spark, "DELETE FROM tgt WHERE id % 10 = 3",
+                   tables={"tgt": table})
 
 Grammar notes (deliberately the Delta/ANSI shape, restricted):
-- target aliases to ``t`` semantics, source to ``s`` — whatever alias
-  names the statement declares are rewritten to the engine's t/s.
+- MERGE target aliases to ``t`` semantics, source to ``s`` — whatever
+  alias names the statement declares are rewritten to the engine's t/s.
 - ``ON`` must be a conjunction of ``t.k = s.k`` equi-terms (that is what
   a keyed merge IS; anything else raises).
-- ``INSERT *`` only (the insert image is the source row conformed to
-  the table schema — merge_into's contract).
+- inserts are ``INSERT *`` (image = source row conformed to the table
+  schema) or explicit-column ``INSERT (c1, c2) VALUES (e1, e2)`` (the
+  Delta surface; unmentioned columns insert NULL).
 - clause conditions and SET expressions pass through verbatim (they
   already speak s./t. after alias rewriting) — the parser never
   evaluates SQL, Spark does.
+- UPDATE/DELETE predicates and SET expressions reference bare table
+  columns (single-table statements have no alias ambiguity); a declared
+  alias prefix is stripped.
+
+Statement splitting is a paren/quote/CASE-aware token scan, NOT regex
+lookahead: a SET expression containing ``CASE WHEN ... THEN ... END`` or
+a USING subquery with arbitrarily nested parens parses correctly (the
+r8-review regex version truncated both).
 
 Reference parity: the reference's sql/ entry points (e.g.
 /root/reference/sql/get_custom_search_data.sql) are SELECT-only; this
@@ -38,55 +51,97 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)"
-    r"(?:\s+AS)?(?:\s+(?P<talias>[A-Za-z_]\w*))?"
-    r"\s+USING\s+(?P<source>\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*)"
-    r"(?:\s+AS)?(?:\s+(?P<salias>[A-Za-z_]\w*))?"
-    r"\s+ON\s+(?P<on>.*?)"
-    r"(?P<clauses>\s+WHEN\s+.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
+_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
-_WHEN_RE = re.compile(
-    r"WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
-    r"(?:\s+AND\s+(?P<cond>.*?))?"
-    r"\s+THEN\s+(?P<action>UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)"
-    r"(?=\s+WHEN\s+|\s*$)",
-    re.IGNORECASE | re.DOTALL,
-)
 
-_EQ_TERM_RE = re.compile(
-    r"^\s*(?P<l>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*=\s*"
-    r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
-)
+def _tokens(text: str):
+    """Yield (kind, value, start, paren_depth, case_depth) over ``text``:
+    kind 'w' for identifier-ish words, 'q' for chars inside (or
+    delimiting) string literals, 'c' for any other char — so keywords
+    AND separators inside strings never match. Tracks paren depth and
+    CASE..END depth."""
+    i, n, q, depth, case_depth = 0, len(text), None, 0, 0
+    while i < n:
+        ch = text[i]
+        if q:
+            if ch == q:
+                q = None
+            yield ("q", ch, i, depth, case_depth)
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            yield ("q", ch, i, depth, case_depth)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            yield ("c", ch, i, depth, case_depth)
+            i += 1
+            continue
+        if ch == ")":
+            yield ("c", ch, i, depth, case_depth)
+            depth -= 1
+            i += 1
+            continue
+        m = _IDENT_RE.match(text, i)
+        if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+            w = m.group(0)
+            low = w.lower()
+            if low == "case":
+                case_depth += 1
+            yield ("w", w, i, depth, case_depth)
+            if low == "end" and case_depth > 0:
+                case_depth -= 1
+            i = m.end()
+            continue
+        yield ("c", ch, i, depth, case_depth)
+        i += 1
+
+
+def _top_level_positions(text: str, word: str) -> list[int]:
+    """Offsets where ``word`` appears as a standalone keyword at paren
+    depth 0, outside string literals and outside CASE..END blocks — so a
+    merge clause's WHEN/THEN is found but a CASE expression's never is."""
+    wl = word.lower()
+    return [
+        start
+        for kind, w, start, depth, cd in _tokens(text)
+        if kind == "w" and depth == 0 and w.lower() == wl
+        # the CASE keyword itself sits at case_depth 1 the moment it is
+        # emitted; every keyword INSIDE the expression (WHEN/THEN/ELSE)
+        # shares that depth, and END drops back after emission
+        and (cd == 0 or (wl == "case" and cd == 1))
+    ]
+
+
+def _balanced_group(text: str, start: int) -> int:
+    """``text[start]`` must be '(' — return the index just past its
+    matching ')' (quote-aware, any nesting). Raises on unbalanced."""
+    assert text[start] == "("
+    for kind, ch, i, depth, _ in _tokens(text[start:]):
+        # a ')' token is emitted BEFORE its depth decrement, so the
+        # close paren matching the depth-1 open also carries depth 1
+        if kind == "c" and ch == ")" and depth == 1:
+            return start + i + 1
+    raise ValueError(f"unbalanced parentheses in {text[start:start+80]!r}...")
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth 0 — SET lists contain
     function calls and string literals with embedded commas."""
-    parts, depth, start, i, q = [], 0, 0, 0, None
-    while i < len(text):
-        ch = text[i]
-        if q:
-            if ch == q:
-                q = None
-        elif ch in "'\"":
-            q = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == sep and depth == 0:
+    parts, start = [], 0
+    for kind, ch, i, depth, _ in _tokens(text):
+        if kind == "c" and ch == sep and depth == 0:
             parts.append(text[start:i])
             start = i + 1
-        i += 1
     parts.append(text[start:])
     return [p.strip() for p in parts if p.strip()]
 
 
-def _rewrite_aliases(expr: str, talias: str, salias: str) -> str:
-    """Rewrite the statement's declared aliases to the engine's t/s.
+def _rewrite_aliases(expr: str, talias: str, salias: str | None = None) -> str:
+    """Rewrite the statement's declared aliases to the engine's t/s
+    (MERGE) or strip them (single-table UPDATE/DELETE, ``salias=None``).
     Word-boundary qualified-reference rewrite only (``x.`` prefixes) —
     never inside string literals."""
     out, i, q = [], 0, None
@@ -110,11 +165,17 @@ def _rewrite_aliases(expr: str, talias: str, salias: str) -> str:
             if rest.startswith("."):
                 low = word.lower()
                 if low == talias:
-                    out.append("t")
-                elif low == salias:
+                    if salias is None:
+                        i += len(word) + 1  # strip "alias." entirely
+                    else:
+                        out.append("t")
+                        i += len(word)
+                    continue
+                if salias is not None and low == salias:
                     out.append("s")
-                else:
-                    out.append(word)
+                    i += len(word)
+                    continue
+                out.append(word)
                 i += len(word)
                 continue
         out.append(ch)
@@ -122,27 +183,113 @@ def _rewrite_aliases(expr: str, talias: str, salias: str) -> str:
     return "".join(out)
 
 
+_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)[A-Za-z_]\w*))?"
+    r"\s+USING\s+",
+    re.IGNORECASE,
+)
+
+_ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(?P<alias>(?!ON\b)[A-Za-z_]\w*)?\s*", re.IGNORECASE)
+
+_EQ_TERM_RE = re.compile(
+    r"^\s*(?P<l>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*=\s*"
+    r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
+)
+
+_KIND_RE = re.compile(
+    r"^\s*(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)\b",
+    re.IGNORECASE,
+)
+
+_INSERT_COLS_RE = re.compile(r"^\s*INSERT\s*", re.IGNORECASE)
+
+
+def _parse_insert_action(action: str, rw) -> dict:
+    """``INSERT *`` or ``INSERT (c1, c2) VALUES (e1, e2)`` -> clause dict
+    (the latter carries ``values``: col -> rewritten SQL expr; unmentioned
+    columns insert NULL — the Delta explicit-column surface)."""
+    a = action.strip()
+    if re.fullmatch(r"INSERT\s*\*", a, re.IGNORECASE):
+        return {"action": "insert"}
+    m = _INSERT_COLS_RE.match(a)
+    rest = a[m.end():]
+    if not rest.startswith("("):
+        raise ValueError(
+            f"WHEN NOT MATCHED supports INSERT * or INSERT (cols) VALUES "
+            f"(exprs) only, got {action!r}"
+        )
+    close = _balanced_group(rest, 0)
+    cols = _split_top_level(rest[1:close - 1])
+    tail = rest[close:].strip()
+    vm = re.match(r"^VALUES\s*", tail, re.IGNORECASE)
+    if not vm or not tail[vm.end():].lstrip().startswith("("):
+        raise ValueError(f"INSERT (cols) needs VALUES (exprs), got {action!r}")
+    vtail = tail[vm.end():].lstrip()
+    vclose = _balanced_group(vtail, 0)
+    exprs = _split_top_level(vtail[1:vclose - 1])
+    if vtail[vclose:].strip():
+        raise ValueError(f"trailing text after VALUES list: {vtail[vclose:]!r}")
+    if len(cols) != len(exprs):
+        raise ValueError(
+            f"INSERT column/value count mismatch: {len(cols)} vs {len(exprs)}"
+        )
+    values = {}
+    for c, e in zip(cols, exprs):
+        if not re.fullmatch(r"[A-Za-z_]\w*", c):
+            raise ValueError(f"bad INSERT column {c!r}")
+        if c in values:
+            raise ValueError(f"INSERT column {c!r} listed twice")
+        values[c] = rw(e)
+    return {"action": "insert", "values": values}
+
+
 def parse_merge(sql: str) -> dict:
     """Parse a MERGE statement into merge_into's clause structure.
     Returns {target, source_sql, keys, matched, not_matched,
-    not_matched_by_source}. Raises ValueError with the offending
-    fragment on anything outside the supported grammar."""
-    m = _MERGE_RE.match(sql.strip().rstrip(";"))
+    not_matched_by_source, leftover} (leftover always '' — the scanner
+    parse consumes the whole statement or raises). Raises ValueError
+    with the offending fragment on anything outside the grammar."""
+    text = sql.strip().rstrip(";").strip()
+    m = _HEAD_RE.match(text)
     if not m:
         raise ValueError("unparseable MERGE statement (expected MERGE INTO "
                          "<target> [alias] USING <view|(subquery)> [alias] "
                          "ON ... WHEN ...)")
     target = m.group("target")
     talias = (m.group("talias") or target).lower()
-    source = m.group("source")
-    salias = (m.group("salias") or (source if not source.startswith("(") else "")).lower()
-    if talias in ("as",) or salias in ("as",):
-        raise ValueError("alias parsing error")
+    pos = m.end()
+    if text[pos:].lstrip().startswith("("):
+        pos += len(text[pos:]) - len(text[pos:].lstrip())
+        end = _balanced_group(text, pos)
+        source = text[pos:end]
+        pos = end
+    else:
+        sm = re.match(r"\s*(?P<src>[A-Za-z_][\w.]*)", text[pos:])
+        if not sm:
+            raise ValueError(f"bad USING source at {text[pos:pos+40]!r}")
+        source = sm.group("src")
+        pos += sm.end()
+    am = _ALIAS_RE.match(text, pos)
+    salias = (am.group("alias") or "").lower() if am else ""
+    if am and am.group("alias"):
+        pos = am.end()
     if not salias:
-        raise ValueError("a subquery source needs an alias: USING (...) s")
+        if source.startswith("("):
+            raise ValueError("a subquery source needs an alias: USING (...) s")
+        salias = source.lower()
+    om = re.match(r"\s*ON\s+", text[pos:], re.IGNORECASE)
+    if not om:
+        raise ValueError(f"expected ON after USING source, at {text[pos:pos+40]!r}")
+    pos += om.end()
+    tail = text[pos:]
+    whens = _top_level_positions(tail, "when")
+    if not whens:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    on_text = tail[: whens[0]].strip()
 
     keys = []
-    for term in re.split(r"\s+AND\s+", m.group("on").strip(), flags=re.IGNORECASE):
+    for term in _split_and_terms(on_text):
         em = _EQ_TERM_RE.match(term)
         if not em:
             raise ValueError(f"ON must be AND-ed t.k = s.k equi-terms, got {term!r}")
@@ -156,37 +303,48 @@ def parse_merge(sql: str) -> dict:
 
     rw = lambda e: _rewrite_aliases(e, talias, salias)  # noqa: E731
     matched, not_matched, by_source = [], [], []
-    clause_text = m.group("clauses")
-    spans = list(_WHEN_RE.finditer(clause_text))
-    if not spans:
-        raise ValueError("MERGE needs at least one WHEN clause")
-    gaps, pos = [], 0
-    for s in spans:
-        gaps.append(clause_text[pos:s.start()])
-        pos = s.end()
-    gaps.append(clause_text[pos:])
-    leftover = "".join(gaps).strip()
-    for w in spans:
-        kind = re.sub(r"\s+", " ", w.group("kind").upper())
-        cond = rw(w.group("cond").strip()) if w.group("cond") else None
-        action = w.group("action").strip()
+    bounds = whens + [len(tail)]
+    for wi in range(len(whens)):
+        chunk = tail[bounds[wi]:bounds[wi + 1]].strip()
+        body = chunk[len("WHEN"):]  # the WHEN keyword itself
+        km = _KIND_RE.match(body)
+        if not km:
+            raise ValueError(f"bad WHEN clause {chunk[:60]!r}")
+        kind = re.sub(r"\s+", " ", km.group("kind").upper())
+        rest = body[km.end():]
+        thens = _top_level_positions(rest, "then")
+        if not thens:
+            raise ValueError(f"WHEN clause missing THEN: {chunk[:60]!r}")
+        cond_text = rest[: thens[0]].strip()
+        action = rest[thens[0] + len("THEN"):].strip()
+        cond = None
+        if cond_text:
+            cm = re.match(r"^AND\s+", cond_text, re.IGNORECASE)
+            if not cm:
+                raise ValueError(
+                    f"WHEN clause condition must start with AND, got "
+                    f"{cond_text[:40]!r}"
+                )
+            cond = rw(cond_text[cm.end():].strip())
         a_up = action.upper()
         if a_up == "DELETE":
             clause = {"action": "delete", "cond": cond}
         elif a_up.startswith("UPDATE"):
-            set_text = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
-            assignments = {}
-            for item in _split_top_level(set_text):
-                col, _, expr = item.partition("=")
-                col = col.strip()
-                # accept `t.col =` as well as bare `col =`
-                col = re.sub(rf"^{talias}\.", "", col, flags=re.IGNORECASE)
-                if not re.match(r"^[A-Za-z_]\w*$", col) or not expr.strip():
-                    raise ValueError(f"bad SET assignment {item!r}")
-                assignments[col] = rw(expr.strip())
+            um = re.match(r"^UPDATE\s+SET\s+", action, re.IGNORECASE)
+            if not um:
+                raise ValueError(f"bad UPDATE action {action[:60]!r}")
+            assignments = _parse_set_list(action[um.end():], talias, rw)
             clause = {"action": "update", "cond": cond, "set": assignments}
-        elif a_up.replace(" ", "") == "INSERT*":
-            clause = {"action": "insert", "cond": cond}
+        elif a_up.startswith("INSERT"):
+            clause = {**_parse_insert_action(action, rw), "cond": cond}
+            # keep the canonical key order the DataFrame surface uses
+            clause = {
+                "action": "insert",
+                "cond": cond,
+                **(
+                    {"values": clause["values"]} if "values" in clause else {}
+                ),
+            }
         else:
             raise ValueError(f"unsupported action {action!r}")
         if kind == "MATCHED":
@@ -195,7 +353,10 @@ def parse_merge(sql: str) -> dict:
             matched.append(clause)
         elif kind == "NOT MATCHED":
             if clause["action"] != "insert":
-                raise ValueError("WHEN NOT MATCHED supports INSERT * only")
+                raise ValueError(
+                    "WHEN NOT MATCHED supports INSERT * only (or "
+                    "INSERT (cols) VALUES (exprs))"
+                )
             not_matched.append(clause)
         else:
             if clause["action"] == "insert":
@@ -208,8 +369,110 @@ def parse_merge(sql: str) -> dict:
         "matched": matched,
         "not_matched": not_matched,
         "not_matched_by_source": by_source,
-        "leftover": leftover,
+        "leftover": "",
     }
+
+
+def _split_and_terms(text: str) -> list[str]:
+    """Split an ON conjunction on top-level ANDs."""
+    positions = _top_level_positions(text, "and")
+    parts, start = [], 0
+    for p in positions:
+        parts.append(text[start:p])
+        start = p + 3
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_set_list(set_text: str, talias: str, rw) -> dict[str, str]:
+    """``col = expr, ...`` -> {col: rewritten expr}. Accepts a
+    ``talias.col`` left side; expressions may contain CASE WHEN/END,
+    nested calls, and literal commas (top-level split only)."""
+    assignments = {}
+    for item in _split_top_level(set_text):
+        col, eq, expr = item.partition("=")
+        col = col.strip()
+        col = re.sub(rf"^{re.escape(talias)}\.", "", col, flags=re.IGNORECASE)
+        if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col) or not expr.strip():
+            raise ValueError(f"bad SET assignment {item!r}")
+        if col in assignments:
+            raise ValueError(f"column {col!r} assigned twice in SET")
+        assignments[col] = rw(expr.strip())
+    return assignments
+
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"(?:\s+AS)?(?:\s+(?P<alias>(?!SET\b)[A-Za-z_]\w*))?"
+    r"\s+SET\s+",
+    re.IGNORECASE,
+)
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"(?:\s+AS)?(?:\s+(?P<alias>(?!WHERE\b)[A-Za-z_]\w*))?"
+    r"\s*(?:$|(?P<where>WHERE)\s+)",
+    re.IGNORECASE,
+)
+
+
+def parse_update(sql: str) -> dict:
+    """Parse ``UPDATE <table> [alias] SET col = expr, ... [WHERE pred]``
+    into {target, set, where}. Alias prefixes are stripped (single-table
+    statement); ``where`` is None for a whole-table update."""
+    text = sql.strip().rstrip(";").strip()
+    m = _UPDATE_RE.match(text)
+    if not m:
+        raise ValueError(
+            "unparseable UPDATE statement (expected UPDATE <table> "
+            "[alias] SET col = expr[, ...] [WHERE pred])"
+        )
+    target = m.group("target")
+    alias = (m.group("alias") or target).lower()
+    rw = lambda e: _rewrite_aliases(e, alias, None)  # noqa: E731
+    tail = text[m.end():]
+    wheres = _top_level_positions(tail, "where")
+    where = None
+    if wheres:
+        set_text = tail[: wheres[0]]
+        where = rw(tail[wheres[0] + len("WHERE"):].strip())
+        if not where:
+            raise ValueError("empty WHERE clause")
+    else:
+        set_text = tail
+    assignments = _parse_set_list(set_text, alias, rw)
+    if not assignments:
+        raise ValueError("UPDATE needs at least one SET assignment")
+    return {"target": target, "set": assignments, "where": where}
+
+
+def parse_delete(sql: str) -> dict:
+    """Parse ``DELETE FROM <table> [alias] [WHERE pred]`` into
+    {target, where} (``where`` None = delete everything)."""
+    text = sql.strip().rstrip(";").strip()
+    m = _DELETE_RE.match(text)
+    if not m:
+        raise ValueError(
+            "unparseable DELETE statement (expected DELETE FROM <table> "
+            "[alias] [WHERE pred])"
+        )
+    target = m.group("target")
+    alias = (m.group("alias") or target).lower()
+    where = None
+    if m.group("where"):
+        where = _rewrite_aliases(text[m.end():].strip(), alias, None)
+        if not where:
+            raise ValueError("empty WHERE clause")
+    return {"target": target, "where": where}
+
+
+def _resolve_target(p: dict, tables: dict, verb: str):
+    if p["target"] not in tables:
+        raise ValueError(
+            f"unknown {verb} target {p['target']!r}; registered: "
+            f"{sorted(tables)}"
+        )
+    return tables[p["target"]]
 
 
 def execute_merge(
@@ -228,16 +491,12 @@ def execute_merge(
     p = parse_merge(sql)
     if p["leftover"]:
         raise ValueError(f"unparsed MERGE fragment: {p['leftover']!r}")
-    if p["target"] not in tables:
-        raise ValueError(
-            f"unknown merge target {p['target']!r}; registered: "
-            f"{sorted(tables)}"
-        )
+    t = _resolve_target(p, tables, "merge")
     src_sql = p["source_sql"]
     source: DataFrame = (
         spark.sql(src_sql[1:-1]) if src_sql.startswith("(") else spark.table(src_sql)
     )
-    return tables[p["target"]].merge_into(
+    return t.merge_into(
         source,
         p["keys"],
         matched=p["matched"] or None,
@@ -247,3 +506,26 @@ def execute_merge(
         txn_app=txn_app,
         txn_version=txn_version,
     )
+
+
+def execute_update(
+    spark: SparkSession, sql: str, tables: dict, mode: str = "cow"
+) -> dict:
+    """Run an UPDATE statement against a registered SnapshotTable —
+    dispatches to :meth:`SnapshotTable.update_where` (cow or dv). A
+    missing WHERE updates every row (predicate ``true``), the ANSI
+    contract."""
+    p = parse_update(sql)
+    t = _resolve_target(p, tables, "update")
+    return t.update_where(p["where"] or "true", p["set"], mode=mode)
+
+
+def execute_delete(
+    spark: SparkSession, sql: str, tables: dict, mode: str = "cow"
+) -> dict:
+    """Run a DELETE FROM statement against a registered SnapshotTable —
+    dispatches to :meth:`SnapshotTable.delete_where`. A missing WHERE
+    deletes every row."""
+    p = parse_delete(sql)
+    t = _resolve_target(p, tables, "delete")
+    return t.delete_where(p["where"] or "true", mode=mode)
