@@ -7,6 +7,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Dummy AWS credentials BEFORE any SparkSession starts: local-mode Python
+# workers inherit the JVM's environment at launch, and the moto-server
+# datasource tests need executors' boto3 clients to find credentials via
+# the standard chain (moto accepts any). setdefault keeps real creds.
+os.environ.setdefault("AWS_ACCESS_KEY_ID", "testing")
+os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "testing")
+os.environ.setdefault("AWS_DEFAULT_REGION", "us-east-1")
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 

@@ -168,8 +168,10 @@ def test_option_validation(ds_spark, tmp_path):
     with pytest.raises(Exception, match="[Ss]treaming|readChangeFeed"):
         q.awaitTermination(60)
         raise AssertionError("snapshot stream was planned without CDF opt-in")
-    with pytest.raises(Exception, match="local"):
-        ds_spark.read.format("wopen_snapshot").load("s3a://bucket/t").collect()
+    # s3:// is supported now; schemes with no Python-native client on
+    # executors still refuse loudly at plan time
+    with pytest.raises(Exception, match="Python-native client"):
+        ds_spark.read.format("wopen_snapshot").load("hdfs://nn/t").collect()
 
 
 def test_writer_create_append_overwrite(ds_spark, tmp_path):

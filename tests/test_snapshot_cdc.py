@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pytest
 
-from wopen_spark.snapshot_table import SnapshotTable
+from wopen_spark.snapshot_table import SnapshotTable, VacuumedVersionError
 
 
 def _mk(spark, rows):
@@ -270,3 +270,76 @@ def test_streaming_sink_enforces_constraints_per_batch(spark, table):
     sink(_mk(spark, [(7, "replay")]), 1)     # replay: watermark no-op
     assert table.latest_version() == v + 1
     assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 7]
+
+
+def test_changefeed_loader_vacuum_resync(spark, tmp_path):
+    """r8 verdict #3: a consumer stranded behind a vacuum must not stay
+    stuck. Drive the MV, vacuum the source past the watermark, and the
+    next run_once resyncs: full-snapshot fold REPLACES the target, the
+    watermark jumps to the head in the same commit, the MV equals the
+    full recompute, and draining twice stays a no-op."""
+    from pyspark.sql import functions as F
+
+    from wopen_spark.streaming.changefeed import ChangeFeedLoader
+
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    tgt = SnapshotTable(spark, str(tmp_path / "mv"))
+
+    def fold(ch):
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        return ch.groupBy("v").agg(
+            F.sum(sign * F.col("id")).cast("long").alias("d")
+        )
+
+    def mv():
+        return {
+            r["v"]: r["s"]
+            for r in tgt.read()
+            .groupBy("v")
+            .agg(F.sum("d").cast("long").alias("s"))
+            .collect()
+        }
+
+    loader = ChangeFeedLoader(src, tgt, app="mv/t", fold=fold)
+    src.create(_mk(spark, [(1, "a"), (2, "a"), (10, "b")]))
+    assert loader.run_once() == (0, 1)
+    assert mv() == {"a": 3, "b": 10}
+
+    # the loader falls behind: three upstream commits, then vacuum
+    # keeps only the head — the (1, 4] change files are gone
+    src.append(_mk(spark, [(4, "a")]))
+    src.delete_where("id = 2")
+    src.overwrite(_mk(spark, [(7, "a"), (20, "b"), (5, "c")]))
+    src.vacuum(retain_last=1, orphan_grace_s=0)
+    with pytest.raises(VacuumedVersionError):
+        src.read_changes(1, 4).collect()
+
+    assert loader.run_once() == (0, 4)  # resync, not a crash
+    expected = {"a": 7, "b": 20, "c": 5}
+    assert mv() == expected
+    full = {
+        r["v"]: r["s"]
+        for r in src.read()
+        .groupBy("v")
+        .agg(F.sum("id").cast("long").alias("s"))
+        .collect()
+    }
+    assert mv() == full
+    assert loader.committed() == 4
+
+    # drained: both the same loader and a fresh one no-op
+    assert loader.run_once() is None
+    loader2 = ChangeFeedLoader(src, tgt, app="mv/t", fold=fold)
+    assert loader2.run_once() is None
+
+    # and the feed is INCREMENTAL again after the bootstrap
+    src.append(_mk(spark, [(100, "c")]))
+    assert loader.run_once() == (4, 5)
+    assert mv() == {"a": 7, "b": 20, "c": 105}
+
+    # replayed resync (crash after commit, rerun): ledger rejects it
+    v_before = tgt.latest_version()
+    tgt.overwrite(tgt.read(), txn_app="mv/t", txn_version=4)
+    assert tgt.latest_version() == v_before

@@ -338,6 +338,22 @@ def test_snapshot_random_op_sequence_matches_model(
         )
         assert got == sorted((k, v[1]) for k, v in expected), version
 
+    # the STANDARD reader surface agrees with the class after the whole
+    # random sequence — the datasource arm (r9), for the store shapes it
+    # can express: default local roots and file:// URIs. (The s3 combos
+    # here run on an in-process moto mock that executor processes cannot
+    # reach; real-HTTP datasource s3 coverage lives in
+    # test_datasource_remote.)
+    if stores in (None, "uri"):
+        from wopen_spark.datasource import register_snapshot_datasource
+
+        register_snapshot_datasource(spark)
+        via_ds = spark.read.format("wopen_snapshot").load(path)
+        got_ds = sorted(
+            (r["id"], (r[val_col], r["x"])) for r in via_ds.collect()
+        )
+        assert got_ds == _expected_rows(model), "datasource/class divergence"
+
 
 def test_hadoop_store_relativize_is_scheme_and_bucket_aware(spark):
     """The ADVICE trap: urlparse().path on s3a://bucket/key drops the

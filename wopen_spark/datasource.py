@@ -20,13 +20,18 @@ streaming source emits the change feed (`_change_type`,
 atomic unit of progress, so a micro-batch never observes half a commit;
 restart resumes from the checkpointed version.
 
-Executor-side reads go through pyarrow directly (a Spark task cannot
-re-enter Spark), which binds this data source to LOCALLY-REACHABLE table
-roots (POSIX paths — local disk, NFS, fuse mounts). Scheme URIs raise
-loudly; the SnapshotTable class itself stays the surface for object
-stores. Writes also stay on the class (`append`/`merge_into`/...): the
-commit protocol is driver-coordinated and transactional, which the
-DataSourceWriter's distributed-commit shape cannot express losslessly.
+Executor-side reads go through pyarrow over a DataStore handle (a Spark
+task cannot re-enter Spark), so the standard surface reaches every root
+with a Python-native client: POSIX paths (local disk, NFS, fuse
+mounts), ``file://`` URIs, and ``s3://``/``s3a://`` object stores
+(boto3 — partitions carry the store spec, executors open objects
+directly; pass ``.option("s3_endpoint", ...)`` / ``("s3_region", ...)``
+for non-default endpoints, credentials come from the standard AWS
+chain). Writes ride the same store: executors spool parquet shards
+locally and publish them with a streaming upload; the driver lands ONE
+atomic log commit. Schemes with no Python-native client in this
+environment (hdfs/abfs/gs) raise loudly — the SnapshotTable class with
+its HadoopFs stores stays the surface for those.
 
 Reference parity: the reference reads its tables through pandas-gbq
 (/root/reference/custom_search_extraction.py:215) — a query-engine
@@ -63,10 +68,14 @@ from wopen_spark.snapshot_table import (
     _DV_FILE,
     _DV_ROW,
     CommitConflictError,
+    LocalDataStore,
+    S3ConditionalPutLogStore,
+    S3DataStore,
     SnapshotTable,
     VacuumedVersionError,
     _bloom_test,
     _json_safe,
+    uri_to_path,
 )
 
 _CDF_FIELDS = [
@@ -75,26 +84,102 @@ _CDF_FIELDS = [
 ]
 
 
-def _local_table(path: str) -> SnapshotTable:
-    """A log-replay handle that never touches Spark: every SnapshotTable
-    state/commit method is pure LogStore traffic for local roots."""
-    if "://" in path:
-        raise ValueError(
-            "wopen_snapshot reads files with pyarrow on executors and "
-            f"supports locally-reachable table roots only, got {path!r}; "
-            "use the SnapshotTable class for object-store tables"
+def _store_spec(path: str, options) -> dict:
+    """The picklable store description a partition carries so EXECUTORS
+    can open table bytes without Spark: local roots and file:// URIs map
+    to direct POSIX reads; s3:// carries the uri + endpoint/region (the
+    boto3 client is built task-side from the standard credential
+    chain — secrets never ride the pickle wire)."""
+    if "://" not in path:
+        return {"kind": "local", "root": path}
+    scheme = path.split("://", 1)[0].lower()
+    if scheme == "file":
+        return {"kind": "local", "root": uri_to_path(path)}
+    if scheme in ("s3", "s3a"):
+        return {
+            "kind": "s3",
+            "uri": f"s3://{path.split('://', 1)[1]}",
+            "endpoint": options.get("s3_endpoint") or None,
+            "region": options.get("s3_region") or None,
+        }
+    raise ValueError(
+        f"wopen_snapshot executors need a Python-native client for the "
+        f"table root; {scheme}:// has none here (supported: local paths, "
+        f"file://, s3://) — use the SnapshotTable class with its "
+        f"HadoopFs stores for {scheme} tables"
+    )
+
+
+def _s3_client(spec: dict):
+    import boto3
+
+    kw = {}
+    if spec.get("endpoint"):
+        kw["endpoint_url"] = spec["endpoint"]
+    if spec.get("region"):
+        kw["region_name"] = spec["region"]
+    return boto3.client("s3", **kw)
+
+
+_STORE_CACHE: dict[str, object] = {}
+
+
+def _store_from_spec(spec: dict):
+    """Executor-side DataStore construction from a partition's spec.
+    Memoized per process — Python workers are reused across tasks, so
+    one boto3 client (and one scratch dir) serves every task this
+    worker runs against the same table."""
+    key = json.dumps(spec, sort_keys=True)
+    store = _STORE_CACHE.get(key)
+    if store is not None:
+        return store
+    if spec["kind"] == "local":
+        store = LocalDataStore(spec["root"])
+    elif spec["kind"] == "s3":
+        import tempfile
+
+        store = S3DataStore(
+            spec["uri"],
+            tempfile.mkdtemp(prefix="wopen-ds-exec-"),
+            client=_s3_client(spec),
         )
-    return SnapshotTable(None, path)  # type: ignore[arg-type]  # spark unused locally
+    else:
+        raise ValueError(f"unknown store spec kind {spec.get('kind')!r}")
+    _STORE_CACHE[key] = store
+    return store
+
+
+def _resolve_table(path: str, options) -> SnapshotTable:
+    """Driver-side handle. Local roots and file:// replay the log with
+    zero Spark; s3:// wires the conditional-PUT log store + boto3 data
+    store from the same options the partitions carry."""
+    spec = _store_spec(path, options)  # validates the scheme
+    if spec["kind"] == "local":
+        # spark unused for local metadata traffic
+        return SnapshotTable(None, spec["root"])  # type: ignore[arg-type]
+    import tempfile
+
+    client = _s3_client(spec)
+    return SnapshotTable(
+        None,  # type: ignore[arg-type]
+        spec["uri"],
+        log_store=S3ConditionalPutLogStore(f"{spec['uri']}/_log", client=client),
+        data_store=S3DataStore(
+            spec["uri"], tempfile.mkdtemp(prefix="wopen-ds-drv-"), client=client
+        ),
+    )
 
 
 @dataclass(frozen=True)
 class _FileTask(InputPartition):
     """One task = one data file (+ the dv masks and change tagging it
-    needs). Plain strings/tuples only — this crosses the pickle wire."""
+    needs). Plain strings/tuples/dicts only — this crosses the pickle
+    wire. Paths are log-relative; ``store`` says how to open them."""
 
-    file_abs: str
-    dv_abs: tuple  # mask parquets to ANTI-join (live rows)
-    semi_abs: tuple  # mask parquets to SEMI-join (rows a dv commit masked)
+    file_rel: str
+    dv_rel: tuple  # mask parquets to ANTI-join (live rows)
+    semi_rel: tuple  # mask parquets to SEMI-join (rows a dv commit masked)
+    store_json: str  # _store_spec output
     schema_json: str
     mapping_json: str  # logical -> physical (identity when empty)
     change_type: str  # "" for snapshot reads
@@ -104,7 +189,9 @@ class _FileTask(InputPartition):
 def _task_rows(task: _FileTask):
     """Executor-side: read one parquet through the logical schema, apply
     deletion-vector masks by row position, optionally tag CDF columns.
-    Yields pyarrow RecordBatches matching the declared Spark schema."""
+    Yields pyarrow RecordBatches matching the declared Spark schema.
+    All bytes come through the partition's DataStore — POSIX handle for
+    local roots, object GET for s3."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -112,22 +199,25 @@ def _task_rows(task: _FileTask):
     schema = T.StructType.fromJson(json.loads(task.schema_json))
     mapping = json.loads(task.mapping_json)
     phys_of = lambda c: mapping.get(c, c)  # noqa: E731
+    store = _store_from_spec(json.loads(task.store_json))
 
-    pf = pq.ParquetFile(task.file_abs)
+    pf = pq.ParquetFile(store.open_input(task.file_rel))
     present = set(pf.schema_arrow.names)
     want_phys = [phys_of(f.name) for f in schema.fields if phys_of(f.name) in present]
     tbl = pf.read(columns=want_phys)
 
     mask_rows: set[int] | None = None
-    base = os.path.basename(task.file_abs)
-    for kind, paths in (("anti", task.dv_abs), ("semi", task.semi_abs)):
+    base = os.path.basename(task.file_rel)
+    for kind, paths in (("anti", task.dv_rel), ("semi", task.semi_rel)):
         if not paths:
             continue
         hit: set[int] = set()
         for p in paths:
             # row-group/page-predicated read: a mask covering 100 files
             # must not materialize all its rows in every file's task
-            mt = pq.read_table(p, filters=[(_DV_FILE, "=", base)])
+            mt = pq.read_table(
+                store.open_input(p), filters=[(_DV_FILE, "=", base)]
+            )
             hit.update(mt.column(_DV_ROW).to_pylist())
         if kind == "anti":
             mask_rows = hit if mask_rows is None else mask_rows | hit
@@ -166,10 +256,6 @@ def _task_rows(task: _FileTask):
     yield from result.to_batches(max_chunksize=1 << 16)
 
 
-def _abs_paths(root: str, rels: list[str]) -> tuple:
-    return tuple(os.path.join(root, r) for r in rels)
-
-
 class _SnapshotBatchReader(DataSourceReader):
     """Snapshot read: one task per live file, deletion vectors applied
     merge-on-read. File skipping lives in the ``_SnapshotBatchReaderPushdown``
@@ -179,6 +265,7 @@ class _SnapshotBatchReader(DataSourceReader):
 
     def __init__(self, path: str, options):
         self.path = path
+        self.options = options
         self.version = int(options["version"]) if "version" in options else None
         self._eq: dict[str, object] = {}  # col -> point value (bloom + stats)
         self._lo: dict[str, object] = {}  # col -> lower bound
@@ -251,8 +338,9 @@ class _SnapshotBatchReader(DataSourceReader):
         return False
 
     def partitions(self):
-        table = _local_table(self.path)
+        table = _resolve_table(self.path, self.options)
         state = table._state(self.version)
+        store_json = json.dumps(_store_spec(self.path, self.options))
         schema_json = json.dumps(state["schema"])
         mapping_json = json.dumps(
             {
@@ -268,9 +356,10 @@ class _SnapshotBatchReader(DataSourceReader):
                 continue
             out.append(
                 _FileTask(
-                    file_abs=os.path.join(self.path, rel),
-                    dv_abs=_abs_paths(self.path, state["dvs"].get(rel, [])),
-                    semi_abs=(),
+                    file_rel=rel,
+                    dv_rel=tuple(state["dvs"].get(rel, [])),
+                    semi_rel=(),
+                    store_json=store_json,
                     schema_json=schema_json,
                     mapping_json=mapping_json,
                     change_type="",
@@ -316,6 +405,7 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str, options):
         self.path = path
+        self.options = options
         if "afterversion" in options and "startingversion" in options:
             raise ValueError(
                 "pass either afterVersion or startingVersion, not both "
@@ -329,14 +419,15 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
         return {"version": self.starting}
 
     def latestOffset(self):
-        head = _local_table(self.path).latest_version()
+        head = _resolve_table(self.path, self.options).latest_version()
         return {"version": int(head if head is not None else self.starting)}
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
         if hi <= lo:
             return []
-        table = _local_table(self.path)
+        table = _resolve_table(self.path, self.options)
+        store_json = json.dumps(_store_spec(self.path, self.options))
         state = table._state(hi)
         schema = T.StructType.fromJson(state["schema"])
         for f in _CDF_FIELDS:
@@ -361,9 +452,10 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
             for m in c.get("add", []):
                 out.append(
                     _FileTask(
-                        file_abs=os.path.join(self.path, m["path"]),
-                        dv_abs=(),
-                        semi_abs=(),
+                        file_rel=m["path"],
+                        dv_rel=(),
+                        semi_rel=(),
+                        store_json=store_json,
                         schema_json=schema_json,
                         mapping_json=mapping_json,
                         change_type="insert",
@@ -375,9 +467,10 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
                     prev_dvs = table._state(v - 1)["dvs"]
                 out.append(
                     _FileTask(
-                        file_abs=os.path.join(self.path, rel),
-                        dv_abs=_abs_paths(self.path, prev_dvs.get(rel, [])),
-                        semi_abs=(),
+                        file_rel=rel,
+                        dv_rel=tuple(prev_dvs.get(rel, [])),
+                        semi_rel=(),
+                        store_json=store_json,
                         schema_json=schema_json,
                         mapping_json=mapping_json,
                         change_type="delete",
@@ -388,9 +481,10 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
                 for rel in e["for"]:
                     out.append(
                         _FileTask(
-                            file_abs=os.path.join(self.path, rel),
-                            dv_abs=(),
-                            semi_abs=_abs_paths(self.path, e["paths"]),
+                            file_rel=rel,
+                            dv_rel=(),
+                            semi_rel=tuple(e["paths"]),
+                            store_json=store_json,
                             schema_json=schema_json,
                             mapping_json=mapping_json,
                             change_type="delete",
@@ -400,14 +494,10 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
         # same typed error batch CDF gives: a vacuumed range must fail
         # loudly on the driver, not as a generic executor task retry
         missing = [
-            t.file_abs
-            for t in out
-            if not os.path.exists(t.file_abs)
-        ] + [
             p
             for t in out
-            for p in (*t.dv_abs, *t.semi_abs)
-            if not os.path.exists(p)
+            for p in (t.file_rel, *t.dv_rel, *t.semi_rel)
+            if not table._data.exists(p)
         ]
         if missing:
             raise VacuumedVersionError(
@@ -444,12 +534,16 @@ class _SnapshotWriter(DataSourceArrowWriter):
     Honest boundaries: tables with CHECK constraints or generated
     columns refuse this path at PLAN time (enforcement needs the engine
     — use ``SnapshotTable.append``); the input schema must equal the
-    table's logical schema exactly (no evolution through the writer);
-    local roots only, like the reader."""
+    table's logical schema exactly (no evolution through the writer).
+    Roots: local paths, file://, and s3:// (shards spool to executor
+    scratch and publish with a streaming upload — never whole-shard in
+    memory)."""
 
     def __init__(self, path: str, schema, overwrite: bool, options):
-        table = _local_table(path)
+        table = _resolve_table(path, options)
         self.path = path
+        self.store_json = json.dumps(_store_spec(path, options))
+        self.options = options
         self.overwrite = overwrite
         self.commit_dir = f"data/{uuid.uuid4().hex}"
         exists = table.latest_version() is not None
@@ -465,6 +559,8 @@ class _SnapshotWriter(DataSourceArrowWriter):
         self.mapping_json = json.dumps(mapping or {})
 
     def write(self, iterator):
+        import tempfile
+
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -477,8 +573,16 @@ class _SnapshotWriter(DataSourceArrowWriter):
             [f.with_name(p) for f, p in zip(arrow, phys_names)]
         )
         rel = f"{self.commit_dir}/part-{uuid.uuid4().hex}.parquet"
-        dest = os.path.join(self.path, rel)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        spec = json.loads(self.store_json)
+        if spec["kind"] == "local":
+            # fast path: write straight to the final location (the
+            # commit protocol never trusts un-manifested files)
+            dest = os.path.join(spec["root"], rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+        else:
+            dest = os.path.join(
+                tempfile.mkdtemp(prefix="wopen-ds-shard-"), "shard.parquet"
+            )
         writer, n = None, 0
         for batch in iterator:
             t = (
@@ -496,10 +600,12 @@ class _SnapshotWriter(DataSourceArrowWriter):
         if n == 0:
             os.remove(dest)
             return _ShardMessage(rels=())
+        if spec["kind"] != "local":
+            _store_from_spec(spec).put_file(rel, dest)  # streaming upload
         return _ShardMessage(rels=(rel,))
 
     def commit(self, messages):
-        table = _local_table(self.path)
+        table = _resolve_table(self.path, self.options)
         rels = sorted(r for m in messages if m is not None for r in m.rels)
         mapping = json.loads(self.mapping_json)
         schema = T.StructType.fromJson(json.loads(self.schema_json))
@@ -548,6 +654,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages):
+        store = _store_from_spec(json.loads(self.store_json))
         for m in messages:
             if m is None:
                 continue
@@ -558,7 +665,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 # and would pin its commit dir forever
                 for p in (rel, f"{rel}.bloom"):
                     try:
-                        os.remove(os.path.join(self.path, p))
+                        store.delete(p)
                     except FileNotFoundError:
                         pass
 
@@ -574,7 +681,8 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     idempotency `SnapshotTable.streaming_sink` gives foreachBatch users,
     here with zero user code. Creates the table (empty, with the stream
     schema) if absent. Same honest boundaries as the batch writer:
-    exact schema, no constraints/generated columns, local roots."""
+    exact schema, no constraints/generated columns; local, file:// and
+    s3:// roots."""
 
     def __init__(self, path: str, schema, options):
         self.txn_app = options.get("txnapp") or options.get("txnappid")
@@ -584,8 +692,10 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 '.option("txnApp", "<writer name>") — the stable identity '
                 "its exactly-once high-water mark is keyed on"
             )
-        table = _local_table(path)
+        table = _resolve_table(path, options)
         self.path = path
+        self.store_json = json.dumps(_store_spec(path, options))
+        self.options = options
         self.commit_dir = f"data/{uuid.uuid4().hex}"
         if table.latest_version() is None:
             table._try_commit(
@@ -607,6 +717,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     write = _SnapshotWriter.write  # identical shard protocol
 
     def _cleanup(self, rels):
+        store = _store_from_spec(json.loads(self.store_json))
         for rel in rels:
             # data shard AND any bloom sidecar _add_action wrote for it:
             # vacuum only deletes a sidecar together with its data file,
@@ -614,12 +725,12 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
             # keep its commit dir from ever being swept
             for p in (rel, f"{rel}.bloom"):
                 try:
-                    os.remove(os.path.join(self.path, p))
+                    store.delete(p)
                 except FileNotFoundError:
                     pass
 
     def commit(self, messages, batchId: int):
-        table = _local_table(self.path)
+        table = _resolve_table(self.path, self.options)
         rels = sorted(r for m in messages if m is not None for r in m.rels)
         # replayed-epoch check FIRST: deriving add-actions writes bloom
         # sidecars for clustered tables, and a replay's _cleanup must not
@@ -714,7 +825,7 @@ class SnapshotTableDataSource(DataSource):
         return str(self.options.get("readChangeFeed", "false")).lower() == "true"
 
     def schema(self):
-        table = _local_table(self._path())
+        table = _resolve_table(self._path(), self.options)
         version = (
             int(self.options["version"]) if "version" in self.options else None
         )

@@ -658,6 +658,16 @@ class DataStore:
         ``rel``. Whole-object write, no rename required."""
         raise NotImplementedError
 
+    def put_file(self, rel: str, local_path: str) -> None:
+        """Publish a locally-written file at ``rel`` (a data shard an
+        executor spooled to scratch). Default streams through
+        ``put_bytes``; stores with a streaming upload override it so a
+        large shard never sits whole in memory. The local file is
+        CONSUMED (moved or deleted) on success."""
+        with open(local_path, "rb") as f:
+            self.put_bytes(rel, f.read())
+        os.unlink(local_path)
+
     def list_data_files(self) -> list[str]:
         raise NotImplementedError
 
@@ -714,6 +724,11 @@ class LocalDataStore(DataStore):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "wb") as f:
             f.write(data)
+
+    def put_file(self, rel: str, local_path: str) -> None:
+        path = self._p(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shutil.move(local_path, path)
 
     def list_data_files(self) -> list[str]:
         data_root = self._p("data")
@@ -1007,6 +1022,14 @@ class S3DataStore(DataStore):
         self._s3().put_object(
             Bucket=self.bucket, Key=self._key(rel), Body=data
         )
+
+    def put_file(self, rel: str, local_path: str) -> None:
+        # multipart streaming upload: a multi-GB shard never sits whole
+        # in executor memory
+        self._s3().upload_file(local_path, self.bucket, self._key(rel))
+        local = os.path.join(self._cache, rel)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        os.replace(local_path, local)  # seed the read cache, like publish_dir
 
     def list_data_files(self) -> list[str]:
         strip = len(self.prefix) + 1 if self.prefix else 0
@@ -2061,9 +2084,20 @@ class SnapshotTable:
 
         return _sink
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
         """Replace the table contents. Non-commuting: a lost race raises
         rather than silently dropping the other writer's commit.
+
+        ``txn_app``/``txn_version`` make the overwrite IDEMPOTENT, same
+        contract as :meth:`append` — the replace and the watermark land
+        in ONE commit, which is what lets a change-feed consumer
+        bootstrap from a full snapshot atomically (ChangeFeedLoader's
+        vacuum resync).
 
         Column mapping across an overwrite: surviving columns keep their
         physical names (log history stays coherent); columns the
@@ -2072,7 +2106,11 @@ class SnapshotTable:
         into a later same-named column); columns the overwrite ADDS mint
         a fresh physical when their name is occupied by any old file's
         physical (e.g. re-introducing a name a rename freed)."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be passed together")
         state = self._state()
+        if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
+            return state["version"]  # replayed overwrite: already committed
         df = self._apply_generated(df, state)
         self._enforce(df, state["constraints"], state["schema"])
         old_mapping = state["column_mapping"] or {}
@@ -2114,6 +2152,11 @@ class SnapshotTable:
                 "retired_phys": retired,
                 "add": adds,
                 "remove": sorted(state["files"]),
+                **(
+                    {"txn_app": txn_app, "txn_version": txn_version}
+                    if txn_app
+                    else {}
+                ),
             },
         )
         return state["version"] + 1

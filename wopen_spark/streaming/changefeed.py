@@ -21,8 +21,9 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from wopen_spark.snapshot_table import SnapshotTable
+from wopen_spark.snapshot_table import SnapshotTable, VacuumedVersionError
 
 
 class ChangeFeedLoader:
@@ -31,8 +32,11 @@ class ChangeFeedLoader:
     ``fold(changes)``: maps a change-feed DataFrame (source schema plus
     ``_change_type``/``_commit_version``) to the rows to append. It must
     be a pure function of the batch — reruns after a crash see the same
-    batch and must produce equivalent rows.
-    """
+    batch and must produce equivalent rows. For vacuum recovery
+    (:meth:`resync`) it must additionally satisfy the snapshot identity:
+    folding the CURRENT live rows as one all-inserts batch yields the
+    full target state (true for any insert/delete-signed delta fold —
+    the canonical incremental-MV shape)."""
 
     def __init__(
         self,
@@ -55,17 +59,50 @@ class ChangeFeedLoader:
             return 0
         return max(0, state["txns"].get(self.app, 0))
 
+    def resync(self) -> tuple[int, int]:
+        """Vacuum-recovery bootstrap: when the resume point's change
+        files are gone, rebuild the target from a FULL snapshot read at
+        the source's current head — every live row presented to ``fold``
+        as one all-inserts batch — and jump the watermark to the head in
+        the SAME atomic commit (``overwrite`` carries the txn ledger
+        entry). Cost O(source live rows), the unavoidable price of
+        falling behind retention; after it the loader is incremental
+        again. Replay-safe like every other commit here: a crashed
+        resync reruns, a replayed one is rejected by the high-water
+        mark."""
+        end = self.source.latest_version()
+        if end is None:
+            raise FileNotFoundError(
+                f"cannot resync from a non-existent source {self.source.path}"
+            )
+        snap = (
+            self.source.read(version=end)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(end).cast("int"))
+        )
+        out = self.fold(snap)
+        if self.target.latest_version() is None:
+            self.target.create(out.limit(0))
+        self.target.overwrite(out, txn_app=self.app, txn_version=end)
+        return (0, end)
+
     def run_once(self) -> tuple[int, int] | None:
         """One micro-batch: fold ``(committed, head]`` and commit it with
         ``txn_version = head``. Returns the folded range, or None when
         caught up (including on a not-yet-created source). Empty change
         ranges (head advanced by maintenance-only commits) still commit
-        the watermark so later runs skip the dataChange=false scan."""
+        the watermark so later runs skip the dataChange=false scan. A
+        resume point stranded behind a vacuum (the typed
+        VacuumedVersionError) triggers :meth:`resync` instead of leaving
+        the consumer permanently stuck."""
         start = self.committed()
         end = self.source.latest_version()
         if end is None or end <= start:
             return None
-        batch = self.source.read_changes(start, end)
+        try:
+            batch = self.source.read_changes(start, end)
+        except VacuumedVersionError:
+            return self.resync()
         out = self.fold(batch)
         if self.target.latest_version() is None:
             # first batch: an empty create establishes the target schema;
