@@ -203,3 +203,61 @@ def test_upsert_loader_latest_state_exactly_once(spark, tmp_path, topic):
     # replayed batch and the caught-up rerun added none
     ops = [h["operation"] for h in table.history()]
     assert ops.count("merge") == 3
+
+
+def test_produce_df_matches_produce_layout_and_contents(spark, tmp_path):
+    """produce_df (executor-side, Arrow + pandas json writer) must be
+    indistinguishable from produce() to every consumer: same one-segment-
+    per-partition-per-call naming, same stamped offsets, same records —
+    including doubles surviving the round trip — and heads advance so a
+    second call appends a second segment."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("v"),
+        (F.col("id") * 0.125 + 0.333).alias("x"),  # not exactly representable
+        (F.col("id") % 2).cast("int").alias("_p"),
+    )
+    t_df = FileTopic(str(tmp_path / "a"), partitions=2)
+    t_df.produce_df(df.filter(F.col("k") < 30), "_p")
+    t_df.produce_df(df.filter(F.col("k") >= 30), "_p")
+
+    t_cl = FileTopic(str(tmp_path / "b"), partitions=2)
+    rows = sorted(
+        (r.asDict() for r in df.collect()), key=lambda d: d["k"]
+    )
+    for lo, hi in ((0, 30), (30, 40)):
+        for p in (0, 1):
+            t_cl.produce(
+                p,
+                [
+                    {k: v for k, v in d.items() if k != "_p"}
+                    for d in rows
+                    if d["_p"] == p and lo <= d["k"] < hi
+                ],
+            )
+
+    for p in (0, 1):
+        assert t_df.head(p) == t_cl.head(p)
+        names = lambda t: sorted(
+            n for n in os.listdir(os.path.join(t.path, f"p{p}"))
+            if n.endswith(".jsonl")
+        )
+        assert names(t_df) == names(t_cl), p  # same segment naming
+        a = t_df.read(spark, p, 0, t_df.head(p), schema)
+        b = t_cl.read(spark, p, 0, t_cl.head(p), schema)
+        ra = sorted((r.k, r.v, r.x) for r in a.collect())
+        rb = sorted((r.k, r.v, r.x) for r in b.collect())
+        assert ra == rb, p  # identical records incl. exact doubles
+        offs = sorted(r["_offset"] for r in a.collect())
+        assert offs == list(range(len(offs)))  # contiguous stamped offsets

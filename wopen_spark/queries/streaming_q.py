@@ -237,14 +237,17 @@ def topic_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     below would double-count and the oracle hash would catch it — the
     exactly-once contract is what this query value-checks.
 
-    The producer side (collect + produce) stands in for the external
-    system that writes the topic in production; the ENGINE side — offset
-    algebra, segment-name pruning, distributed json scan, transactional
-    commit — is the code under test. Mirrors the reference's per-date
-    ledger gate (get_similarity.py:89-103) at streaming cadence.
+    The producer side (``produce_df``) stands in for the external system
+    that writes the topic in production — records flow to segments from
+    EXECUTOR tasks (no driver collect; r8 hygiene finding #1); the
+    ENGINE side — offset algebra, segment-name pruning, distributed json
+    scan, transactional commit — is the code under test. Mirrors the
+    reference's per-date ledger gate (get_similarity.py:89-103) at
+    streaming cadence.
     """
     import tempfile
 
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     from wopen_spark.queries.registry import _t
@@ -263,28 +266,41 @@ def topic_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") % 200 == 0)
         .select("event_id", "user_id", "event_type", "value")
+        # partition by user (Kafka key-hash analogue)
+        .withColumn("_p", (F.col("user_id") % 2).cast("int"))
     )
-    rows = [r.asDict() for r in ev.collect()]
     root = tempfile.mkdtemp(prefix="wopen_topic_")
     topic = FileTopic(f"{root}/events_topic", partitions=2)
-    # partition by user (Kafka key-hash analogue); three produce calls =
-    # three segments, split so partition 0 gains a SECOND segment later
-    p0 = [r for r in rows if r["user_id"] % 2 == 0]
-    p1 = [r for r in rows if r["user_id"] % 2 == 1]
-    cut = len(p0) // 2
-    topic.produce(0, p0[:cut])
-    topic.produce(1, p1)
+    # three segments: p0 split in half (by event_id halves — deterministic
+    # where the old collect-order cut was not), p1 whole; partition 0
+    # gains its SECOND segment later. ONE window pass, persisted across
+    # the two produce rounds; zero record bytes on the driver.
+    tiled = ev.withColumn(
+        "_half",
+        F.ntile(2).over(Window.partitionBy("_p").orderBy("event_id")),
+    ).persist()
+    topic.produce_df(
+        tiled.filter((F.col("_p") == 1) | (F.col("_half") == 1)).drop("_half"),
+        "_p",
+    )
 
     table = SnapshotTable(spark, f"{root}/ingested")
     table.create(spark.createDataFrame([], schema))
     loader = TopicLoader(topic, table, group="ingest", schema=schema)
     loader.run_once(spark)  # round 1: p0 partial + p1 full
-    topic.produce(0, p0[cut:])  # late second segment
+    # late second segment for partition 0
+    topic.produce_df(
+        tiled.filter((F.col("_p") == 0) & (F.col("_half") == 2)).drop("_half"),
+        "_p",
+    )
+    tiled.unpersist()
     loader.run_once(spark)  # round 2: only the new p0 range loads
     loader.run_once(spark)  # no new data: must be a no-op
     # crash-replay: re-deliver round 1's already-committed p1 batch
     # straight through the sink with its original txn version
-    replay = topic.read(spark, 1, 0, topic.head(1), schema).select(*ev.columns)
+    replay = topic.read(spark, 1, 0, topic.head(1), schema).select(
+        *[f.name for f in schema.fields]
+    )
     table.append(replay, txn_app="ingest/p1", txn_version=topic.head(1))
 
     return (
@@ -332,6 +348,7 @@ def streaming_upsert_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: per-batch cost O(changed rows), zero file rewrites."""
     import tempfile
 
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     from wopen_spark.queries.registry import _t
@@ -346,21 +363,29 @@ def streaming_upsert_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
+    # partition by user = key-sticky, as Kafka would; segments split at
+    # event_id-rank cuts so they replay the stream's real arrival order.
+    # Producer runs EXECUTOR-side (produce_df — no driver collect, r8
+    # hygiene finding #1); only the 2-row count probe touches the driver.
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") % 100 == 0)
         .select("event_id", "user_id", "event_type", "value")
+        .withColumn("_p", (F.col("user_id") % 2).cast("int"))
     )
-    # ascending event_id order so segments replay the stream's real
-    # arrival order; partition by user = key-sticky, as Kafka would
-    rows = [r.asDict() for r in ev.orderBy("event_id").collect()]
+    # thirds by event_id order: p0 ships its first third up front, p1 its
+    # first two thirds — ONE window pass, persisted across the two
+    # produce rounds
+    tiled = ev.withColumn(
+        "_tile",
+        F.ntile(3).over(Window.partitionBy("_p").orderBy("event_id")),
+    ).persist()
+    early = F.when(F.col("_p") == 0, F.col("_tile") == 1).otherwise(
+        F.col("_tile") <= 2
+    )
     root = tempfile.mkdtemp(prefix="wopen_upsert_topic_")
     topic = FileTopic(f"{root}/user_state", partitions=2)
-    p0 = [r for r in rows if r["user_id"] % 2 == 0]
-    p1 = [r for r in rows if r["user_id"] % 2 == 1]
-    cut0, cut1 = len(p0) // 3, 2 * len(p1) // 3
-    topic.produce(0, p0[:cut0])
-    topic.produce(1, p1[:cut1])
+    topic.produce_df(tiled.filter(early).drop("_tile"), "_p")
 
     table = SnapshotTable(spark, f"{root}/user_latest")
     table.create(spark.createDataFrame([], schema), cluster_by=["user_id"])
@@ -370,8 +395,9 @@ def streaming_upsert_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r1 = loader.run_once(spark)  # round 1: both partitions partial
     assert set(r1) == {0, 1}, r1
-    topic.produce(0, p0[cut0:])  # late tails
-    topic.produce(1, p1[cut1:])
+    # late tails for both partitions
+    topic.produce_df(tiled.filter(~early).drop("_tile"), "_p")
+    tiled.unpersist()
     r2 = loader.run_once(spark)
     assert set(r2) == {0, 1}, r2
     assert loader.run_once(spark) == {}, "caught-up loader must be a no-op"
@@ -443,16 +469,22 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType()),
         ]
     )
+    # producer stand-in runs executor-side (produce_df, no driver
+    # collect — r8 hygiene finding #1)
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") % 250 == 0)
         .select("event_id", "event_type", "value")
+        .withColumn(
+            "_p",
+            F.when(F.col("event_id") % 500 == 0, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int"),
+        )
     )
-    rows = [r.asDict() for r in ev.collect()]
     root = tempfile.mkdtemp(prefix="wopen_stream_sink_")
     topic = FileTopic(f"{root}/feed", partitions=2)
-    topic.produce(0, [r for r in rows if r["event_id"] % 500 == 0])
-    topic.produce(1, [r for r in rows if r["event_id"] % 500 != 0])
+    topic.produce_df(ev, "_p")
 
     sink_path = f"{root}/landed"
 

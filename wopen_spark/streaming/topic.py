@@ -115,6 +115,73 @@ class FileTopic:
         os.rename(tmp, os.path.join(self._pdir(partition), name))
         return start, start + len(records)
 
+    def produce_df(self, df: DataFrame, partition_col: str) -> None:
+        """Executor-side produce — the external-producer stand-in without
+        a driver collect: rows are routed to their topic partition by
+        ``partition_col`` (values in [0, partitions)), a repartition on
+        that column keeps each partition's rows in ONE task (Kafka's
+        one-leader-per-partition), and each task writes its partitions'
+        single jsonl segment with offsets stamped from the current head.
+        Rows cross into Python as ARROW batches (mapInPandas) and the
+        segment bytes come out of pandas' C json writer — never a
+        per-row Python loop. Driver work is O(partitions) head probes;
+        record bytes never visit the driver. One call = at most one
+        segment per partition, like one :meth:`produce` call per
+        partition.
+
+        Requires the topic root to be reachable from executors (local
+        mode / shared filesystem — exactly the fixture scope this
+        stand-in exists for). A task buffers its partitions' sample in
+        one pandas frame — fixture-sized by construction."""
+        heads = {p: self.head(p) for p in range(self.partitions)}
+        path, nparts = self.path, self.partitions
+
+        def _write(batches):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as pd
+
+            bufs: dict[int, list] = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                for p, g in pdf.groupby(partition_col, sort=False):
+                    bufs.setdefault(int(p), []).append(
+                        g.drop(columns=[partition_col])
+                    )
+            out_p, out_n = [], []
+            for p, frames in bufs.items():
+                if not 0 <= p < nparts:
+                    raise ValueError(f"partition {p} out of range")
+                cat = pd.concat(frames, ignore_index=True)
+                start = heads[p]
+                cat["_partition"] = p
+                cat["_offset"] = range(start, start + len(cat))
+                pdir = _os.path.join(path, f"p{p}")
+                tmp = _os.path.join(pdir, f".tmp-{_uuid.uuid4().hex}")
+                # double_precision=15: pandas' max — doubles round-trip
+                # to within 1 ulp, and the jsonl stand-in carries
+                # fixture values, not ledger-grade decimals
+                cat.to_json(
+                    tmp, orient="records", lines=True, double_precision=15
+                )
+                with open(tmp, "rb+") as f:
+                    _os.fsync(f.fileno())
+                _os.rename(
+                    tmp,
+                    _os.path.join(pdir, f"{start:012d}-{len(cat):06d}.jsonl"),
+                )
+                out_p.append(p)
+                out_n.append(len(cat))
+            yield pd.DataFrame({"p": out_p, "n": out_n})
+
+        (
+            df.repartition(self.partitions, F.col(partition_col))
+            .mapInPandas(_write, "p int, n long")
+            .collect()  # O(partitions) rows — the job trigger, not data
+        )
+
     def read(
         self,
         spark: SparkSession,
