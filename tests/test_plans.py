@@ -1158,6 +1158,16 @@ def test_ivfpq_index_search_broadcasts_probes(spark):
     assert "CartesianProduct" not in strategies
 
 
+def test_sq8_index_search_broadcasts_stats_and_queries(spark):
+    """Persisted SQ8 search: the corpus codes scan joins only BROADCAST
+    one-row frames (stats + query) — map-side reconstruct+score, no
+    shuffle touching the corpus, nothing cartesian."""
+    df = _q(spark, "sq8_index_search_top10")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_zipf_and_diversity_no_cartesian(spark):
     for name in ("zipf_slope_by_source", "distinct_bigram_ratio_by_source",
                  "near_dup_keep_best_quality"):

@@ -1,4 +1,4 @@
-"""Persistent IVF-PQ vector index stored as SnapshotTables.
+"""Persistent IVF-PQ and SQ8 vector indexes stored as SnapshotTables.
 
 An ANN index at 100 TB is BUILT ONCE and searched many times — the
 training pass (coarse k-means + PQ codebooks) and the corpus encode are
@@ -186,3 +186,184 @@ class IvfPqIndex:
             .orderBy("query_id", "rank")
         )
         return out, report
+
+
+def _sq8_l2s(a, b):
+    """Squared-L2 as an EXACT scaled long (per-dim term rounded at 1e-9,
+    summed as longs) — order-independent, so the ranking is bit-equal
+    across engines and partitionings (the house sum_scaled trick)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.round((x - y) * (x - y) * 1e9).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+class Sq8Index:
+    """Persisted scalar-quantized (SQ8, FAISS SQfp8-style) index: the 4x
+    memory-cut rung as a stored, time-travelable artifact. Two tables
+    under ``root``:
+
+    - ``stats`` — ONE row (vmins, vmaxs: array<double>), the trained
+      per-dimension quantizer;
+    - ``codes`` — (vec_id, codes: array<int> in [0, 255]), clustered by
+      ``vec_id`` so a point fetch (serve a stored vector back, re-encode
+      checks) opens only the files whose id range matches — the same
+      footer-stats pruning the IVF-PQ index gets per list.
+
+    SQ8 is a FLAT index: search reconstructs and scores every code (that
+    full scan IS the design — the win is 4x less data read, not fewer
+    rows), so pruning here serves the point-read path, while
+    :class:`IvfPqIndex` covers the probed-list shape. Encode and search
+    are map-side passes against the broadcast one-row stats frame; the
+    quantizer is frozen after build (``incremental_encode`` appends new
+    codes against it — retrain is a deliberate rebuild, the FAISS
+    contract). Time travel on ``codes`` searches any older index state.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.stats = SnapshotTable(spark, f"{root}/stats")
+        self.codes = SnapshotTable(spark, f"{root}/codes")
+
+    # ------------------------------------------------------------ encode
+    @staticmethod
+    def _encode_expr(vec):
+        """codes[i] = round((v[i] - vmin[i]) / scale[i]); constant dims
+        (vmax == vmin) encode 0 and reconstruct vmin exactly."""
+        def elem(x, i):
+            vmin = F.element_at("vmins", i + 1)
+            vmax = F.element_at("vmaxs", i + 1)
+            scale = (vmax - vmin) / 255
+            return F.when(vmax == vmin, F.lit(0)).otherwise(
+                F.round((x.cast("double") - vmin) / scale).cast("int")
+            )
+
+        return F.transform(vec, elem)
+
+    @staticmethod
+    def _recon_expr(codes):
+        def elem(c, i):
+            vmin = F.element_at("vmins", i + 1)
+            vmax = F.element_at("vmaxs", i + 1)
+            scale = (vmax - vmin) / 255
+            return F.when(vmax == vmin, vmin).otherwise(
+                vmin + c.cast("double") * scale
+            )
+
+        return F.transform(codes, elem)
+
+    def _with_stats(self, df: DataFrame, version: int | None = None) -> DataFrame:
+        return df.crossJoin(F.broadcast(self.stats.read(version=version)))
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        root: str,
+        vectors: DataFrame,
+        vec_col: str = "v",
+        id_col: str = "vec_id",
+        n_files: int = 8,
+    ) -> "Sq8Index":
+        """Train per-dim (min, max) over the corpus — one partial-agg
+        pass over posexploded dims — and persist stats + codes. The
+        codes land across ``n_files`` id-clustered files so point reads
+        have something to skip."""
+        idx = cls(spark, root)
+        flat = vectors.select(
+            F.posexplode(vec_col).alias("dim", "vf")
+        )
+        stats = (
+            flat.groupBy("dim")
+            .agg(
+                F.min(F.col("vf").cast("double")).alias("vmin"),
+                F.max(F.col("vf").cast("double")).alias("vmax"),
+            )
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "vmin", "vmax"))
+                ).alias("st")
+            )
+            .select(
+                F.transform("st", lambda s: s.vmin).alias("vmins"),
+                F.transform("st", lambda s: s.vmax).alias("vmaxs"),
+            )
+        )
+        idx.stats.create(stats.coalesce(1))
+        coded = idx._with_stats(
+            vectors.repartition(n_files, F.col(id_col))
+        ).select(
+            F.col(id_col).alias("vec_id"),
+            cls._encode_expr(F.col(vec_col)).alias("codes"),
+        )
+        idx.codes.create(coded, cluster_by=["vec_id"])
+        return idx
+
+    def incremental_encode(self, new_vectors: DataFrame,
+                           vec_col: str = "v", id_col: str = "vec_id") -> int:
+        """Append codes for new vectors against the FROZEN quantizer —
+        O(new rows) maintenance, same contract as IvfPqIndex."""
+        coded = self._with_stats(new_vectors).select(
+            F.col(id_col).alias("vec_id"),
+            self._encode_expr(F.col(vec_col)).alias("codes"),
+        )
+        return self.codes.append(coded)
+
+    # ------------------------------------------------------------- serve
+    def fetch_codes(self, vec_ids: list, version: int | None = None):
+        """Point read: codes for specific ids, files pruned by the
+        id-cluster footer stats (returned report says how many were
+        skipped)."""
+        df, report = self.codes.read_where(
+            {"vec_id": (min(vec_ids), max(vec_ids))}, version=version
+        )
+        return df.filter(F.col("vec_id").isin(list(vec_ids))), report
+
+    def search(
+        self,
+        queries: DataFrame,
+        topk: int = 10,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Exact top-k of each query (query_id, v) against the
+        reconstructed corpus as of ``version``: one map-side
+        reconstruct+score pass (broadcast stats row + broadcast query
+        frame), top-k via TakeOrderedAndProject per query — never a
+        global sort, no shuffle touching the corpus."""
+        scored = (
+            self._with_stats(self.codes.read(version=version))
+            .join(
+                F.broadcast(
+                    queries.select(
+                        "query_id",
+                        F.transform(
+                            "v", lambda x: x.cast("double")
+                        ).alias("qv"),
+                    )
+                )
+            )
+            .select(
+                "query_id",
+                "vec_id",
+                _sq8_l2s(self._recon_expr(F.col("codes")), F.col("qv")).alias(
+                    "d_s"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("d_s", "vec_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select(
+                "query_id",
+                "vec_id",
+                (F.col("d_s").cast("double") / 1e9).alias("adc"),
+                "rank",
+            )
+            .orderBy("query_id", "rank")
+        )

@@ -1804,6 +1804,55 @@ def ivfpq_index_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _sq8_shared_oracle() -> str:
+    from wopen_spark.queries.registry import ORACLES
+
+    return ORACLES["sq8_adc_top10"]
+
+
+@query("sq8_index_search_top10", oracle=_sq8_shared_oracle())
+def sq8_index_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sq8_adc_top10 THROUGH a persisted index (r8 verdict #6): the
+    per-dim quantizer stats and the int8 codes are written to
+    SnapshotTables (codes id-clustered across 8 files), then the search
+    runs entirely from storage — reconstruct+score against the broadcast
+    stats row, exact scaled-long ranking. Shares the in-session query's
+    oracle: parquet ints/doubles round-trip exactly, so the persisted
+    search is bit-identical. Asserted along the way: the id-clustered
+    point read skips files (the flat index's pruning surface), and an
+    incremental encode of NEW vectors after the search snapshot does not
+    leak into a time-traveled search at the build version — the
+    'search yesterday's index' contract made load-bearing (the appended
+    twin of vec 0 would otherwise crack the top-10)."""
+    import tempfile
+
+    from wopen_spark.operators.ann_index import Sq8Index
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    root = tempfile.mkdtemp(prefix="wopen_sq8_idx_") + "/index"
+    idx = Sq8Index.build(spark, root, e, vec_col="v", id_col="vec_id")
+    build_version = idx.codes.latest_version()
+
+    # point-read pruning on the id-clustered codes
+    _, rep = idx.fetch_codes([0])
+    assert rep["files_skipped_by_stats"] >= 1, rep
+
+    # frozen-quantizer maintenance: a near-exact twin of vec 0 appended
+    # AFTER the build; searching the BUILD version must not see it
+    twin = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"), F.col("v")
+    )
+    idx.incremental_encode(twin)
+
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), "v"
+    )
+    out = idx.search(q, topk=10, version=build_version)
+    return out.select("vec_id", "adc", "rank").orderBy("rank")
+
+
 # LSH-DBSCAN: density-based clustering where the eps-neighborhood lists
 # come from the SAME banded hyperplane candidate generation the near-dup
 # family uses (neighborhoods are never all-pairs — the property that
