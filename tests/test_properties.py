@@ -429,3 +429,53 @@ def test_merge_parser_roundtrip(matched, not_matched, by_source, keys):
     assert p["not_matched"] == [norm(c) for c in not_matched]
     assert p["not_matched_by_source"] == [norm(c) for c in by_source]
     assert not p["leftover"]
+
+
+_UPD_EXPRS = [
+    "val + 1",
+    "upper(name)",
+    "coalesce(x, 0)",
+    "CASE WHEN val > 0 THEN val ELSE 0 END",
+    "'lit,with,commas'",
+    "concat(name, ', ', 'suffix')",
+]
+_UPD_WHERES = [
+    None,
+    "id % 7 = 3",
+    "name = 'a,b'",
+    "x IN (1, 2, 3)",
+    "CASE WHEN id > 5 THEN true ELSE false END",
+]
+
+
+@given(
+    sets=st.dictionaries(
+        st.sampled_from(_COLS), st.sampled_from(_UPD_EXPRS),
+        min_size=1, max_size=3,
+    ),
+    where=st.sampled_from(_UPD_WHERES),
+    alias=st.sampled_from([None, "g", "tbl"]),
+    qualify=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_update_delete_parser_roundtrip(sets, where, alias, qualify):
+    """UPDATE/DELETE statements rendered from any clause structure parse
+    back to exactly themselves — same property the MERGE parser carries,
+    covering CASE WHEN in SET/WHERE, literal commas, and alias
+    stripping (qualified references come back bare)."""
+    from wopen_spark.sql_dml import parse_delete, parse_update
+
+    a = alias or "target"
+    pre = f"{a}." if qualify and alias else ""
+    set_text = ", ".join(f"{pre}{c} = {e}" for c, e in sets.items())
+    where_text = f" WHERE {where}" if where else ""
+    alias_text = f" {alias}" if alias else ""
+
+    u = parse_update(f"UPDATE target{alias_text} SET {set_text}{where_text}")
+    assert u["target"] == "target"
+    assert u["set"] == sets
+    assert u["where"] == where
+
+    d = parse_delete(f"DELETE FROM target{alias_text}{where_text}")
+    assert d["target"] == "target"
+    assert d["where"] == where
