@@ -147,10 +147,12 @@ def test_cdf_stream_matches_batch_changes_and_resumes(ds_spark, tmp_path):
 def test_option_validation(ds_spark, tmp_path):
     t = SnapshotTable(ds_spark, str(tmp_path / "t"))
     t.create(ds_spark.createDataFrame([(1,)], "id long").coalesce(1))
-    with pytest.raises(Exception, match="readChangeFeed"):
+    # version and timestampAsOf are mutually exclusive
+    with pytest.raises(Exception, match="not both"):
         (
             ds_spark.read.format("wopen_snapshot")
-            .option("readChangeFeed", "true")
+            .option("version", 1)
+            .option("timestampAsOf", "2030-01-01")
             .load(t.path)
             .collect()
         )
@@ -376,3 +378,73 @@ def test_vacuum_sweeps_orphaned_sidecar(ds_spark, tmp_path):
     t.vacuum(retain_last=1, orphan_grace_s=3600)
     assert not os.path.exists(orphan)
     assert t.read().count() == 10
+
+
+def test_batch_cdf_read_matches_read_changes(ds_spark, tmp_path):
+    """Batch readChangeFeed (r9): the standard reader serves the same
+    change rows as SnapshotTable.read_changes over any (after, ending]
+    window — inserts, cow deletes, dv deletes, with maintenance commits
+    silent — via the same task builder the streaming source uses."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(ds_spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                                      "id long, v string").repartition(2))
+    t.append(ds_spark.createDataFrame([(100, "new")], "id long, v string"))
+    t.delete_where("id = 3", mode="dv")
+    t.compact()  # maintenance: must emit nothing
+    t.delete_where("id = 100")  # cow
+
+    def via_ds(**opts):
+        r = ds_spark.read.format("wopen_snapshot").option(
+            "readChangeFeed", "true"
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(
+            (x.id, x.v, x["_change_type"], x["_commit_version"])
+            for x in r.load(t.path).collect()
+        )
+
+    def via_class(lo, hi=None):
+        return sorted(
+            (x.id, x.v, x["_change_type"], x["_commit_version"])
+            for x in t.read_changes(lo, hi).collect()
+        )
+
+    assert via_ds(afterVersion=0) == via_class(0)
+    assert via_ds(afterVersion=2) == via_class(2)
+    assert via_ds(afterVersion=1, endingVersion=3) == via_class(1, 3)
+    # exclusive-bound alias agrees
+    assert via_ds(startingVersion=2) == via_ds(afterVersion=2)
+    # empty window
+    head = t.latest_version()
+    assert via_ds(afterVersion=head) == []
+
+
+def test_timestamp_as_of_reads_historical_version(ds_spark, tmp_path):
+    """timestampAsOf resolves to the newest commit at-or-before the
+    timestamp (unix float or ISO string), mirroring
+    SnapshotTable.read(asof_ts)."""
+    import time as _time
+
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(ds_spark.createDataFrame([(1,)], "id long").coalesce(1))
+    _time.sleep(1.1)
+    cut = _time.time()
+    _time.sleep(1.1)
+    t.append(ds_spark.createDataFrame([(2,)], "id long").coalesce(1))
+
+    got = (
+        ds_spark.read.format("wopen_snapshot")
+        .option("timestampAsOf", str(cut))
+        .load(t.path)
+    )
+    assert [r.id for r in got.collect()] == [1]
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(cut, tz=timezone.utc).isoformat()
+    got2 = (
+        ds_spark.read.format("wopen_snapshot")
+        .option("timestampAsOf", iso)
+        .load(t.path)
+    )
+    assert [r.id for r in got2.collect()] == [1]

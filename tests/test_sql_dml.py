@@ -271,3 +271,49 @@ def test_update_delete_parser_rejects(bad, frag):
 
     with pytest.raises(ValueError, match=frag):
         (parse_update if bad.startswith("UPDATE") else parse_delete)(bad)
+
+
+def test_sql_insert_into_values_and_select(spark, tmp_path):
+    from wopen_spark.sql_dml import execute_insert, parse_insert
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "id int, name string, val double"
+        ),
+        cluster_by=["id"],
+    )
+    # full-arity VALUES (multi-row, literal commas in strings)
+    execute_insert(
+        spark,
+        "INSERT INTO tgt VALUES (2, 'b,with comma', 20.0), (3, 'c', 30.0)",
+        tables={"tgt": t},
+    )
+    # explicit-column VALUES: unlisted column lands NULL
+    execute_insert(
+        spark, "INSERT INTO tgt (id, name) VALUES (4, 'd')", tables={"tgt": t}
+    )
+    # SELECT form
+    spark.createDataFrame([(5, "e", 50.0)], "id int, name string, val double")\
+        .createOrReplaceTempView("ins_view")
+    execute_insert(
+        spark, "INSERT INTO tgt SELECT id, name, val FROM ins_view",
+        tables={"tgt": t},
+    )
+    rows = sorted((r.id, r.name, r.val) for r in t.read().collect())
+    assert rows == [
+        (1, "a", 10.0), (2, "b,with comma", 20.0), (3, "c", 30.0),
+        (4, "d", None), (5, "e", 50.0),
+    ]
+
+    with pytest.raises(ValueError, match="arity mismatch"):
+        execute_insert(
+            spark, "INSERT INTO tgt VALUES (9, 'x')", tables={"tgt": t}
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_insert(
+            spark, "INSERT INTO tgt (nope) VALUES (1)", tables={"tgt": t}
+        )
+    # column list vs parenthesized SELECT disambiguation
+    p = parse_insert("INSERT INTO tgt (SELECT 1, 'x', 2.0)")
+    assert p["cols"] is None and p["select_sql"].startswith("(SELECT")

@@ -7,9 +7,15 @@ standard reader surfaces instead of requiring the SnapshotTable class:
 
     spark.read.format("wopen_snapshot").load(path)              # snapshot
     spark.read.format("wopen_snapshot").option("version", 3).load(path)
+    spark.read.format("wopen_snapshot").option(                 # time travel
+        "timestampAsOf", "2026-01-01T00:00:00").load(path)
+    (spark.read.format("wopen_snapshot")                        # batch CDF
+         .option("readChangeFeed", "true")
+         .option("afterVersion", 2)
+         .option("endingVersion", 7).load(path))
     (spark.readStream.format("wopen_snapshot")                  # CDF stream
          .option("readChangeFeed", "true")
-         .option("startingVersion", 0).load(path))
+         .option("afterVersion", 0).load(path))
 
 Batch reads plan one Spark task per live data file and apply deletion
 vectors merge-on-read; Catalyst filter pushdown prunes files by footer
@@ -170,6 +176,31 @@ def _resolve_table(path: str, options) -> SnapshotTable:
     )
 
 
+def _resolve_version(table: SnapshotTable, options) -> int | None:
+    """Time travel from options: ``version`` (int) or ``timestampAsOf``
+    (unix seconds, or an ISO-8601 datetime — naive strings are UTC),
+    mutually exclusive; None = latest."""
+    has_v = "version" in options
+    has_ts = "timestampasof" in options
+    if has_v and has_ts:
+        raise ValueError("pass either version or timestampAsOf, not both")
+    if has_v:
+        return int(options["version"])
+    if not has_ts:
+        return None
+    raw = str(options["timestampasof"])
+    try:
+        ts = float(raw)
+    except ValueError:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(raw)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        ts = dt.timestamp()
+    return table._version_asof(ts)
+
+
 @dataclass(frozen=True)
 class _FileTask(InputPartition):
     """One task = one data file (+ the dv masks and change tagging it
@@ -266,7 +297,6 @@ class _SnapshotBatchReader(DataSourceReader):
     def __init__(self, path: str, options):
         self.path = path
         self.options = options
-        self.version = int(options["version"]) if "version" in options else None
         self._eq: dict[str, object] = {}  # col -> point value (bloom + stats)
         self._lo: dict[str, object] = {}  # col -> lower bound
         self._hi: dict[str, object] = {}  # col -> upper bound
@@ -339,7 +369,7 @@ class _SnapshotBatchReader(DataSourceReader):
 
     def partitions(self):
         table = _resolve_table(self.path, self.options)
-        state = table._state(self.version)
+        state = table._state(_resolve_version(table, self.options))
         store_json = json.dumps(_store_spec(self.path, self.options))
         schema_json = json.dumps(state["schema"])
         mapping_json = json.dumps(
@@ -389,31 +419,149 @@ class _SnapshotBatchReaderPushdown(_SnapshotBatchReader):
         return list(filters)
 
 
-class _SnapshotCdfStreamReader(DataSourceStreamReader):
-    """The change feed as a Structured Streaming source: offsets are
-    table versions, a micro-batch is the commits in (start, end] — one
-    task per changed file, read executor-side. Maintenance commits
-    (dataChange false) contribute nothing, matching batch CDF.
+def _exclusive_start(options) -> int:
+    """The shared CDF start-bound parse: EXCLUSIVE — changes AFTER it,
+    matching ``read_changes(from_version)`` everywhere (``0`` =
+    everything). The explicit spelling is ``afterVersion``;
+    ``startingVersion`` is an alias with the SAME exclusive meaning —
+    note this differs from Delta's identically-named option, which
+    includes commit N itself (ask for ``N-1`` here to see commit N)."""
+    if "afterversion" in options and "startingversion" in options:
+        raise ValueError(
+            "pass either afterVersion or startingVersion, not both "
+            "(they are the same exclusive bound)"
+        )
+    return int(options.get("afterversion", options.get("startingversion", "0")))
 
-    Version-bound semantics: the bound is EXCLUSIVE — the stream emits
-    changes AFTER it, matching this engine's ``read_changes(from_version)``
-    convention everywhere (``0`` = everything). The explicit spelling is
-    ``.option("afterVersion", N)``; ``startingVersion`` is accepted as an
-    alias with the SAME exclusive meaning — note this differs from
-    Delta's identically-named option, which includes commit N itself
-    (ask for ``N-1`` here to see commit N)."""
+
+def _cdf_tasks(table: SnapshotTable, store_json: str, lo: int, hi: int) -> list:
+    """One _FileTask per changed file for the commits in (lo, hi] —
+    shared by the streaming source and the batch CDF reader, so both
+    surfaces emit byte-identical change rows. Maintenance commits
+    (dataChange false) contribute nothing, matching SnapshotTable
+    batch CDF. Raises the typed VacuumedVersionError on the DRIVER for
+    a vacuumed range, never as a generic executor task retry."""
+    state = table._state(hi)
+    schema = T.StructType.fromJson(state["schema"])
+    for f in _CDF_FIELDS:
+        schema = schema.add(f)
+    schema_json = json.dumps(schema.jsonValue())
+    mapping_json = json.dumps(
+        {
+            f["name"]: table._phys(state["column_mapping"], f["name"])
+            for f in state["schema"]["fields"]
+        }
+        if state["column_mapping"]
+        else {}
+    )
+    out = []
+    for v in table._versions():
+        if not (lo < v <= hi):
+            continue
+        c = table._read_commit(v)
+        if not c.get("dataChange", True):
+            continue
+        prev_dvs = None
+        for m in c.get("add", []):
+            out.append(
+                _FileTask(
+                    file_rel=m["path"],
+                    dv_rel=(),
+                    semi_rel=(),
+                    store_json=store_json,
+                    schema_json=schema_json,
+                    mapping_json=mapping_json,
+                    change_type="insert",
+                    commit_version=v,
+                )
+            )
+        for rel in c.get("remove", []):
+            if prev_dvs is None:
+                prev_dvs = table._state(v - 1)["dvs"]
+            out.append(
+                _FileTask(
+                    file_rel=rel,
+                    dv_rel=tuple(prev_dvs.get(rel, [])),
+                    semi_rel=(),
+                    store_json=store_json,
+                    schema_json=schema_json,
+                    mapping_json=mapping_json,
+                    change_type="delete",
+                    commit_version=v,
+                )
+            )
+        for e in c.get("dv_add", []):
+            for rel in e["for"]:
+                out.append(
+                    _FileTask(
+                        file_rel=rel,
+                        dv_rel=(),
+                        semi_rel=tuple(e["paths"]),
+                        store_json=store_json,
+                        schema_json=schema_json,
+                        mapping_json=mapping_json,
+                        change_type="delete",
+                        commit_version=v,
+                    )
+                )
+    missing = [
+        p
+        for t in out
+        for p in (t.file_rel, *t.dv_rel, *t.semi_rel)
+        if not table._data.exists(p)
+    ]
+    if missing:
+        raise VacuumedVersionError(
+            f"change feed over ({lo}, {hi}] references "
+            f"{len(missing)} vacuumed file(s)"
+        )
+    return out
+
+
+class _SnapshotCdfBatchReader(DataSourceReader):
+    """BATCH change-feed read — ``spark.read.format("wopen_snapshot")
+    .option("readChangeFeed", "true")`` — the Delta batch-CDF surface
+    over the same task builder the streaming source uses. Bounds:
+    ``afterVersion``/``startingVersion`` (exclusive, see
+    ``_exclusive_start``) and ``endingVersion`` (inclusive, default the
+    table head)."""
 
     def __init__(self, path: str, options):
         self.path = path
         self.options = options
-        if "afterversion" in options and "startingversion" in options:
-            raise ValueError(
-                "pass either afterVersion or startingVersion, not both "
-                "(they are the same exclusive bound)"
-            )
-        self.starting = int(
-            options.get("afterversion", options.get("startingversion", "0"))
+        self.starting = _exclusive_start(options)
+        self.ending = (
+            int(options["endingversion"]) if "endingversion" in options else None
         )
+
+    def partitions(self):
+        table = _resolve_table(self.path, self.options)
+        head = table.latest_version()
+        hi = head if self.ending is None else self.ending
+        if hi is None or hi <= self.starting:
+            return []
+        return _cdf_tasks(
+            table, json.dumps(_store_spec(self.path, self.options)),
+            self.starting, hi,
+        )
+
+    def read(self, partition):
+        if partition is None:
+            return
+        yield from _task_rows(partition)
+
+
+class _SnapshotCdfStreamReader(DataSourceStreamReader):
+    """The change feed as a Structured Streaming source: offsets are
+    table versions, a micro-batch is the commits in (start, end] — one
+    task per changed file, read executor-side. Version-bound semantics
+    per ``_exclusive_start`` (exclusive; ``afterVersion`` is the
+    explicit spelling)."""
+
+    def __init__(self, path: str, options):
+        self.path = path
+        self.options = options
+        self.starting = _exclusive_start(options)
 
     def initialOffset(self):
         return {"version": self.starting}
@@ -427,84 +575,9 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return []
         table = _resolve_table(self.path, self.options)
-        store_json = json.dumps(_store_spec(self.path, self.options))
-        state = table._state(hi)
-        schema = T.StructType.fromJson(state["schema"])
-        for f in _CDF_FIELDS:
-            schema = schema.add(f)
-        schema_json = json.dumps(schema.jsonValue())
-        mapping_json = json.dumps(
-            {
-                f["name"]: table._phys(state["column_mapping"], f["name"])
-                for f in state["schema"]["fields"]
-            }
-            if state["column_mapping"]
-            else {}
+        return _cdf_tasks(
+            table, json.dumps(_store_spec(self.path, self.options)), lo, hi
         )
-        out = []
-        for v in table._versions():
-            if not (lo < v <= hi):
-                continue
-            c = table._read_commit(v)
-            if not c.get("dataChange", True):
-                continue
-            prev_dvs = None
-            for m in c.get("add", []):
-                out.append(
-                    _FileTask(
-                        file_rel=m["path"],
-                        dv_rel=(),
-                        semi_rel=(),
-                        store_json=store_json,
-                        schema_json=schema_json,
-                        mapping_json=mapping_json,
-                        change_type="insert",
-                        commit_version=v,
-                    )
-                )
-            for rel in c.get("remove", []):
-                if prev_dvs is None:
-                    prev_dvs = table._state(v - 1)["dvs"]
-                out.append(
-                    _FileTask(
-                        file_rel=rel,
-                        dv_rel=tuple(prev_dvs.get(rel, [])),
-                        semi_rel=(),
-                        store_json=store_json,
-                        schema_json=schema_json,
-                        mapping_json=mapping_json,
-                        change_type="delete",
-                        commit_version=v,
-                    )
-                )
-            for e in c.get("dv_add", []):
-                for rel in e["for"]:
-                    out.append(
-                        _FileTask(
-                            file_rel=rel,
-                            dv_rel=(),
-                            semi_rel=tuple(e["paths"]),
-                            store_json=store_json,
-                            schema_json=schema_json,
-                            mapping_json=mapping_json,
-                            change_type="delete",
-                            commit_version=v,
-                        )
-                    )
-        # same typed error batch CDF gives: a vacuumed range must fail
-        # loudly on the driver, not as a generic executor task retry
-        missing = [
-            p
-            for t in out
-            for p in (t.file_rel, *t.dv_rel, *t.semi_rel)
-            if not table._data.exists(p)
-        ]
-        if missing:
-            raise VacuumedVersionError(
-                f"change-feed stream over ({lo}, {hi}] references "
-                f"{len(missing)} vacuumed file(s)"
-            )
-        return out
 
     def read(self, partition):
         if partition is None:
@@ -806,10 +879,11 @@ def _writer_refusals(state: dict, schema) -> None:
 
 
 class SnapshotTableDataSource(DataSource):
-    """``format("wopen_snapshot")`` — batch snapshot reads (with
-    ``version`` time travel and file-skipping filter pushdown) and
-    streaming change-feed reads (``readChangeFeed`` + ``startingVersion``)
-    over a SnapshotTable."""
+    """``format("wopen_snapshot")`` — batch snapshot reads (``version`` /
+    ``timestampAsOf`` time travel, file-skipping filter pushdown), batch
+    AND streaming change-feed reads (``readChangeFeed`` +
+    ``afterVersion``/``endingVersion``), and batch/streaming writes over
+    a SnapshotTable."""
 
     @classmethod
     def name(cls):
@@ -826,10 +900,9 @@ class SnapshotTableDataSource(DataSource):
 
     def schema(self):
         table = _resolve_table(self._path(), self.options)
-        version = (
-            int(self.options["version"]) if "version" in self.options else None
+        schema = T.StructType.fromJson(
+            table._state(_resolve_version(table, self.options))["schema"]
         )
-        schema = T.StructType.fromJson(table._state(version)["schema"])
         if self._cdf():
             for f in _CDF_FIELDS:
                 schema = schema.add(f)
@@ -837,10 +910,7 @@ class SnapshotTableDataSource(DataSource):
 
     def reader(self, schema):
         if self._cdf():
-            raise ValueError(
-                "readChangeFeed is a streaming option; use spark.readStream "
-                "(batch change feeds: SnapshotTable.read_changes)"
-            )
+            return _SnapshotCdfBatchReader(self._path(), self.options)
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return _SnapshotBatchReaderPushdown(self._path(), self.options)
         return _SnapshotBatchReader(self._path(), self.options)

@@ -1273,3 +1273,131 @@ def sql_merge_explicit_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"tgt": t},
     )
     return t.read().orderBy("c_custkey")
+
+
+@query(
+    "sql_insert_into",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 4 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE)
+    FROM supplier WHERE s_suppkey % 4 <> 0 AND s_suppkey % 2 = 0
+    UNION ALL
+    SELECT s_suppkey, upper(s_name), CAST(NULL AS DOUBLE)
+    FROM supplier WHERE s_suppkey % 2 = 1
+    ORDER BY s_suppkey
+    """,
+)
+def sql_insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``INSERT INTO`` statement (r9 — completes the DML quartet
+    next to MERGE/UPDATE/DELETE): a SELECT-form full-arity insert, then
+    an explicit-column insert whose unlisted column lands NULL, both
+    dispatched to the transactional append with ANSI positional
+    store-assignment coercion. Read back against the three-way
+    relational union."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.sql_dml import execute_insert
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+    )
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="wopen_sql_insert_") + "/supplier"
+    )
+    t.create(
+        supp.filter(F.col("s_suppkey") % 4 == 0).repartition(2),
+        cluster_by=["s_suppkey"],
+    )
+    supp.createOrReplaceTempView("supplier_ins_src")
+    execute_insert(
+        spark,
+        """
+        INSERT INTO supp_tbl
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier_ins_src
+        WHERE s_suppkey % 4 <> 0 AND s_suppkey % 2 = 0
+        """,
+        tables={"supp_tbl": t},
+    )
+    execute_insert(
+        spark,
+        """
+        INSERT INTO supp_tbl (s_suppkey, s_name)
+        SELECT s_suppkey, upper(s_name) FROM supplier_ins_src
+        WHERE s_suppkey % 2 = 1
+        """,
+        tables={"supp_tbl": t},
+    )
+    return t.read().orderBy("s_suppkey")
+
+
+@query(
+    "snapshot_datasource_cdf_batch",
+    oracle="""
+    WITH live AS (
+      SELECT event_type FROM events
+      WHERE event_id % 200 = 0
+        AND NOT (event_id % 1000 = 200)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_live
+    FROM live GROUP BY event_type ORDER BY event_type
+    """,
+)
+def snapshot_datasource_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH change-feed reads through the standard reader (r9 — the
+    Delta batch-CDF surface): the same three-commit upstream as the
+    streaming variant, read as TWO bounded windows
+    (``afterVersion``/``endingVersion``) whose signed fold must
+    reconstruct the final live counts — proving window splitting loses
+    and duplicates nothing. Along the way: the second window alone must
+    contain ONLY deletes (the dv commit), and an empty window returns
+    zero rows."""
+    import tempfile
+
+    from wopen_spark.datasource import register_snapshot_datasource
+    from wopen_spark.queries.registry import _t
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    register_snapshot_datasource(spark)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 200 == 0)
+        .select("event_id", "event_type")
+    )
+    root = tempfile.mkdtemp(prefix="wopen_ds_cdf_batch_")
+    src = SnapshotTable(spark, root + "/events_src")
+    src.create(
+        ev.filter(F.col("event_id") % 400 == 0).repartition(2),
+        cluster_by=["event_id"],
+    )
+    src.append(ev.filter(F.col("event_id") % 400 != 0).repartition(2))
+    src.delete_where("event_id % 1000 = 200", mode="dv")
+
+    def window(lo: int, hi: int) -> DataFrame:
+        return (
+            spark.read.format("wopen_snapshot")
+            .option("readChangeFeed", "true")
+            .option("afterVersion", lo)
+            .option("endingVersion", hi)
+            .load(src.path)
+        )
+
+    w2 = window(2, 3)
+    assert w2.select("_change_type").distinct().collect() == [
+        ("delete",)
+    ], "the dv-commit window must be deletes only"
+    assert window(3, 3).count() == 0, "empty window must be empty"
+
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    folded = window(0, 2).unionByName(w2)
+    return (
+        folded.groupBy("event_type")
+        .agg(F.sum(sign).cast("long").alias("n_live"))
+        .filter(F.col("n_live") > 0)
+        .orderBy("event_type")
+    )

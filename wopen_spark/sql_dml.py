@@ -529,3 +529,92 @@ def execute_delete(
     p = parse_delete(sql)
     t = _resolve_target(p, tables, "delete")
     return t.delete_where(p["where"] or "true", mode=mode)
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)\s*", re.IGNORECASE
+)
+
+
+def parse_insert(sql: str) -> dict:
+    """Parse ``INSERT INTO <table> [(cols)] VALUES (...)[, ...]`` or
+    ``INSERT INTO <table> [(cols)] SELECT ...`` into {target, cols,
+    values_sql, select_sql} (exactly one of the last two set). The
+    VALUES rows / SELECT text pass through verbatim — Spark evaluates
+    them, the parser never does."""
+    text = sql.strip().rstrip(";").strip()
+    m = _INSERT_RE.match(text)
+    if not m:
+        raise ValueError(
+            "unparseable INSERT statement (expected INSERT INTO <table> "
+            "[(cols)] VALUES (...) | SELECT ...)"
+        )
+    target = m.group("target")
+    rest = text[m.end():].lstrip()
+    cols = None
+    if rest.startswith("("):
+        # could be a column list OR a parenthesized SELECT — peek inside
+        close = _balanced_group(rest, 0)
+        inner = rest[1:close - 1].strip()
+        if not re.match(r"^SELECT\b", inner, re.IGNORECASE):
+            cols = [c.strip() for c in _split_top_level(inner)]
+            for c in cols:
+                if not re.fullmatch(r"[A-Za-z_]\w*", c):
+                    raise ValueError(f"bad INSERT column {c!r}")
+            if len(set(cols)) != len(cols):
+                raise ValueError("INSERT column listed twice")
+            rest = rest[close:].lstrip()
+    if re.match(r"^VALUES\b", rest, re.IGNORECASE):
+        return {"target": target, "cols": cols, "values_sql": rest,
+                "select_sql": None}
+    if re.match(r"^SELECT\b", rest, re.IGNORECASE) or rest.startswith("("):
+        return {"target": target, "cols": cols, "values_sql": None,
+                "select_sql": rest}
+    raise ValueError(
+        f"INSERT needs VALUES (...) or SELECT ..., got {rest[:40]!r}"
+    )
+
+
+def execute_insert(spark: SparkSession, sql: str, tables: dict) -> dict:
+    """Run an INSERT INTO statement against a registered SnapshotTable —
+    dispatches to the transactional :meth:`SnapshotTable.append`.
+    Columns bind POSITIONALLY (the ANSI contract): without a column
+    list the select/values arity must equal the table arity; with one,
+    it must equal the list (unlisted columns land NULL — appends accept
+    subset schemas)."""
+    from pyspark.sql import types as T
+
+    p = parse_insert(sql)
+    t = _resolve_target(p, tables, "insert")
+    if p["values_sql"] is not None:
+        src = spark.sql(f"SELECT * FROM ({p['values_sql']})")
+    else:
+        sel = p["select_sql"]
+        src = spark.sql(sel[1:-1] if sel.startswith("(") else sel)
+    table_cols = [
+        f.name
+        for f in T.StructType.fromJson(t._state()["schema"]).fields
+    ]
+    names = p["cols"] if p["cols"] is not None else table_cols
+    if p["cols"] is not None:
+        unknown = [c for c in names if c not in table_cols]
+        if unknown:
+            raise ValueError(f"INSERT into unknown column(s): {unknown}")
+    if len(names) != len(src.columns):
+        raise ValueError(
+            f"INSERT arity mismatch: {len(src.columns)} values for "
+            f"{len(names)} column(s)"
+        )
+    # ANSI store assignment: each value coerces to its target column's
+    # type (a VALUES literal like 20.0 arrives as decimal(3,1))
+    from pyspark.sql import functions as F
+
+    types = {
+        f.name: f.dataType
+        for f in T.StructType.fromJson(t._state()["schema"]).fields
+    }
+    src = src.toDF(*names).select(
+        *[F.col(c).cast(types[c]).alias(c) for c in names]
+    )
+    version = t.append(src)
+    return {"version": version}
