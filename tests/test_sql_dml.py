@@ -317,3 +317,63 @@ def test_sql_insert_into_values_and_select(spark, tmp_path):
     # column list vs parenthesized SELECT disambiguation
     p = parse_insert("INSERT INTO tgt (SELECT 1, 'x', 2.0)")
     assert p["cols"] is None and p["select_sql"].startswith("(SELECT")
+
+
+def test_sql_admin_statements_and_unified_dispatch(spark, tmp_path):
+    """The admin surface a SQL-only consumer needs: DESCRIBE HISTORY,
+    OPTIMIZE (bin-pack + ZORDER BY), RESTORE TO VERSION AS OF, VACUUM
+    [RETAIN n VERSIONS] — plus execute_sql routing every statement kind
+    through one entry point."""
+    import os
+
+    from wopen_spark.sql_dml import execute_admin, execute_sql
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 5, float(i)) for i in range(50)],
+            "id long, g int, val double",
+        ).repartition(4),
+        cluster_by=["id"],
+    )
+    # a few small appends -> bin-packable small files
+    for k in range(2):
+        execute_sql(
+            spark,
+            f"INSERT INTO tgt VALUES ({100 + k}, 0, 1.5)",
+            tables={"tgt": t},
+        )
+    execute_sql(
+        spark, "UPDATE tgt SET val = val + 1 WHERE id = 1", tables={"tgt": t}
+    )
+
+    hist = execute_admin(spark, "DESCRIBE HISTORY tgt", tables={"tgt": t})
+    ops = [r.operation for r in hist.orderBy("version").collect()]
+    assert ops[0] == "create" and "append" in ops and "update" in ops
+
+    n_before = len(t._state()["files"])
+    rep = execute_sql(spark, "OPTIMIZE tgt", tables={"tgt": t})
+    assert rep.get("noop") or rep["files_after"] < rep["files_before"], rep
+    assert len(t._state()["files"]) <= n_before
+
+    rep = execute_admin(
+        spark, "OPTIMIZE tgt ZORDER BY (id, g)", tables={"tgt": t}
+    )
+    assert rep, rep
+
+    head = t.latest_version()
+    execute_sql(
+        spark, f"RESTORE tgt TO VERSION AS OF {head - 1}", tables={"tgt": t}
+    )
+    assert t.latest_version() == head + 1  # restore is a NEW commit
+
+    rep = execute_sql(
+        spark, "VACUUM tgt RETAIN 1 VERSIONS", tables={"tgt": t}
+    )
+    assert rep["removed"] >= 0
+    assert t.read().count() == 52  # logical rows untouched throughout
+
+    with pytest.raises(ValueError, match="unsupported statement"):
+        execute_sql(spark, "SELECT 1", tables={})
+    with pytest.raises(ValueError, match="unparseable admin"):
+        execute_admin(spark, "VACUUM tgt RETAIN x", tables={"tgt": t})

@@ -618,3 +618,97 @@ def execute_insert(spark: SparkSession, sql: str, tables: dict) -> dict:
     )
     version = t.append(src)
     return {"version": version}
+
+
+# ---------------------------------------------------------------- admin SQL
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"(?:\s+RETAIN\s+(?P<retain>\d+)\s+VERSIONS)?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>[A-Za-z_][\w.]*)"
+    r"(?:\s+ZORDER\s+BY\s*(?P<zcols>\([^)]*\)|[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<target>[A-Za-z_][\w.]*)"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def execute_admin(spark: SparkSession, sql: str, tables: dict) -> object:
+    """The table-maintenance statements a SQL-only consumer needs
+    (Delta-shaped grammar, dispatched to the engine methods):
+
+    - ``VACUUM t [RETAIN n VERSIONS]`` -> :meth:`SnapshotTable.vacuum`
+      (default retain 1); returns {"removed": n}.
+    - ``OPTIMIZE t`` -> incremental bin-packing
+      (:meth:`optimize_small_files`); ``OPTIMIZE t ZORDER BY (c1, c2)``
+      -> :meth:`optimize_zorder`. Returns the engine report.
+    - ``DESCRIBE HISTORY t`` -> the commit log as a DataFrame.
+    - ``RESTORE [TABLE] t TO VERSION AS OF n`` -> :meth:`restore`;
+      returns {"version": new_head}.
+    """
+    text = sql.strip().rstrip(";")
+    m = _VACUUM_RE.match(text)
+    if m:
+        t = _resolve_target({"target": m.group("target")}, tables, "vacuum")
+        retain = int(m.group("retain")) if m.group("retain") else 1
+        return {"removed": t.vacuum(retain_last=retain)}
+    m = _OPTIMIZE_RE.match(text)
+    if m:
+        t = _resolve_target({"target": m.group("target")}, tables, "optimize")
+        z = m.group("zcols")
+        if z:
+            cols = [c.strip() for c in z.strip("() \t").split(",") if c.strip()]
+            return t.optimize_zorder(cols)
+        return t.optimize_small_files()
+    m = _HISTORY_RE.match(text)
+    if m:
+        t = _resolve_target({"target": m.group("target")}, tables, "describe")
+        rows = t.history()
+        return spark.createDataFrame(
+            [tuple(r.values()) for r in rows],
+            "version int, ts_unix double, operation string, "
+            "n_added int, n_removed int, n_rows_dv_masked long",
+        )
+    m = _RESTORE_RE.match(text)
+    if m:
+        t = _resolve_target({"target": m.group("target")}, tables, "restore")
+        return {"version": t.restore(int(m.group("version")))}
+    raise ValueError(
+        "unparseable admin statement (expected VACUUM | OPTIMIZE "
+        "[ZORDER BY] | DESCRIBE HISTORY | RESTORE ... TO VERSION AS OF n)"
+    )
+
+
+def execute_sql(
+    spark: SparkSession, sql: str, tables: dict, mode: str = "cow"
+) -> object:
+    """ONE SQL entry point for the whole DML + admin surface: routes by
+    leading keyword to MERGE / UPDATE / DELETE / INSERT / VACUUM /
+    OPTIMIZE / DESCRIBE HISTORY / RESTORE. ``mode`` applies to the DML
+    statements that take one (merge/update/delete)."""
+    head = sql.strip().split(None, 2)
+    kw = head[0].upper() if head else ""
+    kw2 = head[1].upper() if len(head) > 1 else ""
+    if kw == "MERGE":
+        return execute_merge(spark, sql, tables, mode=mode)
+    if kw == "UPDATE":
+        return execute_update(spark, sql, tables, mode=mode)
+    if kw == "DELETE":
+        return execute_delete(spark, sql, tables, mode=mode)
+    if kw == "INSERT":
+        return execute_insert(spark, sql, tables)
+    if kw in ("VACUUM", "OPTIMIZE", "RESTORE") or (
+        kw == "DESCRIBE" and kw2 == "HISTORY"
+    ):
+        return execute_admin(spark, sql, tables)
+    raise ValueError(f"unsupported statement {kw!r} (SELECTs go to spark.sql)")
