@@ -375,8 +375,10 @@ def test_vacuum_sweeps_orphaned_sidecar(ds_spark, tmp_path):
         f.write(b"\x00" * 16)
     old = os.path.getmtime(orphan) - 7200
     os.utime(orphan, (old, old))
-    t.vacuum(retain_last=1, orphan_grace_s=3600)
+    removed = t.vacuum(retain_last=1, orphan_grace_s=3600)
     assert not os.path.exists(orphan)
+    # r9 ADVICE: the swept sidecar must count in the removed total
+    assert removed >= 1
     assert t.read().count() == 10
 
 

@@ -319,3 +319,62 @@ def test_cow_no_duplication_with_dup_source_and_no_matched_clauses(spark, tmp_pa
     # source rows insert (unmatched, SQL MERGE semantics)... but id=2 is
     # matched so neither inserts; id=9 inserts once
     assert rows == [(2, "b"), (9, "i")]
+
+@pytest.mark.parametrize("action", ["update", "delete"])
+def test_cow_multi_match_single_claim_no_duplication(spark, tmp_path, action):
+    """r9 ADVICE (high): a target row matched by 2+ source rows of which
+    exactly ONE is claimed by a matched clause is legal (Delta errors
+    only on ambiguous modification), but the cow rewrite used to keep
+    the unclaimed joined duplicate as a survivor alongside the claimed
+    pair's image — UPDATE left both (1,10.0) and (1,11.0) in the table.
+    One survivor per target row, claimed pair deciding its fate."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id int, val double"
+        ).coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(1, "U", 11.0), (1, "X", 99.0)], "id int, op string, val double"
+    )
+    clause = (
+        {"action": "update", "cond": "s.op = 'U'", "set": {"val": "s.val"}}
+        if action == "update"
+        else {"action": "delete", "cond": "s.op = 'U'"}
+    )
+    t.merge_into(src.select("id", "op", "val"), "id", matched=[clause])
+    rows = sorted((r.id, r.val) for r in t.read().collect())
+    if action == "update":
+        assert rows == [(1, 11.0), (2, 20.0)]
+    else:
+        assert rows == [(2, 20.0)]
+
+
+def test_cow_multi_match_zero_claims_survives_once(spark, tmp_path):
+    """Same class: NO pair claimed — the row must survive exactly once
+    with its old image, not once per joined source duplicate."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, 10.0)], "id int, val double").coalesce(1)
+    )
+    src = spark.createDataFrame(
+        [(1, "X", 11.0), (1, "Y", 12.0), (2, "U", 20.0)],
+        "id int, op string, val double",
+    )
+    # the matched clause claims nothing for id=1; id=2 inserts — the
+    # touched-file probe still fires via the insert's anti-join? No: a
+    # cow rewrite only triggers on claimed target rows, so force one
+    # with a second target row that IS claimed (same file).
+    t.append(spark.createDataFrame([(3, 30.0)], "id int, val double"))
+    t.compact()  # compact so id=1 and id=3 share a rewritten file
+    src2 = src.union(
+        spark.createDataFrame([(3, "U", 31.0)], "id int, op string, val double")
+    )
+    t.merge_into(
+        src2,
+        "id",
+        matched=[{"action": "update", "cond": "s.op = 'U'", "set": {"val": "s.val"}}],
+        not_matched=[{"action": "insert", "cond": "s.op = 'U'"}],
+    )
+    rows = sorted((r.id, r.val) for r in t.read().collect())
+    assert rows == [(1, 10.0), (2, 20.0), (3, 31.0)]

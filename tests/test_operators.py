@@ -1325,3 +1325,27 @@ def test_dbscan_from_pairs_roles_and_determinism(spark):
     )
     got2 = {r.node: r.cluster for r in dbscan_from_pairs(pairs2, 3).collect() if r.node == 4}
     assert got2 == {4: 1}
+
+
+def test_sq8_incremental_encode_clamps_out_of_range(spark, tmp_path):
+    """r9 ADVICE: incremental_encode of vectors outside the frozen
+    per-dim (vmin, vmax) range must clamp codes to [0, 255] (the FAISS
+    SQ contract), not store -3 / 300; reconstruction of a clamped code
+    lands on the trained range's edge."""
+    from wopen_spark.operators.ann_index import Sq8Index
+
+    base = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [1.0, 20.0])], "vec_id long, v array<double>"
+    )
+    idx = Sq8Index.build(spark, str(tmp_path / "sq8"), base, n_files=1)
+    # dim0 trained on [0,1], dim1 on [10,20]; feed way-out vectors
+    idx.incremental_encode(
+        spark.createDataFrame(
+            [(2, [-5.0, 100.0]), (3, [9.0, -100.0])],
+            "vec_id long, v array<double>",
+        )
+    )
+    codes = {r.vec_id: list(r.codes) for r in idx.codes.read().collect()}
+    assert codes[2] == [0, 255]
+    assert codes[3] == [255, 0]
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)

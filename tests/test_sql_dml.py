@@ -377,3 +377,56 @@ def test_sql_admin_statements_and_unified_dispatch(spark, tmp_path):
         execute_sql(spark, "SELECT 1", tables={})
     with pytest.raises(ValueError, match="unparseable admin"):
         execute_admin(spark, "VACUUM tgt RETAIN x", tables={"tgt": t})
+
+
+def test_dotted_target_unaliased_strips_qualifier():
+    """r9 verdict #6: a dotted target used WITHOUT a declared alias
+    (``UPDATE db.tbl SET x = db.tbl.x + 1``) must strip the full
+    multi-segment qualifier — the old word-scan matched only ``db`` and
+    left an unresolvable ``db.tbl.x`` behind."""
+    from wopen_spark.sql_dml import parse_delete, parse_merge, parse_update
+
+    u = parse_update(
+        "UPDATE db.tbl SET x = db.tbl.x + 1 WHERE db.tbl.y IN (1, 2)"
+    )
+    assert u == {
+        "target": "db.tbl",
+        "set": {"x": "x + 1"},
+        "where": "y IN (1, 2)",
+    }
+    d = parse_delete("DELETE FROM crm.events WHERE crm.events.id = 7")
+    assert d == {"target": "crm.events", "where": "id = 7"}
+    # near-miss names never strip: db.tblx is NOT the db.tbl qualifier
+    u2 = parse_update("UPDATE db.tbl SET x = db.tblx.x")
+    assert u2["set"] == {"x": "db.tblx.x"}
+    # MERGE: dotted unaliased target in ON and actions
+    p = parse_merge(
+        "MERGE INTO db.tbl USING src s ON db.tbl.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET x = db.tbl.x + s.x"
+    )
+    assert p["keys"] == ["id"]
+    assert p["matched"][0]["set"] == {"x": "t.x + s.x"}
+
+
+def test_dotted_alias_property_roundtrip():
+    """Property test over dotted/undotted targets and alias presence:
+    every qualified reference resolves to a bare (or t./s.) column,
+    string literals containing 'alias.' are untouched."""
+    from wopen_spark.sql_dml import _rewrite_aliases
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.from_regex(r"[a-z_][a-z0-9_]{0,5}", fullmatch=True)
+
+    @settings(max_examples=120, deadline=None)
+    @given(segs=st.lists(seg, min_size=1, max_size=3), col=seg)
+    def check(segs, col):
+        alias = ".".join(segs)
+        out = _rewrite_aliases(f"{alias}.{col} + '{alias}.{col}'", alias)
+        assert out == f"{col} + '{alias}.{col}'"
+        if alias != "s":  # t/s alias collision is ambiguous SQL
+            out2 = _rewrite_aliases(f"{alias}.{col} + s.{col}", alias, "s")
+            assert out2 == f"t.{col} + s.{col}"
+
+    check()

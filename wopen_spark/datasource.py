@@ -155,25 +155,43 @@ def _store_from_spec(spec: dict):
     return store
 
 
+_DRIVER_TABLE_CACHE: dict[str, SnapshotTable] = {}
+
+
 def _resolve_table(path: str, options) -> SnapshotTable:
     """Driver-side handle. Local roots and file:// replay the log with
     zero Spark; s3:// wires the conditional-PUT log store + boto3 data
-    store from the same options the partitions carry."""
+    store from the same options the partitions carry.
+
+    Memoized per store-spec key (the executor-side ``_STORE_CACHE``
+    twin): a streaming query calls this every ``latestOffset`` trigger
+    and again in ``commit()``, so a fresh mkdtemp + boto3 client per
+    call would leak temp dirs unboundedly and re-download parquet
+    footers into a cold cache every micro-batch."""
     spec = _store_spec(path, options)  # validates the scheme
+    key = json.dumps(spec, sort_keys=True)
+    cached = _DRIVER_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if spec["kind"] == "local":
         # spark unused for local metadata traffic
-        return SnapshotTable(None, spec["root"])  # type: ignore[arg-type]
-    import tempfile
+        table = SnapshotTable(None, spec["root"])  # type: ignore[arg-type]
+    else:
+        import tempfile
 
-    client = _s3_client(spec)
-    return SnapshotTable(
-        None,  # type: ignore[arg-type]
-        spec["uri"],
-        log_store=S3ConditionalPutLogStore(f"{spec['uri']}/_log", client=client),
-        data_store=S3DataStore(
-            spec["uri"], tempfile.mkdtemp(prefix="wopen-ds-drv-"), client=client
-        ),
-    )
+        client = _s3_client(spec)
+        table = SnapshotTable(
+            None,  # type: ignore[arg-type]
+            spec["uri"],
+            log_store=S3ConditionalPutLogStore(
+                f"{spec['uri']}/_log", client=client
+            ),
+            data_store=S3DataStore(
+                spec["uri"], tempfile.mkdtemp(prefix="wopen-ds-drv-"), client=client
+            ),
+        )
+    _DRIVER_TABLE_CACHE[key] = table
+    return table
 
 
 def _resolve_version(table: SnapshotTable, options) -> int | None:

@@ -232,14 +232,19 @@ class Sq8Index:
     # ------------------------------------------------------------ encode
     @staticmethod
     def _encode_expr(vec):
-        """codes[i] = round((v[i] - vmin[i]) / scale[i]); constant dims
-        (vmax == vmin) encode 0 and reconstruct vmin exactly."""
+        """codes[i] = round((v[i] - vmin[i]) / scale[i]), clamped to
+        [0, 255] (FAISS SQ clamps out-of-range values to the trained
+        range — incremental_encode of a vector outside the frozen
+        per-dim (vmin, vmax) must still honor the uint8 contract);
+        constant dims (vmax == vmin) encode 0 and reconstruct vmin
+        exactly."""
         def elem(x, i):
             vmin = F.element_at("vmins", i + 1)
             vmax = F.element_at("vmaxs", i + 1)
             scale = (vmax - vmin) / 255
+            code = F.round((x.cast("double") - vmin) / scale).cast("int")
             return F.when(vmax == vmin, F.lit(0)).otherwise(
-                F.round((x.cast("double") - vmin) / scale).cast("int")
+                F.greatest(F.lit(0), F.least(F.lit(255), code))
             )
 
         return F.transform(vec, elem)

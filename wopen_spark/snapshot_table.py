@@ -1029,7 +1029,10 @@ class S3DataStore(DataStore):
         self._s3().upload_file(local_path, self.bucket, self._key(rel))
         local = os.path.join(self._cache, rel)
         os.makedirs(os.path.dirname(local), exist_ok=True)
-        os.replace(local_path, local)  # seed the read cache, like publish_dir
+        # seed the read cache, like publish_dir; shutil.move (not
+        # os.replace) because the shard comes from caller-chosen scratch
+        # that may sit on a different filesystem (os.replace -> EXDEV)
+        shutil.move(local_path, local)
 
     def list_data_files(self) -> list[str]:
         strip = len(self.prefix) + 1 if self.prefix else 0
@@ -2900,6 +2903,25 @@ class SnapshotTable:
             j2 = t2.join(
                 join_src, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], "left"
             ).withColumn(self._MRG_ACT, act_col)
+            if matched:
+                # A target row left-joined against a dup-keyed source
+                # appears once per matching source row; at most one pair
+                # is claimed (the multi-match probe above errors
+                # otherwise), and that pair alone decides the row's fate.
+                # Keep exactly one survivor per lineage key, claimed
+                # preferred — without this, a row matched by two source
+                # rows with one claimed would be written twice (old image
+                # from the unclaimed pair + new image from the claimed).
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(
+                    F.col(f"t.{_DV_FILE}"), F.col(f"t.{_DV_ROW}")
+                ).orderBy(F.col(self._MRG_ACT).isNull())
+                j2 = (
+                    j2.withColumn("__sn_mrg_rn", F.row_number().over(w))
+                    .filter(F.col("__sn_mrg_rn") == 1)
+                    .drop("__sn_mrg_rn")
+                )
             # drop exactly the delete-labeled rows; unclaimed rows and
             # update-labeled rows (their image is rewritten) survive
             keep = (
@@ -3637,6 +3659,7 @@ class SnapshotTable:
                 except FileNotFoundError:
                     continue
                 self._data.delete(rel)
+                removed += 1
                 touched_dirs.add(rel.rsplit("/", 1)[0])
                 continue
             if rel in retained:

@@ -50,6 +50,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 _IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
@@ -139,11 +140,30 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _alias_prefix_re(alias: str) -> re.Pattern:
+    """``alias.`` as a qualified-reference prefix — handles dotted
+    (multi-segment) aliases, i.e. a ``db.tbl`` target used UNALIASED in
+    expressions (``UPDATE db.tbl SET x = db.tbl.x + 1``). Each segment
+    must match exactly (``db.tblx.`` never matches alias ``db.tbl``)."""
+    return re.compile(
+        r"\.".join(re.escape(seg) for seg in alias.split(".")) + r"\.",
+        re.IGNORECASE,
+    )
+
+
 def _rewrite_aliases(expr: str, talias: str, salias: str | None = None) -> str:
     """Rewrite the statement's declared aliases to the engine's t/s
     (MERGE) or strip them (single-table UPDATE/DELETE, ``salias=None``).
-    Word-boundary qualified-reference rewrite only (``x.`` prefixes) —
-    never inside string literals."""
+    Word-boundary qualified-reference rewrite only (``x.`` prefixes,
+    including dotted ``db.tbl.`` when the target name itself is the
+    alias) — never inside string literals."""
+    # longest alias first: a dotted alias that extends the other must
+    # win the match (target "db" vs source "db.src" on "db.src.x")
+    cands = [(talias, "t.")]
+    if salias is not None:
+        cands.append((salias, "s."))
+    cands.sort(key=lambda c: -len(c[0]))
+    alias_res = [(_alias_prefix_re(a), rep) for a, rep in cands]
     out, i, q = [], 0, None
     while i < len(expr):
         ch = expr[i]
@@ -160,24 +180,23 @@ def _rewrite_aliases(expr: str, talias: str, salias: str | None = None) -> str:
             continue
         m = re.match(r"[A-Za-z_]\w*", expr[i:])
         if m and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] in "_.")):
-            word = m.group(0)
-            rest = expr[i + len(word):]
-            if rest.startswith("."):
-                low = word.lower()
-                if low == talias:
-                    if salias is None:
-                        i += len(word) + 1  # strip "alias." entirely
-                    else:
-                        out.append("t")
-                        i += len(word)
-                    continue
-                if salias is not None and low == salias:
-                    out.append("s")
-                    i += len(word)
-                    continue
-                out.append(word)
-                i += len(word)
+            hit = False
+            for rx, rep in alias_res:
+                am = rx.match(expr, i)
+                if am:
+                    if salias is not None:
+                        out.append(rep)
+                    # salias None: strip "alias." entirely
+                    i = am.end()
+                    hit = True
+                    break
+            if hit:
                 continue
+            # plain word: copy wholesale so its inner chars are never
+            # re-checked as alias starts
+            out.append(m.group(0))
+            i += len(m.group(0))
+            continue
         out.append(ch)
         i += 1
     return "".join(out)
@@ -193,8 +212,8 @@ _HEAD_RE = re.compile(
 _ALIAS_RE = re.compile(r"\s*(?:AS\s+)?(?P<alias>(?!ON\b)[A-Za-z_]\w*)?\s*", re.IGNORECASE)
 
 _EQ_TERM_RE = re.compile(
-    r"^\s*(?P<l>[A-Za-z_]\w*)\.(?P<lc>[A-Za-z_]\w*)\s*=\s*"
-    r"(?P<r>[A-Za-z_]\w*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
+    r"^\s*(?P<l>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\.(?P<lc>[A-Za-z_]\w*)\s*=\s*"
+    r"(?P<r>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\.(?P<rc>[A-Za-z_]\w*)\s*$"
 )
 
 _KIND_RE = re.compile(
@@ -466,13 +485,25 @@ def parse_delete(sql: str) -> dict:
     return {"target": target, "where": where}
 
 
-def _resolve_target(p: dict, tables: dict, verb: str):
-    if p["target"] not in tables:
-        raise ValueError(
-            f"unknown {verb} target {p['target']!r}; registered: "
-            f"{sorted(tables)}"
-        )
-    return tables[p["target"]]
+def _resolve_target(p: dict, tables: dict, verb: str, catalog=None, spark=None):
+    """Explicit ``tables`` dict wins; otherwise fall back to the
+    persisted :class:`wopen_spark.catalog.Catalog` (statements address
+    targets by registered name — the reference's dataset.table
+    contract)."""
+    name = p["target"]
+    if name in tables:
+        return tables[name]
+    if catalog is not None:
+        try:
+            return catalog.handle(spark, name)
+        except KeyError:
+            known = sorted(set(tables) | set(catalog.tables()))
+            raise ValueError(
+                f"unknown {verb} target {name!r}; registered: {known}"
+            ) from None
+    raise ValueError(
+        f"unknown {verb} target {name!r}; registered: {sorted(tables)}"
+    )
 
 
 def execute_merge(
@@ -674,10 +705,20 @@ def execute_admin(spark: SparkSession, sql: str, tables: dict) -> object:
     if m:
         t = _resolve_target({"target": m.group("target")}, tables, "describe")
         rows = t.history()
+        # bind columns BY NAME (not dict insertion order) so extending
+        # or reordering history()'s dict can never silently shift values
+        schema = T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("ts_unix", T.DoubleType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("n_added", T.IntegerType()),
+                T.StructField("n_removed", T.IntegerType()),
+                T.StructField("n_rows_dv_masked", T.LongType()),
+            ]
+        )
         return spark.createDataFrame(
-            [tuple(r.values()) for r in rows],
-            "version int, ts_unix double, operation string, "
-            "n_added int, n_removed int, n_rows_dv_masked long",
+            [tuple(r[f.name] for f in schema.fields) for r in rows], schema
         )
     m = _RESTORE_RE.match(text)
     if m:
