@@ -450,3 +450,198 @@ def test_timestamp_as_of_reads_historical_version(ds_spark, tmp_path):
         .load(t.path)
     )
     assert [r.id for r in got2.collect()] == [1]
+
+
+def test_cdf_stream_vacuum_recovery_snapshot(ds_spark, tmp_path):
+    """A checkpointed CDF stream stranded behind a vacuum: the default
+    surfaces the typed error through the restarted query; with
+    ``onVacuumedStart=snapshot`` the restart emits the FULL head
+    snapshot as one batch tagged ``_change_type='snapshot'`` (the
+    ChangeFeedLoader.resync contract through readStream, with the
+    Debezium-style distinct tag so a consumer KNOWS to replace its
+    state), the offset jumps the gap, and the next restart is
+    incremental again."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(
+        ds_spark.range(0, 60)
+        .select(F.col("id").cast("long").alias("id"), (F.col("id") % 5).alias("g"))
+        .repartition(2),
+        cluster_by=["id"],
+    )
+    t.append(
+        ds_spark.createDataFrame([(100, 9), (101, 9)], "id long, g long")
+    )
+
+    def drain(extra=()):
+        sink = []
+        reader = (
+            ds_spark.readStream.format("wopen_snapshot")
+            .option("readChangeFeed", "true")
+            .option("afterVersion", 0)
+        )
+        for k, v in extra:
+            reader = reader.option(k, v)
+        q = (
+            reader.load(t.path)
+            .writeStream.foreachBatch(lambda b, e: sink.append(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for batch in sink for r in batch)
+
+    assert len(drain()) == 62  # caught up through v2
+
+    # fall behind retention: cow deletes rewrite files, vacuum reclaims
+    t.delete_where("id % 3 = 0")          # v3: cow, removes old files
+    t.delete_where("g = 4")               # v4: cow again
+    t.vacuum(retain_last=1, orphan_grace_s=0.0)
+    with pytest.raises(Exception, match="[Vv]acuumed"):
+        t.read_changes(2)
+
+    # default: the restarted stream surfaces the typed failure
+    with pytest.raises(Exception, match="[Vv]acuumed"):
+        drain()
+
+    # snapshot recovery: one all-inserts batch at the head version
+    got = drain(extra=[("onVacuumedStart", "snapshot")])
+    head = t.latest_version()
+    live = sorted(tuple(r) + ("snapshot", head) for r in t.read().collect())
+    assert got == live
+    assert len(got) == t.read().count()
+
+    # after recovery the SAME checkpoint consumes incrementally again
+    t.append(ds_spark.createDataFrame([(500, 1)], "id long, g long"))
+    nxt = drain(extra=[("onVacuumedStart", "snapshot")])
+    assert nxt == [(500, 1, "insert", head + 1)]
+
+
+def test_cdf_batch_vacuum_recovery_snapshot(ds_spark, tmp_path):
+    """The batch CDF reader honors onVacuumedStart=snapshot the same
+    way: a vacuumed window raises by default, serves the head snapshot
+    as inserts when opted in."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(ds_spark.createDataFrame([(1,), (2,), (3,)], "id long").coalesce(1))
+    t.delete_where("id = 2")  # cow rewrite
+    t.vacuum(retain_last=1, orphan_grace_s=0.0)
+
+    def cdf(**opts):
+        r = (
+            ds_spark.read.format("wopen_snapshot")
+            .option("readChangeFeed", "true")
+            .option("afterVersion", 0)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(t.path)
+
+    with pytest.raises(Exception, match="[Vv]acuumed"):
+        cdf().collect()
+    got = sorted(tuple(r) for r in cdf(onVacuumedStart="snapshot").collect())
+    assert got == [(1, "snapshot", 2), (3, "snapshot", 2)]
+    with pytest.raises(Exception, match="onVacuumedStart"):
+        cdf(onVacuumedStart="bogus").collect()
+
+
+def test_writer_merge_schema_add_column_and_widen(ds_spark, tmp_path):
+    """.option('mergeSchema','true'): a new nullable column and a
+    widened type evolve the table through df.write; both surfaces read
+    the result (old rows NULL-fill, narrow files read wide)."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(
+        ds_spark.createDataFrame([(1, 10), (2, 20)], "id long, x int").coalesce(1)
+    )
+    (
+        ds_spark.createDataFrame(
+            [(3, 2**40, "new")], "id long, x long, tag string"
+        )
+        .write.format("wopen_snapshot")
+        .option("mergeSchema", "true")
+        .mode("append")
+        .save(t.path)
+    )
+    want = [(1, 10, None), (2, 20, None), (3, 2**40, "new")]
+    assert _rows(t.read()) == want
+    assert _rows(
+        ds_spark.read.format("wopen_snapshot").load(t.path)
+    ) == want
+    assert dict(t.read().dtypes) == {
+        "id": "bigint", "x": "bigint", "tag": "string"
+    }
+
+
+def test_writer_merge_schema_subset_and_narrow_input(ds_spark, tmp_path):
+    """mergeSchema also admits subset schemas (absent columns read NULL)
+    and narrower input types (cast up at write, table type unchanged)."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(
+        ds_spark.createDataFrame(
+            [(1, 2**40, "a")], "id long, x long, tag string"
+        ).coalesce(1)
+    )
+    (
+        ds_spark.createDataFrame([(2, 7)], "id long, x int")
+        .write.format("wopen_snapshot")
+        .option("mergeSchema", "true")
+        .mode("append")
+        .save(t.path)
+    )
+    assert _rows(t.read()) == [(1, 2**40, "a"), (2, 7, None)]
+    assert dict(t.read().dtypes)["x"] == "bigint"
+
+
+def test_writer_merge_schema_refusals(ds_spark, tmp_path):
+    """Without the option the exact-schema contract still holds; with it
+    a genuinely incompatible change still refuses at plan time."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(ds_spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1))
+    extra = ds_spark.createDataFrame([(2, "b", 1.0)], "id long, s string, v double")
+    with pytest.raises(Exception, match="mergeSchema"):
+        extra.write.format("wopen_snapshot").mode("append").save(t.path)
+    bad = ds_spark.createDataFrame([(3, 5)], "id long, s int")
+    with pytest.raises(Exception, match="incompatible type"):
+        (
+            bad.write.format("wopen_snapshot")
+            .option("mergeSchema", "true")
+            .mode("append")
+            .save(t.path)
+        )
+
+
+def test_writer_merge_schema_remints_retired_physical(ds_spark, tmp_path):
+    """Evolving in a column whose name was retired by a rename must mint
+    a fresh physical name — old files' bytes for the retired name must
+    NOT resurrect into the new column."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(
+        ds_spark.createDataFrame([(1, "old")], "id long, name string").coalesce(1)
+    )
+    t.rename_column("name", "label")  # physical 'name' retired, lives in v1 file
+    (
+        ds_spark.createDataFrame(
+            [(2, "l2", "fresh")], "id long, label string, name string"
+        )
+        .write.format("wopen_snapshot")
+        .option("mergeSchema", "true")
+        .mode("append")
+        .save(t.path)
+    )
+    got = _rows(t.read())
+    assert got == [(1, "old", None), (2, "l2", "fresh")]
+    assert got == _rows(ds_spark.read.format("wopen_snapshot").load(t.path))
+
+
+def test_writer_merge_schema_overwrite(ds_spark, tmp_path):
+    """Overwrite + mergeSchema: the table schema is the UNION (absent
+    old columns read NULL on the new rows), matching Delta."""
+    t = SnapshotTable(ds_spark, str(tmp_path / "t"))
+    t.create(ds_spark.createDataFrame([(1, "a")], "id long, s string").coalesce(1))
+    (
+        ds_spark.createDataFrame([(9, 1.5)], "id long, v double")
+        .write.format("wopen_snapshot")
+        .option("mergeSchema", "true")
+        .mode("overwrite")
+        .save(t.path)
+    )
+    assert _rows(t.read()) == [(9, None, 1.5)]

@@ -15,7 +15,13 @@ standard reader surfaces instead of requiring the SnapshotTable class:
          .option("endingVersion", 7).load(path))
     (spark.readStream.format("wopen_snapshot")                  # CDF stream
          .option("readChangeFeed", "true")
-         .option("afterVersion", 0).load(path))
+         .option("afterVersion", 0)
+         .option("onVacuumedStart", "snapshot")   # vacuum recovery
+         .load(path))
+    spark.read.format("wopen_snapshot").option(                 # by NAME
+        "catalogRoot", root).load("wopen://crm.events")
+    df.write.format("wopen_snapshot").option(                   # evolution
+        "mergeSchema", "true").mode("append").save(path)
 
 Batch reads plan one Spark task per live data file and apply deletion
 vectors merge-on-read; Catalyst filter pushdown prunes files by footer
@@ -536,6 +542,64 @@ def _cdf_tasks(table: SnapshotTable, store_json: str, lo: int, hi: int) -> list:
     return out
 
 
+def _on_vacuumed(options) -> str:
+    """``onVacuumedStart``: what a CDF read does when its starting
+    version's change files are vacuumed. ``raise`` (default) surfaces
+    the typed VacuumedVersionError; ``snapshot`` serves the FULL table
+    snapshot at the range head as one batch of rows tagged
+    ``_change_type = 'snapshot'`` and lets the offset jump past the
+    vacuumed gap — the ``ChangeFeedLoader.resync`` contract surfaced
+    through the standard reader. The distinct tag (Debezium's snapshot
+    ``op: r`` precedent) is load-bearing: an all-"insert" recovery
+    batch would be indistinguishable from an ordinary append commit,
+    and a consumer MUST replace (not fold into) its state when one
+    arrives — ``_change_type = 'snapshot'`` makes that a one-predicate
+    check. The Delta analogue is ``failOnDataLoss=false``, which
+    silently SKIPS the gap — serving the snapshot instead means the
+    consumer can actually recover, not just ignore the hole."""
+    v = str(options.get("onvacuumedstart", "raise")).lower()
+    if v not in ("raise", "snapshot"):
+        raise ValueError(
+            f"onVacuumedStart must be 'raise' or 'snapshot', got {v!r}"
+        )
+    return v
+
+
+def _snapshot_recovery_tasks(
+    table: SnapshotTable, store_json: str, version: int
+) -> list:
+    """Every live file at ``version`` as a snapshot-tagged _FileTask
+    (dv masks applied, ``_commit_version = version``) — the vacuum-
+    recovery batch both CDF surfaces emit under
+    ``onVacuumedStart=snapshot``."""
+    state = table._state(version)
+    schema = T.StructType.fromJson(state["schema"])
+    for f in _CDF_FIELDS:
+        schema = schema.add(f)
+    schema_json = json.dumps(schema.jsonValue())
+    mapping_json = json.dumps(
+        {
+            f["name"]: table._phys(state["column_mapping"], f["name"])
+            for f in state["schema"]["fields"]
+        }
+        if state["column_mapping"]
+        else {}
+    )
+    return [
+        _FileTask(
+            file_rel=rel,
+            dv_rel=tuple(state["dvs"].get(rel, [])),
+            semi_rel=(),
+            store_json=store_json,
+            schema_json=schema_json,
+            mapping_json=mapping_json,
+            change_type="snapshot",
+            commit_version=version,
+        )
+        for rel in sorted(state["files"])
+    ]
+
+
 class _SnapshotCdfBatchReader(DataSourceReader):
     """BATCH change-feed read — ``spark.read.format("wopen_snapshot")
     .option("readChangeFeed", "true")`` — the Delta batch-CDF surface
@@ -551,6 +615,7 @@ class _SnapshotCdfBatchReader(DataSourceReader):
         self.ending = (
             int(options["endingversion"]) if "endingversion" in options else None
         )
+        self.on_vacuumed = _on_vacuumed(options)
 
     def partitions(self):
         table = _resolve_table(self.path, self.options)
@@ -558,10 +623,13 @@ class _SnapshotCdfBatchReader(DataSourceReader):
         hi = head if self.ending is None else self.ending
         if hi is None or hi <= self.starting:
             return []
-        return _cdf_tasks(
-            table, json.dumps(_store_spec(self.path, self.options)),
-            self.starting, hi,
-        )
+        store_json = json.dumps(_store_spec(self.path, self.options))
+        try:
+            return _cdf_tasks(table, store_json, self.starting, hi)
+        except VacuumedVersionError:
+            if self.on_vacuumed != "snapshot":
+                raise
+            return _snapshot_recovery_tasks(table, store_json, hi)
 
     def read(self, partition):
         if partition is None:
@@ -580,6 +648,7 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
         self.path = path
         self.options = options
         self.starting = _exclusive_start(options)
+        self.on_vacuumed = _on_vacuumed(options)
 
     def initialOffset(self):
         return {"version": self.starting}
@@ -593,9 +662,17 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
         if hi <= lo:
             return []
         table = _resolve_table(self.path, self.options)
-        return _cdf_tasks(
-            table, json.dumps(_store_spec(self.path, self.options)), lo, hi
-        )
+        store_json = json.dumps(_store_spec(self.path, self.options))
+        try:
+            return _cdf_tasks(table, store_json, lo, hi)
+        except VacuumedVersionError:
+            # a consumer stranded behind a vacuum (checkpoint restart
+            # after falling past retention) recovers by folding the head
+            # snapshot as one all-inserts micro-batch; the checkpointed
+            # offset then advances to hi like any other batch
+            if self.on_vacuumed != "snapshot":
+                raise
+            return _snapshot_recovery_tasks(table, store_json, hi)
 
     def read(self, partition):
         if partition is None:
@@ -604,6 +681,18 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         pass  # progress lives in the stream checkpoint, not the table
+
+
+def _race_backoff(attempt: int) -> None:
+    """Sleep a jittered, linearly-growing interval after a lost commit
+    race (full jitter: uniform in [0, 50ms·(attempt+1)]). Keeps N
+    contending writers from lock-stepping through their retry budgets
+    re-reading the same head — the standard contention treatment for
+    conditional-PUT commit protocols."""
+    import random
+    import time
+
+    time.sleep(random.uniform(0, 0.05 * (attempt + 1)))
 
 
 @dataclass
@@ -624,11 +713,17 @@ class _SnapshotWriter(DataSourceArrowWriter):
 
     Honest boundaries: tables with CHECK constraints or generated
     columns refuse this path at PLAN time (enforcement needs the engine
-    — use ``SnapshotTable.append``); the input schema must equal the
-    table's logical schema exactly (no evolution through the writer).
-    Roots: local paths, file://, and s3:// (shards spool to executor
-    scratch and publish with a streaming upload — never whole-shard in
-    memory)."""
+    — use ``SnapshotTable.append``). By default the input schema must
+    equal the table's logical schema exactly; ``.option("mergeSchema",
+    "true")`` enables the engine's evolution rules instead — new columns
+    append as nullable (minting mapped physical names when a retired
+    physical collides), lossless type WIDENING
+    (byte<short<int<long, float<double) widens the table schema, a
+    narrower input casts up at write, subset schemas append with the
+    absent columns reading NULL, and anything else still refuses at
+    plan time. Roots: local paths, file://, and s3:// (shards spool to
+    executor scratch and publish with a streaming upload — never
+    whole-shard in memory)."""
 
     def __init__(self, path: str, schema, overwrite: bool, options):
         table = _resolve_table(path, options)
@@ -636,17 +731,47 @@ class _SnapshotWriter(DataSourceArrowWriter):
         self.store_json = json.dumps(_store_spec(path, options))
         self.options = options
         self.overwrite = overwrite
+        self.merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
         self.commit_dir = f"data/{uuid.uuid4().hex}"
         exists = table.latest_version() is not None
         self.create = not exists
         self.cluster_by = None
         mapping = None
+        table_schema_json = schema.jsonValue()
         if exists:
             state = table._state()
-            _writer_refusals(state, schema)
-            mapping = state["column_mapping"]
+            if self.merge_schema:
+                _refuse_features(state)
+                # plan-time merge: raises on incompatible types; the
+                # commit re-merges against the then-head (append path)
+                merged, new_mapping = table._merged_schema(state, schema)
+                table_schema_json = merged
+                mapping = (
+                    new_mapping
+                    if new_mapping is not None
+                    else state["column_mapping"]
+                )
+                # shards carry the MERGED (widened) types for the input
+                # columns, so narrow input casts up at write
+                merged_types = {
+                    f["name"]: f for f in merged["fields"]
+                }
+                schema = T.StructType.fromJson(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            merged_types[f.name] for f in schema.fields
+                        ],
+                    }
+                )
+            else:
+                _writer_refusals(state, schema)
+                mapping = state["column_mapping"]
             self.cluster_by = state["cluster_by"]
         self.schema_json = json.dumps(schema.jsonValue())
+        self.table_schema_json = json.dumps(table_schema_json)
         self.mapping_json = json.dumps(mapping or {})
 
     def write(self, iterator):
@@ -699,7 +824,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
         table = _resolve_table(self.path, self.options)
         rels = sorted(r for m in messages if m is not None for r in m.rels)
         mapping = json.loads(self.mapping_json)
-        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        write_schema = T.StructType.fromJson(json.loads(self.schema_json))
         bloom_phys = (
             mapping.get(self.cluster_by[0], self.cluster_by[0])
             if self.cluster_by
@@ -713,7 +838,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
         if self.create:
             record = {
                 "operation": "create",
-                "schema": schema.jsonValue(),
+                "schema": json.loads(self.table_schema_json),
                 "cluster_by": None,
                 "add": adds,
                 "remove": [],
@@ -721,7 +846,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
             table._try_commit(1, record)
             return
         op = "overwrite" if self.overwrite else "append"
-        for _ in range(5):
+        for attempt in range(5):
             state = table._state()
             if state["constraints"] or state["generated"]:
                 raise CommitConflictError(
@@ -729,17 +854,49 @@ class _SnapshotWriter(DataSourceArrowWriter):
                     "columns the writer cannot enforce — re-run via "
                     "SnapshotTable.append"
                 )
+            mp = {}
+            if self.merge_schema:
+                # re-merge against the current head (the engine append's
+                # retry protocol): our shards stay valid under a racer's
+                # widening, but a racer's rename/mint that moves any of
+                # OUR columns' physical names orphans the written bytes —
+                # surface it, never read-as-null silently
+                rec_schema, new_mapping = table._merged_schema(
+                    state, write_schema, prefer_mapping=mapping
+                )
+                eff = (
+                    new_mapping
+                    if new_mapping is not None
+                    else state["column_mapping"]
+                )
+                if any(
+                    table._phys(mapping, f.name) != table._phys(eff, f.name)
+                    for f in write_schema.fields
+                ):
+                    raise CommitConflictError(
+                        f"wopen_snapshot write to {self.path} raced a "
+                        f"column rename: physical names changed under the "
+                        f"written shards — re-run the write"
+                    )
+                if new_mapping is not None:
+                    mp = {"column_mapping": new_mapping}
+            else:
+                rec_schema = state["schema"]
             record = {
                 "operation": op,
-                "schema": state["schema"],
+                "schema": rec_schema,
                 "add": adds,
                 "remove": sorted(state["files"]) if self.overwrite else [],
+                **mp,
             }
             try:
                 table._try_commit(state["version"] + 1, record)
                 return
             except CommitConflictError:
-                continue  # append commutes; overwrite re-resolves the head
+                # append commutes; overwrite re-resolves the head. Jittered
+                # backoff so N contending writers on an object store don't
+                # lock-step through all 5 rounds re-reading the same head.
+                _race_backoff(attempt)
         raise CommitConflictError(
             f"wopen_snapshot write to {self.path} lost 5 commit races"
         )
@@ -841,7 +998,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
             for rel in rels
             if (meta := table._add_action(rel, bloom_phys)) is not None
         ]
-        for _ in range(5):
+        for attempt in range(5):
             state = table._state()
             if self.txn_app in state["txns"] and state["txns"][self.txn_app] >= batchId:
                 self._cleanup(rels)  # lost the race to a concurrent replay
@@ -861,7 +1018,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 )
                 return
             except CommitConflictError:
-                continue  # appends commute; re-resolve the head
+                _race_backoff(attempt)  # appends commute; re-resolve the head
         raise CommitConflictError(
             f"streaming sink epoch {batchId} lost 5 commit races at {self.path}"
         )
@@ -872,9 +1029,9 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
         )
 
 
-def _writer_refusals(state: dict, schema) -> None:
-    """Shared batch/stream writer guards: no post-hoc-unenforceable
-    table features, exact logical schema match."""
+def _refuse_features(state: dict) -> None:
+    """Writer guards shared by both schema modes: table features the
+    datasource path cannot enforce post-hoc."""
     if state["constraints"]:
         raise ValueError(
             "wopen_snapshot writer cannot enforce CHECK constraints "
@@ -885,13 +1042,22 @@ def _writer_refusals(state: dict, schema) -> None:
             "wopen_snapshot writer cannot compute generated columns "
             f"({sorted(state['generated'])}); use SnapshotTable.append"
         )
+
+
+def _writer_refusals(state: dict, schema) -> None:
+    """Exact-schema-mode guards (the default): no unenforceable table
+    features, input schema equals the table's logical schema. Pass
+    ``.option("mergeSchema", "true")`` for additive/widening evolution
+    instead."""
+    _refuse_features(state)
     table_schema = T.StructType.fromJson(state["schema"])
     if [(f.name, f.dataType.simpleString()) for f in schema.fields] != [
         (f.name, f.dataType.simpleString()) for f in table_schema.fields
     ]:
         raise ValueError(
-            "input schema must equal the table schema exactly (writer "
-            f"does not evolve schemas): input {schema.simpleString()} vs "
+            "input schema must equal the table schema exactly (pass "
+            '.option("mergeSchema", "true") for additive/widening '
+            f"evolution): input {schema.simpleString()} vs "
             f"table {table_schema.simpleString()}"
         )
 
@@ -901,7 +1067,43 @@ class SnapshotTableDataSource(DataSource):
     ``timestampAsOf`` time travel, file-skipping filter pushdown), batch
     AND streaming change-feed reads (``readChangeFeed`` +
     ``afterVersion``/``endingVersion``), and batch/streaming writes over
-    a SnapshotTable."""
+    a SnapshotTable.
+
+    Tables are addressed by PATH (``.load("/tables/events")``) or by
+    REGISTERED NAME through a :class:`wopen_spark.catalog.Catalog` —
+    ``.load("wopen://crm.events")`` or ``.option("table", "crm.events")``
+    — with the catalog root from ``.option("catalogRoot", ...)`` or the
+    ``WOPEN_CATALOG_ROOT`` environment variable. Name resolution happens
+    ONCE here on the driver: the entry's path and store options
+    (s3_endpoint/...) merge into the options every partition then
+    carries, so executors are catalog-oblivious (caller options win on
+    conflict)."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        opts = {str(k).lower(): v for k, v in dict(options).items()}
+        p = opts.get("path") or ""
+        name = p[len("wopen://"):] if p.startswith("wopen://") else opts.get("table")
+        if name:
+            from wopen_spark.catalog import Catalog
+
+            root = opts.get("catalogroot") or os.environ.get("WOPEN_CATALOG_ROOT")
+            if not root:
+                raise ValueError(
+                    f"resolving table name {name!r} needs a catalog root: "
+                    '.option("catalogRoot", ...) or WOPEN_CATALOG_ROOT'
+                )
+            try:
+                entry = Catalog(root).resolve(name)
+            except KeyError:
+                raise ValueError(
+                    f"table {name!r} is not registered in the catalog at "
+                    f"{root!r}"
+                ) from None
+            merged = {str(k).lower(): v for k, v in entry["options"].items()}
+            merged.update(opts)
+            merged["path"] = entry["path"]
+            self.options = merged
 
     @classmethod
     def name(cls):
@@ -910,7 +1112,11 @@ class SnapshotTableDataSource(DataSource):
     def _path(self) -> str:
         p = self.options.get("path")
         if not p:
-            raise ValueError("wopen_snapshot requires a table path: .load(path)")
+            raise ValueError(
+                "wopen_snapshot requires a table path (.load(path) / "
+                ".load('wopen://name')) or a registered name "
+                "(.option('table', 'dataset.table'))"
+            )
         return p
 
     def _cdf(self) -> bool:

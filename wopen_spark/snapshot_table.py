@@ -1621,7 +1621,11 @@ class SnapshotTable:
         the physical names a retrying writer ALREADY WROTE its files
         with: a re-merge reuses them when still unoccupied, so a lost
         commit race doesn't re-mint fresh uuids and spuriously trip the
-        physical-name guard — appends keep commuting."""
+        physical-name guard — appends keep commuting.
+
+        ``df`` may be a DataFrame or a bare StructType — the datasource
+        writer merges from a plan-time schema with no frame in hand."""
+        in_schema = df if isinstance(df, T.StructType) else df.schema
         current = T.StructType.fromJson(state["schema"])
         by_name = {f.name: f for f in current.fields}
         mapping = dict(state.get("column_mapping") or {})
@@ -1634,7 +1638,7 @@ class SnapshotTable:
         used_phys.update(state.get("retired_phys", []))
         changed_mapping = False
         out = list(current.fields)
-        for f in df.schema.fields:
+        for f in in_schema.fields:
             if f.name not in by_name:
                 if f.name in used_phys:
                     pref = (prefer_mapping or {}).get(f.name)

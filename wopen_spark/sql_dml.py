@@ -509,10 +509,11 @@ def _resolve_target(p: dict, tables: dict, verb: str, catalog=None, spark=None):
 def execute_merge(
     spark: SparkSession,
     sql: str,
-    tables: dict,
+    tables: dict | None = None,
     mode: str = "cow",
     txn_app: str | None = None,
     txn_version: int | None = None,
+    catalog=None,
 ) -> dict:
     """Run a MERGE INTO statement against registered SnapshotTables.
     ``tables`` maps target names (as written in the statement) to
@@ -522,7 +523,7 @@ def execute_merge(
     p = parse_merge(sql)
     if p["leftover"]:
         raise ValueError(f"unparsed MERGE fragment: {p['leftover']!r}")
-    t = _resolve_target(p, tables, "merge")
+    t = _resolve_target(p, tables or {}, "merge", catalog, spark)
     src_sql = p["source_sql"]
     source: DataFrame = (
         spark.sql(src_sql[1:-1]) if src_sql.startswith("(") else spark.table(src_sql)
@@ -540,25 +541,27 @@ def execute_merge(
 
 
 def execute_update(
-    spark: SparkSession, sql: str, tables: dict, mode: str = "cow"
+    spark: SparkSession, sql: str, tables: dict | None = None,
+    mode: str = "cow", catalog=None,
 ) -> dict:
     """Run an UPDATE statement against a registered SnapshotTable —
     dispatches to :meth:`SnapshotTable.update_where` (cow or dv). A
     missing WHERE updates every row (predicate ``true``), the ANSI
     contract."""
     p = parse_update(sql)
-    t = _resolve_target(p, tables, "update")
+    t = _resolve_target(p, tables or {}, "update", catalog, spark)
     return t.update_where(p["where"] or "true", p["set"], mode=mode)
 
 
 def execute_delete(
-    spark: SparkSession, sql: str, tables: dict, mode: str = "cow"
+    spark: SparkSession, sql: str, tables: dict | None = None,
+    mode: str = "cow", catalog=None,
 ) -> dict:
     """Run a DELETE FROM statement against a registered SnapshotTable —
     dispatches to :meth:`SnapshotTable.delete_where`. A missing WHERE
     deletes every row."""
     p = parse_delete(sql)
-    t = _resolve_target(p, tables, "delete")
+    t = _resolve_target(p, tables or {}, "delete", catalog, spark)
     return t.delete_where(p["where"] or "true", mode=mode)
 
 
@@ -606,7 +609,9 @@ def parse_insert(sql: str) -> dict:
     )
 
 
-def execute_insert(spark: SparkSession, sql: str, tables: dict) -> dict:
+def execute_insert(
+    spark: SparkSession, sql: str, tables: dict | None = None, catalog=None
+) -> dict:
     """Run an INSERT INTO statement against a registered SnapshotTable —
     dispatches to the transactional :meth:`SnapshotTable.append`.
     Columns bind POSITIONALLY (the ANSI contract): without a column
@@ -616,7 +621,7 @@ def execute_insert(spark: SparkSession, sql: str, tables: dict) -> dict:
     from pyspark.sql import types as T
 
     p = parse_insert(sql)
-    t = _resolve_target(p, tables, "insert")
+    t = _resolve_target(p, tables or {}, "insert", catalog, spark)
     if p["values_sql"] is not None:
         src = spark.sql(f"SELECT * FROM ({p['values_sql']})")
     else:
@@ -674,7 +679,9 @@ _RESTORE_RE = re.compile(
 )
 
 
-def execute_admin(spark: SparkSession, sql: str, tables: dict) -> object:
+def execute_admin(
+    spark: SparkSession, sql: str, tables: dict | None = None, catalog=None
+) -> object:
     """The table-maintenance statements a SQL-only consumer needs
     (Delta-shaped grammar, dispatched to the engine methods):
 
@@ -690,12 +697,18 @@ def execute_admin(spark: SparkSession, sql: str, tables: dict) -> object:
     text = sql.strip().rstrip(";")
     m = _VACUUM_RE.match(text)
     if m:
-        t = _resolve_target({"target": m.group("target")}, tables, "vacuum")
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "vacuum",
+            catalog, spark,
+        )
         retain = int(m.group("retain")) if m.group("retain") else 1
         return {"removed": t.vacuum(retain_last=retain)}
     m = _OPTIMIZE_RE.match(text)
     if m:
-        t = _resolve_target({"target": m.group("target")}, tables, "optimize")
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "optimize",
+            catalog, spark,
+        )
         z = m.group("zcols")
         if z:
             cols = [c.strip() for c in z.strip("() \t").split(",") if c.strip()]
@@ -703,7 +716,10 @@ def execute_admin(spark: SparkSession, sql: str, tables: dict) -> object:
         return t.optimize_small_files()
     m = _HISTORY_RE.match(text)
     if m:
-        t = _resolve_target({"target": m.group("target")}, tables, "describe")
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "describe",
+            catalog, spark,
+        )
         rows = t.history()
         # bind columns BY NAME (not dict insertion order) so extending
         # or reordering history()'s dict can never silently shift values
@@ -722,7 +738,10 @@ def execute_admin(spark: SparkSession, sql: str, tables: dict) -> object:
         )
     m = _RESTORE_RE.match(text)
     if m:
-        t = _resolve_target({"target": m.group("target")}, tables, "restore")
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "restore",
+            catalog, spark,
+        )
         return {"version": t.restore(int(m.group("version")))}
     raise ValueError(
         "unparseable admin statement (expected VACUUM | OPTIMIZE "
@@ -731,7 +750,8 @@ def execute_admin(spark: SparkSession, sql: str, tables: dict) -> object:
 
 
 def execute_sql(
-    spark: SparkSession, sql: str, tables: dict, mode: str = "cow"
+    spark: SparkSession, sql: str, tables: dict | None = None,
+    mode: str = "cow", catalog=None,
 ) -> object:
     """ONE SQL entry point for the whole DML + admin surface: routes by
     leading keyword to MERGE / UPDATE / DELETE / INSERT / VACUUM /
@@ -741,15 +761,15 @@ def execute_sql(
     kw = head[0].upper() if head else ""
     kw2 = head[1].upper() if len(head) > 1 else ""
     if kw == "MERGE":
-        return execute_merge(spark, sql, tables, mode=mode)
+        return execute_merge(spark, sql, tables, mode=mode, catalog=catalog)
     if kw == "UPDATE":
-        return execute_update(spark, sql, tables, mode=mode)
+        return execute_update(spark, sql, tables, mode=mode, catalog=catalog)
     if kw == "DELETE":
-        return execute_delete(spark, sql, tables, mode=mode)
+        return execute_delete(spark, sql, tables, mode=mode, catalog=catalog)
     if kw == "INSERT":
-        return execute_insert(spark, sql, tables)
+        return execute_insert(spark, sql, tables, catalog=catalog)
     if kw in ("VACUUM", "OPTIMIZE", "RESTORE") or (
         kw == "DESCRIBE" and kw2 == "HISTORY"
     ):
-        return execute_admin(spark, sql, tables)
+        return execute_admin(spark, sql, tables, catalog=catalog)
     raise ValueError(f"unsupported statement {kw!r} (SELECTs go to spark.sql)")

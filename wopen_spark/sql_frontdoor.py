@@ -84,3 +84,21 @@ def register_snapshot_view(
     under concurrent commits; register again to follow the head."""
     table.read(version=version, asof_ts=asof_ts).createOrReplaceTempView(name)
     return name
+
+
+def register_catalog_views(
+    spark: SparkSession, catalog, names: list[str] | None = None
+) -> dict[str, str]:
+    """Expose every (or the named subset of) catalog-registered table as
+    a SQL view in one call — the by-name complement of
+    :func:`register_snapshot_view`. Dots in registered names become
+    ``__`` in the view name (Spark temp views are single-level):
+    ``crm.events`` -> ``crm__events``. Returns {registered name: view
+    name}. Views pin the head snapshot at registration; call again to
+    follow new commits."""
+    out: dict[str, str] = {}
+    for name in names if names is not None else catalog.tables():
+        view = name.replace(".", "__")
+        register_snapshot_view(spark, catalog.handle(spark, name), view)
+        out[name] = view
+    return out
