@@ -271,3 +271,95 @@ def test_register_catalog_views(spark, tmp_path):
         "(SELECT max(id) FROM two) AS b"
     ).collect()[0]
     assert (got.a, got.b) == (2, 3)
+
+
+def test_show_tables_and_describe(spark, tmp_path):
+    from wopen_spark.sql_dml import execute_sql
+
+    path = str(tmp_path / "tbl")
+    t = _mk_table(spark, path)
+    cat = Catalog(str(tmp_path / "cat"))
+    cat.register("crm.t", path)
+    other = _mk_table(spark, str(tmp_path / "o"), rows=((9, "z", 0.5),))
+
+    shown = execute_sql(
+        spark, "SHOW TABLES", tables={"adhoc": other}, catalog=cat
+    ).collect()
+    assert [(r.name, r.path) for r in shown] == [
+        ("adhoc", other.path), ("crm.t", t.path)
+    ]
+
+    desc = execute_sql(spark, "DESCRIBE crm.t", catalog=cat).collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("id", "bigint"), ("name", "string"), ("val", "double")
+    ]
+    # DESCRIBE TABLE spelling + dict resolution
+    desc2 = execute_sql(spark, "DESCRIBE TABLE adhoc", tables={"adhoc": other})
+    assert desc2.count() == 3
+    # DESCRIBE HISTORY still routes to the history surface
+    hist = execute_sql(spark, "DESCRIBE HISTORY crm.t", catalog=cat)
+    assert hist.columns[0] == "version"
+
+
+def test_create_and_drop_table_sql(spark, tmp_path):
+    """The SQL-only table lifecycle: CREATE TABLE registers an empty
+    transactional table in the catalog (location derived from the root
+    when omitted), INSERT/DESCRIBE work by name immediately, DROP TABLE
+    unlinks the name but leaves the files (external semantics)."""
+    from wopen_spark.sql_dml import execute_sql
+
+    cat = Catalog(str(tmp_path / "cat"))
+    rep = execute_sql(
+        spark,
+        "CREATE TABLE crm.orders (id BIGINT, status STRING, "
+        "amount DECIMAL(10,2)) CLUSTER BY (id)",
+        catalog=cat,
+    )
+    assert rep["created"] is True
+    assert cat.tables() == ["crm.orders"]
+    execute_sql(
+        spark, "INSERT INTO crm.orders VALUES (1, 'OPEN', 10.50)", catalog=cat
+    )
+    got = cat.handle(spark, "crm.orders").read().collect()
+    assert [(r.id, r.status, str(r.amount)) for r in got] == [(1, "OPEN", "10.50")]
+    desc = execute_sql(spark, "DESCRIBE crm.orders", catalog=cat).collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("id", "bigint"), ("status", "string"), ("amount", "decimal(10,2)")
+    ]
+    # IF NOT EXISTS no-op; bare re-create refuses
+    rep2 = execute_sql(
+        spark, "CREATE TABLE IF NOT EXISTS crm.orders (x INT)", catalog=cat
+    )
+    assert rep2["created"] is False
+    with pytest.raises(ValueError, match="already exists"):
+        execute_sql(spark, "CREATE TABLE crm.orders (x INT)", catalog=cat)
+
+    path = rep["path"]
+    execute_sql(spark, "DROP TABLE crm.orders", catalog=cat)
+    assert cat.tables() == []
+    assert os.path.isdir(path), "DROP must not delete files"
+    assert execute_sql(
+        spark, "DROP TABLE IF EXISTS crm.orders", catalog=cat
+    ) == {"dropped": None}
+    with pytest.raises(ValueError, match="unknown drop target"):
+        execute_sql(spark, "DROP TABLE crm.orders", catalog=cat)
+
+
+def test_create_table_location_and_no_catalog(spark, tmp_path):
+    from wopen_spark.sql_dml import execute_sql
+
+    loc = str(tmp_path / "explicit")
+    rep = execute_sql(
+        spark,
+        f"CREATE TABLE adhoc (id BIGINT, v DOUBLE) LOCATION '{loc}'",
+    )
+    assert rep == {"created": True, "path": loc, "version": 1}
+    # uncataloged IF NOT EXISTS against an existing location is a no-op
+    rep2 = execute_sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS adhoc (id BIGINT, v DOUBLE) "
+        f"LOCATION '{loc}'",
+    )
+    assert rep2["created"] is False
+    with pytest.raises(ValueError, match="LOCATION|catalog"):
+        execute_sql(spark, "CREATE TABLE nowhere (id INT)")

@@ -208,3 +208,46 @@ def test_file_uri_roundtrip_via_hadoopfs_created_table(ds_spark, tmp_path):
     ).mode("append").save(uri)
     assert t.read().count() == 3
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_catalog_on_s3_resolves_s3_table(ds_spark, s3env, tmp_path):
+    """The named-table catalog living ON the object store: registry
+    commits ride the conditional-PUT log store, and a registered s3
+    table resolves through every by-name surface — Catalog.handle,
+    execute_sql, and the datasource's wopen:// route (the entry's
+    s3_endpoint option reaches the partitions executors read with)."""
+    from wopen_spark.catalog import Catalog
+    from wopen_spark.sql_dml import execute_sql
+
+    endpoint, client = s3env
+    t = _s3_table(ds_spark, s3env, "cat_tbl", tmp_path)
+    t.create(
+        ds_spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, name string, val double"
+        ).coalesce(1)
+    )
+
+    cat = Catalog(f"s3://{BUCKET}/catalog", s3_endpoint=endpoint)
+    cat.register(
+        "crm.remote", f"s3://{BUCKET}/cat_tbl",
+        options={"s3_endpoint": endpoint},
+    )
+    # a second handle on the same root sees the registration (registry
+    # state lives in the store, not the object)
+    cat2 = Catalog(f"s3://{BUCKET}/catalog", s3_endpoint=endpoint)
+    assert cat2.tables() == ["crm.remote"]
+
+    h = cat2.handle(ds_spark, "crm.remote")
+    assert sorted(r.id for r in h.read().collect()) == [1, 2]
+
+    execute_sql(
+        ds_spark, "UPDATE crm.remote SET val = val * 2 WHERE id = 2",
+        catalog=cat2,
+    )
+    df = (
+        ds_spark.read.format("wopen_snapshot")
+        .option("catalogRoot", f"s3://{BUCKET}/catalog")
+        .option("s3_endpoint", endpoint)  # for the catalog root itself
+        .load("wopen://crm.remote")
+    )
+    assert sorted((r.id, r.val) for r in df.collect()) == [(1, 1.0), (2, 4.0)]

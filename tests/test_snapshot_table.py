@@ -1120,3 +1120,28 @@ def test_maintain_policy_thresholds(spark, tmp_path):
     assert rep["vacuum_removed"] >= 1
     rows = sorted(r.id for r in t.read().collect())
     assert rows == [1, 2, 4, 5]
+
+
+def test_decimal_columns_write_without_stats(spark, tmp_path):
+    """pyarrow raises ArrowNotImplementedError materializing footer
+    statistics for some decimal physical widths; a decimal column must
+    still write (add-action derived, no stats for that column — never
+    file-skipped) and read back exactly."""
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.sql(
+        "SELECT id, CAST(id AS DECIMAL(10,2)) / 4 AS amount, "
+        "CAST(id AS DECIMAL(38,10)) AS wide FROM range(10)"
+    )
+    t.create(df.coalesce(1), cluster_by=["id"])
+    t.append(df.coalesce(1))
+    state = t._state()
+    for meta in state["files"].values():
+        assert "id" in meta["stats"], "plain columns keep stats"
+        assert "amount" not in meta["stats"]
+        assert "wide" not in meta["stats"]
+    got = t.read().groupBy().agg({"amount": "sum", "id": "count"}).collect()[0]
+    assert str(got["sum(amount)"]) == str(
+        df.groupBy().sum("amount").collect()[0][0] * 2
+    )

@@ -62,8 +62,10 @@ def main() -> None:
             df.groupBy("l_returnflag")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum("l_quantity").alias("q"),
-                F.sum("l_extendedprice").alias("p"),
+                # decimal sums: order-independent, so the three surfaces
+                # compare EQUAL (double sums drift with task ordering)
+                F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("q"),
+                F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).alias("p"),
             )
             .collect()
         )
@@ -90,6 +92,19 @@ def main() -> None:
     )
     assert r_engine == r_ds == r_proj, "surfaces disagree"
 
+    # dv-free twin: same bytes, no deletion vectors — isolates the dv
+    # merge-on-read strategy (engine: (file,row) anti-join; datasource:
+    # per-task pyarrow row mask) from the raw scan tax
+    t2 = SnapshotTable(spark, tempfile.mkdtemp(prefix="wopen_rs_") + "/li2")
+    t2.create(li.filter("l_orderkey % 10 <> 3").repartition(32),
+              cluster_by=["l_orderkey"])
+    agg(t2.read().limit(100000))
+    t2_engine, r2_engine = timed(lambda: agg(t2.read()))
+    t2_ds, r2_ds = timed(
+        lambda: agg(spark.read.format("wopen_snapshot").load(t2.path))
+    )
+    assert r2_engine == r2_ds == r_engine, "dv-free twin disagrees"
+
     print(
         json.dumps(
             {
@@ -100,6 +115,9 @@ def main() -> None:
                 "datasource_read_sec": t_ds,
                 "datasource_read_projected_sec": t_ds_proj,
                 "datasource_over_engine": round(t_ds / t_engine, 2),
+                "nodv_engine_class_read_sec": t2_engine,
+                "nodv_datasource_read_sec": t2_ds,
+                "nodv_datasource_over_engine": round(t2_ds / t2_engine, 2),
             }
         )
     )

@@ -1094,7 +1094,14 @@ class SnapshotTableDataSource(DataSource):
                     '.option("catalogRoot", ...) or WOPEN_CATALOG_ROOT'
                 )
             try:
-                entry = Catalog(root).resolve(name)
+                # an s3:// catalog root reuses the caller's endpoint/region
+                # options (registry and tables share the object store in
+                # any sane deployment; per-entry options still win below)
+                entry = Catalog(
+                    root,
+                    s3_endpoint=opts.get("s3_endpoint"),
+                    s3_region=opts.get("s3_region"),
+                ).resolve(name)
             except KeyError:
                 raise ValueError(
                     f"table {name!r} is not registered in the catalog at "

@@ -246,7 +246,15 @@ def _file_meta(source, rel_path: str, nbytes: int) -> dict:
             name = col.path_in_schema
             if "." in name:  # nested field — no file-skip stats
                 continue
-            s = col.statistics
+            try:
+                s = col.statistics
+            except Exception:
+                # pyarrow cannot materialize stats for every physical
+                # type (e.g. decimal raises ArrowNotImplementedError) —
+                # treat exactly like absent stats: the column is never
+                # file-skipped, pruning stays false-positive-only
+                partial.add(name)
+                continue
             if s is None:
                 partial.add(name)
                 continue
@@ -264,7 +272,16 @@ def _file_meta(source, rel_path: str, nbytes: int) -> dict:
                 else:
                     partial.add(name)
                 continue
-            if isinstance(s.min, Decimal) or isinstance(s.max, Decimal):
+            try:
+                mn_raw, mx_raw = s.min, s.max
+            except Exception:
+                # materializing min/max raises for physical types
+                # pyarrow has no statistics cast for (e.g. some decimal
+                # widths: ArrowNotImplementedError) — same policy as
+                # absent stats: never file-skipped.
+                partial.add(name)
+                continue
+            if isinstance(mn_raw, Decimal) or isinstance(mx_raw, Decimal):
                 # decimal is not in _PRUNABLE_TYPES (no faithful JSON
                 # comparator) and Decimal isn't JSON-storable — same
                 # policy as nested fields: no file-level stats, never
@@ -272,7 +289,7 @@ def _file_meta(source, rel_path: str, nbytes: int) -> dict:
                 partial.add(name)
                 continue
             cur = stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
-            mn, mx = _json_safe(s.min), _json_safe(s.max)
+            mn, mx = _json_safe(mn_raw), _json_safe(mx_raw)
             if cur["min"] is None or mn < cur["min"]:
                 cur["min"] = mn
             if cur["max"] is None or mx > cur["max"]:
@@ -2385,6 +2402,14 @@ class SnapshotTable:
 
     # ----------------------------------------------------- deletion vectors
 
+    # Broadcast the dv mask side of merge-on-read anti-joins when its
+    # on-disk parquet is at most this many bytes ((file,row) pairs
+    # RLE-compress hard; 32 MiB on disk is roughly a few hundred MB of
+    # hash relation — comfortably inside a 4g+ executor). Beyond it the
+    # join falls back to shuffle.
+    _DV_BROADCAST_MAX_BYTES = 32 << 20
+
+
     def _dv_frame(self, dv_rels: list[str]) -> DataFrame:
         """Union scan of deletion-vector parquets: (file basename,
         row index) pairs naming masked rows."""
@@ -2426,9 +2451,19 @@ class SnapshotTable:
             )
         if masked:
             dv_rels = sorted({p for r in masked for p in dvs[r]})
+            dvf = self._dv_frame(dv_rels)
+            # broadcast the mask side when its parquet bytes say it fits:
+            # a shuffle anti-join repartitions the ENTIRE masked scan on
+            # (file, row) string keys — at 100 TB that shuffle dwarfs the
+            # masks themselves. Size gate on on-disk bytes (known from
+            # the data plane, no scan): past it, fall back to the
+            # shuffle join rather than OOM the executors.
+            dv_bytes = sum(self._data.size(r) for r in dv_rels)
+            if dv_bytes <= self._DV_BROADCAST_MAX_BYTES:
+                dvf = F.broadcast(dvf)
             live = self._read_files(
                 masked, schema_json, mapping, lineage=True
-            ).join(self._dv_frame(dv_rels), [_DV_FILE, _DV_ROW], "left_anti")
+            ).join(dvf, [_DV_FILE, _DV_ROW], "left_anti")
             parts.append(live if keep_lineage else live.drop(_DV_FILE, _DV_ROW))
         out = parts[0]
         for p in parts[1:]:

@@ -677,6 +677,68 @@ _RESTORE_RE = re.compile(
     r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*$",
     re.IGNORECASE,
 )
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<target>[A-Za-z_][\w.]*)\s*",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?P<target>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_create_table(sql: str) -> dict:
+    """``CREATE TABLE [IF NOT EXISTS] <name> (col type, ...)
+    [CLUSTER BY (c1, ...)] [LOCATION '<path>']`` -> {target,
+    if_not_exists, ddl, cluster_by, location}. The column list is
+    balanced-paren scanned (types like ``decimal(10,2)`` nest) and
+    passed to Spark's DDL parser verbatim — this parser never
+    interprets types."""
+    text = sql.strip().rstrip(";").strip()
+    m = _CREATE_HEAD_RE.match(text)
+    if not m:
+        raise ValueError(
+            "unparseable CREATE TABLE (expected CREATE TABLE [IF NOT "
+            "EXISTS] <name> (col type, ...) [CLUSTER BY (cols)] "
+            "[LOCATION '<path>'])"
+        )
+    rest = text[m.end():]
+    if not rest.startswith("("):
+        raise ValueError(f"CREATE TABLE needs a column list, got {rest[:40]!r}")
+    close = _balanced_group(rest, 0)
+    ddl = rest[1:close - 1].strip()
+    if not ddl:
+        raise ValueError("CREATE TABLE needs at least one column")
+    tail = rest[close:].strip()
+    cluster_by = None
+    cm = re.match(r"^CLUSTER\s+BY\s*\(", tail, re.IGNORECASE)
+    if cm:
+        cclose = _balanced_group(tail, cm.end() - 1)
+        cluster_by = _split_top_level(tail[cm.end():cclose - 1])
+        for c in cluster_by:
+            if not re.fullmatch(r"[A-Za-z_]\w*", c):
+                raise ValueError(f"bad CLUSTER BY column {c!r}")
+        tail = tail[cclose:].strip()
+    location = None
+    lm = re.match(r"^LOCATION\s+'(?P<loc>[^']+)'\s*$", tail, re.IGNORECASE)
+    if lm:
+        location = lm.group("loc")
+    elif tail:
+        raise ValueError(f"trailing text after CREATE TABLE: {tail[:60]!r}")
+    return {
+        "target": m.group("target"),
+        "if_not_exists": bool(m.group("ine")),
+        "ddl": ddl,
+        "cluster_by": cluster_by,
+        "location": location,
+    }
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<target>(?!HISTORY\b)[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
 
 
 def execute_admin(
@@ -691,8 +753,19 @@ def execute_admin(
       (:meth:`optimize_small_files`); ``OPTIMIZE t ZORDER BY (c1, c2)``
       -> :meth:`optimize_zorder`. Returns the engine report.
     - ``DESCRIBE HISTORY t`` -> the commit log as a DataFrame.
+    - ``DESCRIBE [TABLE] t`` -> the logical schema as a DataFrame
+      (col_name, data_type, nullable).
+    - ``SHOW TABLES`` -> the addressable names as a DataFrame (name,
+      path): catalog registrations plus any explicit ``tables`` dict
+      entries (the dict wins on collision, matching target resolution).
     - ``RESTORE [TABLE] t TO VERSION AS OF n`` -> :meth:`restore`;
       returns {"version": new_head}.
+    - ``CREATE TABLE [IF NOT EXISTS] t (col type, ...) [CLUSTER BY
+      (cols)] [LOCATION '<path>']`` -> an empty transactional table,
+      registered in the catalog (location derived from the catalog root
+      when omitted).
+    - ``DROP TABLE [IF EXISTS] t`` -> unregister from the catalog
+      (external-table semantics: files untouched).
     """
     text = sql.strip().rstrip(";")
     m = _VACUUM_RE.match(text)
@@ -743,10 +816,108 @@ def execute_admin(
             catalog, spark,
         )
         return {"version": t.restore(int(m.group("version")))}
+    m = _SHOW_TABLES_RE.match(text)
+    if m:
+        # explicit dict entries + catalog registrations, deduped by name
+        # (dict wins, matching _resolve_target precedence)
+        entries: dict[str, str] = {}
+        if catalog is not None:
+            for name in catalog.tables():
+                entries[name] = catalog.resolve(name)["path"]
+        for name, t in (tables or {}).items():
+            entries[name] = t.path
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("path", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame(
+            sorted(entries.items()), schema
+        )
+    m = _DESCRIBE_RE.match(text)
+    if m:
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "describe",
+            catalog, spark,
+        )
+        fields = T.StructType.fromJson(t._state()["schema"]).fields
+        schema = T.StructType(
+            [
+                T.StructField("col_name", T.StringType()),
+                T.StructField("data_type", T.StringType()),
+                T.StructField("nullable", T.BooleanType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(), f.nullable) for f in fields],
+            schema,
+        )
+    if re.match(r"^\s*CREATE\s+TABLE\b", text, re.IGNORECASE):
+        return _execute_create_table(spark, text, catalog)
+    m = _DROP_RE.match(text)
+    if m:
+        name = m.group("target")
+        if catalog is None:
+            raise ValueError(
+                "DROP TABLE needs a catalog (it unlinks a registered "
+                "name; table files are never deleted — use VACUUM for "
+                "space)"
+            )
+        try:
+            catalog.unregister(name)
+            return {"dropped": name}
+        except KeyError:
+            if m.group("ie"):
+                return {"dropped": None}
+            raise ValueError(
+                f"unknown drop target {name!r}; registered: "
+                f"{catalog.tables()}"
+            ) from None
     raise ValueError(
-        "unparseable admin statement (expected VACUUM | OPTIMIZE "
-        "[ZORDER BY] | DESCRIBE HISTORY | RESTORE ... TO VERSION AS OF n)"
+        "unparseable admin statement (expected CREATE TABLE | DROP TABLE "
+        "| VACUUM | OPTIMIZE [ZORDER BY] | DESCRIBE [HISTORY] | "
+        "SHOW TABLES | RESTORE ... TO VERSION AS OF n)"
     )
+
+
+def _execute_create_table(spark: SparkSession, text: str, catalog) -> dict:
+    """``CREATE TABLE`` — an EMPTY transactional table at LOCATION (or a
+    catalog-derived path ``<root>/tables/<name>``), registered in the
+    catalog when one is passed. External-table semantics throughout:
+    DROP unlinks the name, never the files. IF NOT EXISTS is a no-op
+    when the name is registered (or, uncataloged, when the location
+    already holds a table)."""
+    from wopen_spark.catalog import build_handle
+
+    p = parse_create_table(text)
+    name, location = p["target"], p["location"]
+    if catalog is not None and name in catalog.tables():
+        if p["if_not_exists"]:
+            return {"created": False, "path": catalog.resolve(name)["path"]}
+        raise ValueError(f"table {name!r} already exists; DROP it first")
+    if location is None:
+        if catalog is None:
+            raise ValueError(
+                "CREATE TABLE needs a LOCATION '<path>' or a catalog to "
+                "derive one from"
+            )
+        location = f"{catalog.root.rstrip('/')}/tables/{name}"
+    schema = T.StructType.fromDDL(p["ddl"])
+    t = build_handle(spark, location)
+    if t.latest_version() is not None:
+        if p["if_not_exists"] and catalog is None:
+            return {"created": False, "path": location}
+        raise ValueError(
+            f"a table already exists at {location!r} (register it "
+            f"instead of re-creating)"
+        )
+    t.create(
+        spark.createDataFrame([], schema), cluster_by=p["cluster_by"]
+    )
+    if catalog is not None:
+        catalog.register(name, location)
+    return {"created": True, "path": location, "version": 1}
 
 
 def execute_sql(
@@ -768,8 +939,8 @@ def execute_sql(
         return execute_delete(spark, sql, tables, mode=mode, catalog=catalog)
     if kw == "INSERT":
         return execute_insert(spark, sql, tables, catalog=catalog)
-    if kw in ("VACUUM", "OPTIMIZE", "RESTORE") or (
-        kw == "DESCRIBE" and kw2 == "HISTORY"
-    ):
+    if kw in ("VACUUM", "OPTIMIZE", "RESTORE", "DESCRIBE", "DROP") or (
+        kw == "SHOW" and kw2 == "TABLES"
+    ) or (kw == "CREATE" and kw2 == "TABLE"):
         return execute_admin(spark, sql, tables, catalog=catalog)
     raise ValueError(f"unsupported statement {kw!r} (SELECTs go to spark.sql)")
