@@ -1635,3 +1635,74 @@ def snapshot_datasource_vacuum_recovery(spark: SparkSession, sf_dir: str) -> Dat
         .filter(F.col("n_live") > 0)
         .orderBy("p_brand")
     )
+
+
+@query(
+    "sql_ddl_lifecycle",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS balance,
+           CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS tier
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT CAST(c_custkey + 9000000 AS BIGINT), 0.0, 'new'
+    FROM customer WHERE c_custkey % 1000 = 1
+    ORDER BY c_custkey
+    """,
+)
+def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL-only DDL evolution arc (r10): CTAS materializes a
+    clustered table from a SELECT, then the ALTER TABLE family reshapes
+    it — ADD COLUMN (NULL-fill, O(metadata)), a dv UPDATE fills the new
+    column, RENAME COLUMN (mapping-only), lossless int->bigint widening
+    (old narrow files read through the widened schema), DROP COLUMN
+    (physical retired), a CHECK constraint validated against the whole
+    table, and a catalog-level RENAME TO — with an INSERT through the
+    fully-evolved schema and the final state read back over the
+    datasource's ``wopen://`` route. Every step is an O(metadata)
+    commit except the UPDATE and INSERT: at 100 TB this whole chain
+    (minus the backfill) costs log writes, never a data rewrite."""
+    import tempfile
+
+    from wopen_spark.catalog import Catalog
+    from wopen_spark.datasource import register_snapshot_datasource
+    from wopen_spark.sql_dml import execute_sql
+
+    register_snapshot_datasource(spark)
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("ddl_custs_src")
+    root = tempfile.mkdtemp(prefix="wopen_ddl_")
+    cat = Catalog(root + "/catalog")
+    execute_sql(
+        spark,
+        "CREATE TABLE crm.custs CLUSTER BY (c_custkey) AS "
+        "SELECT CAST(c_custkey AS INT) AS c_custkey, c_name, "
+        "CAST(c_acctbal AS DOUBLE) AS bal "
+        "FROM ddl_custs_src WHERE c_custkey % 2 = 0",
+        catalog=cat,
+    )
+    ex = lambda s: execute_sql(spark, s, catalog=cat, mode="dv")  # noqa: E731
+    ex("ALTER TABLE crm.custs ADD COLUMN tier STRING")
+    ex(
+        "UPDATE crm.custs SET tier = CASE WHEN bal > 5000 "
+        "THEN 'gold' ELSE 'std' END"
+    )
+    ex("ALTER TABLE crm.custs RENAME COLUMN bal TO balance")
+    ex("ALTER TABLE crm.custs ALTER COLUMN c_custkey TYPE BIGINT")
+    ex("ALTER TABLE crm.custs DROP COLUMN c_name")
+    ex("ALTER TABLE crm.custs ADD CONSTRAINT bal_known CHECK (balance IS NOT NULL)")
+    ex("ALTER TABLE crm.custs RENAME TO crm.customers")
+    ex(
+        "INSERT INTO crm.customers "
+        "SELECT c_custkey + 9000000, 0.0, 'new' "
+        "FROM ddl_custs_src WHERE c_custkey % 1000 = 1"
+    )
+    desc = execute_sql(spark, "DESCRIBE crm.customers", catalog=cat).collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("c_custkey", "bigint"), ("balance", "double"), ("tier", "string")
+    ], "evolved schema must be (c_custkey bigint, balance double, tier string)"
+    return (
+        spark.read.format("wopen_snapshot")
+        .option("catalogRoot", root + "/catalog")
+        .load("wopen://crm.customers")
+        .orderBy("c_custkey")
+    )

@@ -2297,6 +2297,80 @@ class SnapshotTable:
         )
         return state["version"] + 1
 
+    def add_columns(self, cols: list[tuple[str, str]]) -> int:
+        """Metadata-only column add: each ``(name, type_ddl)`` joins the
+        schema as a NULLABLE field; no data file is touched — rows in
+        existing files read the new column as NULL (the parquet reader
+        fills absent columns), so adding a column to a 100 TB table is
+        an O(metadata) commit. If the logical name collides with a
+        physical name still living in old files (a past rename's
+        retired physical, or a previously dropped column), a fresh
+        mapped physical is minted so old bytes never resurrect into the
+        new column — the same rule as write-time schema evolution
+        (:meth:`_merged_schema`)."""
+        if not cols:
+            raise ValueError("add_columns needs at least one (name, type)")
+        state = self._state()
+        names = set(T.StructType.fromJson(state["schema"]).fieldNames())
+        add = T.StructType()
+        for name, ddl in cols:
+            if name in names:
+                raise ValueError(f"column {name!r} already exists")
+            if name in add.fieldNames():
+                raise ValueError(f"duplicate new column {name!r}")
+            add = add.add(name, T.StructType.fromDDL(f"x {ddl}")[0].dataType, True)
+        schema_json, mapping = self._merged_schema(state, add)
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "add_columns",
+                "schema": schema_json,
+                **({"column_mapping": mapping} if mapping is not None else {}),
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def widen_column(self, name: str, type_ddl: str) -> int:
+        """Metadata-only lossless type widening (byte<short<int<long,
+        float<double): the TABLE type widens; existing narrow files keep
+        reading through the widened schema (Spark 4's parquet reader
+        upcasts — the same property write-time widening relies on).
+        Narrowing or cross-family changes refuse: they would need a full
+        rewrite, which is :meth:`overwrite`'s job, not ALTER's."""
+        state = self._state()
+        schema = T.StructType.fromJson(state["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(f"no column {name!r} (have {schema.fieldNames()})")
+        want = T.StructType.fromDDL(f"x {type_ddl}")[0].dataType
+        have = by_name[name].dataType
+        if have == want:
+            return state["version"]  # no-op, no commit
+        if (have.typeName(), want.typeName()) not in self._WIDEN:
+            raise TypeError(
+                f"cannot ALTER {name!r} from {have.simpleString()} to "
+                f"{want.simpleString()}: only lossless widening "
+                f"(byte<short<int<long, float<double) is metadata-only"
+            )
+        fields = [
+            T.StructField(f.name, want if f.name == name else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "widen_column",
+                "schema": T.StructType(fields).jsonValue(),
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
     # Types whose footer stats compare faithfully against Spark-collected
     # bounds after _json_safe. Timestamps are EXCLUDED: parquet footers
     # store UTC-adjusted instants (pyarrow yields tz-aware datetimes)

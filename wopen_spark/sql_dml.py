@@ -690,29 +690,9 @@ _DROP_RE = re.compile(
 )
 
 
-def parse_create_table(sql: str) -> dict:
-    """``CREATE TABLE [IF NOT EXISTS] <name> (col type, ...)
-    [CLUSTER BY (c1, ...)] [LOCATION '<path>']`` -> {target,
-    if_not_exists, ddl, cluster_by, location}. The column list is
-    balanced-paren scanned (types like ``decimal(10,2)`` nest) and
-    passed to Spark's DDL parser verbatim — this parser never
-    interprets types."""
-    text = sql.strip().rstrip(";").strip()
-    m = _CREATE_HEAD_RE.match(text)
-    if not m:
-        raise ValueError(
-            "unparseable CREATE TABLE (expected CREATE TABLE [IF NOT "
-            "EXISTS] <name> (col type, ...) [CLUSTER BY (cols)] "
-            "[LOCATION '<path>'])"
-        )
-    rest = text[m.end():]
-    if not rest.startswith("("):
-        raise ValueError(f"CREATE TABLE needs a column list, got {rest[:40]!r}")
-    close = _balanced_group(rest, 0)
-    ddl = rest[1:close - 1].strip()
-    if not ddl:
-        raise ValueError("CREATE TABLE needs at least one column")
-    tail = rest[close:].strip()
+def _parse_cluster_location(tail: str) -> tuple[list[str] | None, str | None, str]:
+    """Shared ``[CLUSTER BY (cols)] [LOCATION '<path>']`` suffix scan;
+    returns (cluster_by, location, remaining_tail)."""
     cluster_by = None
     cm = re.match(r"^CLUSTER\s+BY\s*\(", tail, re.IGNORECASE)
     if cm:
@@ -723,22 +703,184 @@ def parse_create_table(sql: str) -> dict:
                 raise ValueError(f"bad CLUSTER BY column {c!r}")
         tail = tail[cclose:].strip()
     location = None
-    lm = re.match(r"^LOCATION\s+'(?P<loc>[^']+)'\s*$", tail, re.IGNORECASE)
+    lm = re.match(r"^LOCATION\s+'(?P<loc>[^']+)'\s*", tail, re.IGNORECASE)
     if lm:
         location = lm.group("loc")
-    elif tail:
-        raise ValueError(f"trailing text after CREATE TABLE: {tail[:60]!r}")
-    return {
+        tail = tail[lm.end():].strip()
+    return cluster_by, location, tail
+
+
+def parse_create_table(sql: str) -> dict:
+    """``CREATE TABLE [IF NOT EXISTS] <name> (col type, ...)
+    [CLUSTER BY (c1, ...)] [LOCATION '<path>']`` or the CTAS form
+    ``CREATE TABLE [IF NOT EXISTS] <name> [CLUSTER BY (...)] [LOCATION
+    '<path>'] AS SELECT ...`` -> {target, if_not_exists, ddl|select,
+    cluster_by, location}. The column list is balanced-paren scanned
+    (types like ``decimal(10,2)`` nest) and passed to Spark's DDL
+    parser verbatim — this parser never interprets types; the CTAS
+    SELECT text goes to ``spark.sql`` verbatim."""
+    text = sql.strip().rstrip(";").strip()
+    m = _CREATE_HEAD_RE.match(text)
+    if not m:
+        raise ValueError(
+            "unparseable CREATE TABLE (expected CREATE TABLE [IF NOT "
+            "EXISTS] <name> (col type, ...) [CLUSTER BY (cols)] "
+            "[LOCATION '<path>'] | ... AS SELECT ...)"
+        )
+    out = {
         "target": m.group("target"),
         "if_not_exists": bool(m.group("ine")),
-        "ddl": ddl,
-        "cluster_by": cluster_by,
-        "location": location,
+        "ddl": None,
+        "select": None,
+        "cluster_by": None,
+        "location": None,
     }
+    rest = text[m.end():]
+    if rest.startswith("("):
+        close = _balanced_group(rest, 0)
+        ddl = rest[1:close - 1].strip()
+        if not ddl:
+            raise ValueError("CREATE TABLE needs at least one column")
+        out["ddl"] = ddl
+        rest = rest[close:].strip()
+    out["cluster_by"], out["location"], tail = _parse_cluster_location(rest)
+    am = re.match(r"^AS\s+", tail, re.IGNORECASE)
+    if am:
+        if out["ddl"] is not None:
+            raise ValueError(
+                "CREATE TABLE takes a column list OR AS SELECT, not both "
+                "(CTAS derives the schema from the query)"
+            )
+        select = tail[am.end():].strip()
+        if not re.match(r"^(SELECT|WITH)\b", select, re.IGNORECASE):
+            raise ValueError(f"CTAS expects AS SELECT ..., got {select[:40]!r}")
+        out["select"] = select
+    elif tail:
+        raise ValueError(f"trailing text after CREATE TABLE: {tail[:60]!r}")
+    elif out["ddl"] is None:
+        raise ValueError(
+            "CREATE TABLE needs a column list or AS SELECT, got neither"
+        )
+    return out
 _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<target>(?!HISTORY\b)[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
+_ALTER_HEAD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[A-Za-z_][\w.]*)\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_column_defs(ddl: str) -> list[tuple[str, str]]:
+    """``c1 T1, c2 T2`` -> [(name, type_ddl), ...]; types parse later
+    by Spark's DDL parser, so commas inside ``decimal(10,2)`` survive
+    the top-level split."""
+    out = []
+    for item in _split_top_level(ddl):
+        m = re.match(r"^([A-Za-z_]\w*)\s+(.+)$", item.strip(), re.DOTALL)
+        if not m:
+            raise ValueError(f"bad column definition {item!r} (want: name TYPE)")
+        out.append((m.group(1), m.group(2).strip()))
+    return out
+
+
+def execute_alter(
+    spark: SparkSession, sql: str, tables: dict | None = None, catalog=None
+) -> dict:
+    """``ALTER TABLE t <action>`` — the schema/layout evolution verbs,
+    every one an O(metadata) commit (no data rewrite, at any size):
+
+    - ``ADD COLUMN[S] [(]c1 T1[, c2 T2][)]`` -> :meth:`add_columns`
+      (nullable; existing rows read NULL).
+    - ``RENAME COLUMN a TO b`` -> :meth:`rename_column` (mapping-only).
+    - ``DROP COLUMN c`` -> :meth:`drop_column` (physical retired).
+    - ``ALTER COLUMN c TYPE T`` -> :meth:`widen_column` (lossless
+      widening only).
+    - ``ADD CONSTRAINT n CHECK (expr)`` / ``DROP CONSTRAINT n`` ->
+      :meth:`add_constraint` / :meth:`drop_constraint`.
+    - ``CLUSTER BY (c1, ...)`` / ``CLUSTER BY NONE`` ->
+      :meth:`set_cluster_by` (future writes re-cluster; old files stay).
+    - ``RENAME TO new.name`` -> catalog rename (name-only; needs a
+      catalog — the table's path never changes).
+    """
+    text = sql.strip().rstrip(";").strip()
+    m = _ALTER_HEAD_RE.match(text)
+    if not m:
+        raise ValueError("unparseable ALTER TABLE (expected ALTER TABLE t <action>)")
+    name, rest = m.group("target"), m.group("rest").strip()
+
+    # RENAME TO is catalog-level: resolve nothing, rename the entry
+    rm = re.match(r"^RENAME\s+TO\s+(?P<new>[A-Za-z_][\w.]*)\s*$", rest, re.IGNORECASE)
+    if rm:
+        if catalog is None:
+            raise ValueError("ALTER TABLE ... RENAME TO needs a catalog")
+        catalog.rename(name, rm.group("new"))
+        return {"renamed": rm.group("new")}
+
+    t = _resolve_target({"target": name}, tables or {}, "alter", catalog, spark)
+    am = re.match(r"^ADD\s+COLUMNS?\s+", rest, re.IGNORECASE)
+    if am:
+        body = rest[am.end():].strip()
+        if body.startswith("("):
+            close = _balanced_group(body, 0)
+            if body[close:].strip():
+                raise ValueError(
+                    f"trailing text after ADD COLUMNS: {body[close:][:40]!r}"
+                )
+            body = body[1:close - 1]
+        return {"version": t.add_columns(_parse_column_defs(body))}
+    rm = re.match(
+        r"^RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
+        rest, re.IGNORECASE,
+    )
+    if rm:
+        return {"version": t.rename_column(rm.group(1), rm.group(2))}
+    dm = re.match(r"^DROP\s+COLUMN\s+([A-Za-z_]\w*)\s*$", rest, re.IGNORECASE)
+    if dm:
+        return {"version": t.drop_column(dm.group(1))}
+    wm = re.match(
+        r"^ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+TYPE\s+(.+)$", rest, re.IGNORECASE
+    )
+    if wm:
+        return {"version": t.widen_column(wm.group(1), wm.group(2).strip())}
+    cm = re.match(
+        r"^ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\(", rest, re.IGNORECASE
+    )
+    if cm:
+        close = _balanced_group(rest, cm.end() - 1)
+        if rest[close:].strip():
+            raise ValueError(
+                f"trailing text after CHECK constraint: {rest[close:][:40]!r}"
+            )
+        return {
+            "version": t.add_constraint(
+                cm.group(1), rest[cm.end():close - 1].strip()
+            )
+        }
+    cm = re.match(r"^DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*$", rest, re.IGNORECASE)
+    if cm:
+        return {"version": t.drop_constraint(cm.group(1))}
+    cm = re.match(r"^CLUSTER\s+BY\s+NONE\s*$", rest, re.IGNORECASE)
+    if cm:
+        return {"version": t.set_cluster_by(None)}
+    cm = re.match(r"^CLUSTER\s+BY\s*\(", rest, re.IGNORECASE)
+    if cm:
+        close = _balanced_group(rest, cm.end() - 1)
+        if rest[close:].strip():
+            raise ValueError(
+                f"trailing text after CLUSTER BY: {rest[close:][:40]!r}"
+            )
+        cols = _split_top_level(rest[cm.end():close - 1])
+        for c in cols:
+            if not re.fullmatch(r"[A-Za-z_]\w*", c):
+                raise ValueError(f"bad CLUSTER BY column {c!r}")
+        return {"version": t.set_cluster_by(cols)}
+    raise ValueError(
+        f"unsupported ALTER TABLE action {rest[:60]!r} (expected ADD "
+        "COLUMN[S] | RENAME COLUMN a TO b | DROP COLUMN | ALTER COLUMN c "
+        "TYPE T | ADD/DROP CONSTRAINT | CLUSTER BY | RENAME TO)"
+    )
 
 
 def execute_admin(
@@ -903,7 +1045,6 @@ def _execute_create_table(spark: SparkSession, text: str, catalog) -> dict:
                 "derive one from"
             )
         location = f"{catalog.root.rstrip('/')}/tables/{name}"
-    schema = T.StructType.fromDDL(p["ddl"])
     t = build_handle(spark, location)
     if t.latest_version() is not None:
         if p["if_not_exists"] and catalog is None:
@@ -912,9 +1053,13 @@ def _execute_create_table(spark: SparkSession, text: str, catalog) -> dict:
             f"a table already exists at {location!r} (register it "
             f"instead of re-creating)"
         )
-    t.create(
-        spark.createDataFrame([], schema), cluster_by=p["cluster_by"]
-    )
+    if p["select"] is not None:
+        # CTAS: the schema IS the query's schema; the data rides the
+        # same create commit (one atomic version, like any other write)
+        df = spark.sql(p["select"])
+    else:
+        df = spark.createDataFrame([], T.StructType.fromDDL(p["ddl"]))
+    t.create(df, cluster_by=p["cluster_by"])
     if catalog is not None:
         catalog.register(name, location)
     return {"created": True, "path": location, "version": 1}
@@ -924,10 +1069,11 @@ def execute_sql(
     spark: SparkSession, sql: str, tables: dict | None = None,
     mode: str = "cow", catalog=None,
 ) -> object:
-    """ONE SQL entry point for the whole DML + admin surface: routes by
-    leading keyword to MERGE / UPDATE / DELETE / INSERT / VACUUM /
-    OPTIMIZE / DESCRIBE HISTORY / RESTORE. ``mode`` applies to the DML
-    statements that take one (merge/update/delete)."""
+    """ONE SQL entry point for the whole DML + DDL + admin surface:
+    routes by leading keyword to MERGE / UPDATE / DELETE / INSERT /
+    CREATE TABLE [AS SELECT] / ALTER TABLE / DROP TABLE / VACUUM /
+    OPTIMIZE / DESCRIBE [HISTORY] / SHOW TABLES / RESTORE. ``mode``
+    applies to the DML statements that take one (merge/update/delete)."""
     head = sql.strip().split(None, 2)
     kw = head[0].upper() if head else ""
     kw2 = head[1].upper() if len(head) > 1 else ""
@@ -939,6 +1085,8 @@ def execute_sql(
         return execute_delete(spark, sql, tables, mode=mode, catalog=catalog)
     if kw == "INSERT":
         return execute_insert(spark, sql, tables, catalog=catalog)
+    if kw == "ALTER" and kw2 == "TABLE":
+        return execute_alter(spark, sql, tables, catalog=catalog)
     if kw in ("VACUUM", "OPTIMIZE", "RESTORE", "DESCRIBE", "DROP") or (
         kw == "SHOW" and kw2 == "TABLES"
     ) or (kw == "CREATE" and kw2 == "TABLE"):
