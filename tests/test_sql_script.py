@@ -1,0 +1,97 @@
+"""Multi-statement SQL scripts, RESTORE TIMESTAMP AS OF, and the
+datasource writer's clusterBy-on-create option."""
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from wopen_spark.catalog import Catalog
+from wopen_spark.snapshot_table import SnapshotTable
+from wopen_spark.sql_dml import _split_statements, execute_sql, execute_sql_script
+
+
+def test_split_statements_quotes_and_comments():
+    script = """
+    -- leading comment
+    INSERT INTO t VALUES (1, 'a;b');  -- trailing comment with ; in it
+    UPDATE t SET x = '--not a comment; still string' WHERE id = 1;
+    SELECT * FROM t
+    """
+    parts = _split_statements(script)
+    assert len(parts) == 3
+    assert "a;b" in parts[0]
+    assert "--not a comment; still string" in parts[1]
+    assert parts[2].strip().startswith("SELECT")
+
+
+def test_execute_sql_script_lifecycle(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    results = execute_sql_script(
+        spark,
+        """
+        CREATE TABLE crm.t (id BIGINT, v DOUBLE) CLUSTER BY (id);
+        INSERT INTO crm.t VALUES (1, 1.5);
+        INSERT INTO crm.t VALUES (2, 2.5);
+        UPDATE crm.t SET v = v * 2 WHERE id = 2;  -- becomes 5.0
+        DESCRIBE HISTORY crm.t;
+        """,
+        catalog=cat,
+    )
+    assert results[0]["created"] is True
+    assert results[4].count() == 4
+    got = sorted(
+        (r.id, r.v) for r in cat.handle(spark, "crm.t").read().collect()
+    )
+    assert got == [(1, 1.5), (2, 5.0)]
+
+
+def test_restore_timestamp_as_of(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    time.sleep(0.05)
+    mark = datetime.now(timezone.utc).isoformat()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    execute_sql(
+        spark,
+        f"RESTORE TABLE t TO TIMESTAMP AS OF '{mark}'",
+        tables={"t": t},
+    )
+    assert [r.id for r in t.read().collect()] == [1]
+
+
+def test_datasource_clusterby_on_create(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wopen_spark.datasource import register_snapshot_datasource
+
+    register_snapshot_datasource(spark)
+    path = str(tmp_path / "t")
+    (
+        spark.range(1000)
+        .selectExpr("id", "CAST(id AS STRING) AS s")
+        .repartitionByRange(4, F.col("id"))
+        .write.format("wopen_snapshot")
+        .option("clusterBy", "id")
+        .mode("append")
+        .save(path)
+    )
+    t = SnapshotTable(spark, path)
+    state = t._state()
+    assert state["cluster_by"] == ["id"]
+    # pre-shaped ranges + declared key => point read prunes and the
+    # leading-key blooms exist on the created shards
+    df, rep = t.read_where({"id": (7, 7)})
+    assert df.count() == 1
+    assert rep["files_read"] == 1
+    assert any("bloom" in m for m in state["files"].values())
+    with pytest.raises(Exception, match="unknown column"):
+        (
+            spark.range(5).write.format("wopen_snapshot")
+            .option("clusterBy", "nope")
+            .mode("append")
+            .save(str(tmp_path / "t2"))
+        )

@@ -738,6 +738,19 @@ class _SnapshotWriter(DataSourceArrowWriter):
         exists = table.latest_version() is not None
         self.create = not exists
         self.cluster_by = None
+        if self.create and options.get("clusterby"):
+            # declared layout on CREATE: recorded in the table spec
+            # (future engine writes range-cluster on it) and the leading
+            # key gets bloom sidecars on these very shards. The writer
+            # cannot re-shuffle executor-side — pre-shape the frame with
+            # df.repartitionByRange(...) for tight per-file ranges.
+            cols = [c.strip() for c in options["clusterby"].split(",") if c.strip()]
+            unknown = [c for c in cols if c not in schema.fieldNames()]
+            if unknown:
+                raise ValueError(
+                    f"clusterBy references unknown column(s): {unknown}"
+                )
+            self.cluster_by = cols
         mapping = None
         table_schema_json = schema.jsonValue()
         if exists:
@@ -839,7 +852,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
             record = {
                 "operation": "create",
                 "schema": json.loads(self.table_schema_json),
-                "cluster_by": None,
+                "cluster_by": self.cluster_by,
                 "add": adds,
                 "remove": [],
             }
@@ -1041,6 +1054,11 @@ def _refuse_features(state: dict) -> None:
         raise ValueError(
             "wopen_snapshot writer cannot compute generated columns "
             f"({sorted(state['generated'])}); use SnapshotTable.append"
+        )
+    if state.get("identity"):
+        raise ValueError(
+            "wopen_snapshot writer cannot assign identity columns "
+            f"({sorted(state['identity'])}); use SnapshotTable.append"
         )
 
 

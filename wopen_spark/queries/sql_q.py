@@ -1706,3 +1706,174 @@ def sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load("wopen://crm.customers")
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "convert_in_place_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def convert_in_place_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place parquet adoption (r10 — the ``CONVERT TO DELTA``
+    analog): an existing parquet file is adopted AS a snapshot table
+    with zero bytes copied (the symlink stands in for "the 100 TB
+    directory stays where it is"), footer stats derive the manifest,
+    and the adopted file immediately participates in the full engine —
+    here a merge-on-read dv delete masks rows of a file the engine
+    never wrote. At scale: conversion is O(files) footer reads (fanned
+    out to executors past 64 files) + one log write; the data plane
+    never moves."""
+    import os
+    import shutil
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="wopen_convert_") + "/orders"
+    os.makedirs(root)
+    src = os.path.abspath(os.path.join(sf_dir, "orders.parquet"))
+    # the sf table is a single file at small SFs and a directory of
+    # part files at large ones — adopt whichever shape exists
+    pairs = (
+        [(os.path.join(src, n), n) for n in sorted(os.listdir(src))
+         if n.endswith(".parquet")]
+        if os.path.isdir(src)
+        else [(src, "orders.parquet")]
+    )
+    for s, n in pairs:
+        dst = os.path.join(root, n)
+        try:
+            os.symlink(s, dst)
+        except OSError:
+            shutil.copyfile(s, dst)
+    t = SnapshotTable(spark, root)
+    t.convert_from_parquet()
+    t.delete_where("o_orderkey % 7 = 0", mode="dv")
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "copy_into_exactly_once",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def copy_into_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY INTO`` exactly-once ingestion (r10): a landing directory
+    receives batch-1 files, is copied, RE-copied (the rerun must load
+    zero files — the crash/scheduler-retry contract), then receives
+    batch-2 and is copied again with a glob spanning both batches — the
+    already-loaded files skip on identity, only batch-2 loads, and the
+    final table equals the full source exactly once. At scale the
+    loaded-file set is a dict diff folded into state/checkpoints (never
+    a log scan), so a nightly copy over a million-file landing zone
+    costs its NEW files only."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    root = tempfile.mkdtemp(prefix="wopen_copy_")
+    inbox = root + "/inbox"
+    li.filter(F.col("l_orderkey") % 2 == 0).repartition(4).write.parquet(
+        inbox + "/batch1"
+    )
+    t = SnapshotTable(spark, root + "/t")
+    t.create(spark.createDataFrame([], li.schema))
+    r1 = t.copy_into(inbox, pattern="batch1/*.parquet")
+    assert r1["files_loaded"] > 0
+    r2 = t.copy_into(inbox, pattern="batch1/*.parquet")
+    assert (r2["files_loaded"], r2["version"]) == (0, r1["version"]), (
+        "rerun must be a no-op"
+    )
+    li.filter(F.col("l_orderkey") % 2 == 1).repartition(4).write.parquet(
+        inbox + "/batch2"
+    )
+    r3 = t.copy_into(inbox, pattern="batch*/*.parquet")
+    assert r3["files_skipped"] == r1["files_loaded"], (
+        "batch1 files must skip by identity"
+    )
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+            .cast("double").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "identity_column_inserts",
+    oracle="""
+    WITH e AS (
+      SELECT c_name, row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer WHERE c_custkey % 2 = 0
+    ), o AS (
+      SELECT c_name, row_number() OVER (ORDER BY c_custkey) AS rn
+      FROM customer WHERE c_custkey % 2 = 1
+    ), ne AS (SELECT COUNT(*) AS n FROM e)
+    SELECT CAST(1000 + 3 * (rn - 1) AS BIGINT) AS id, c_name FROM e
+    UNION ALL
+    SELECT CAST((SELECT 1000 + 3 * (n - 1) FROM ne) + 3 * rn AS BIGINT),
+           c_name
+    FROM o
+    ORDER BY id
+    """,
+)
+def identity_column_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY end-to-end (r10): a table declared
+    with START WITH 1000 INCREMENT BY 3 assigns engine-side ids on two
+    append batches; the second batch allocates above the first's
+    recorded high-water mark. Inputs are single-partition and sorted so
+    the map-side allocation (high + step * (monotonic + 1)) is exactly
+    the oracle's row_number arithmetic — making the whole allocation
+    path (base resolution, footer-stats high-water advance, cross-commit
+    continuation) VALUE-checked, not just uniqueness-checked. At scale
+    assignment is shuffle-free and the high-water advance reads footer
+    stats, never the data."""
+    import tempfile
+
+    from wopen_spark.snapshot_table import SnapshotTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="wopen_ident_") + "/t")
+    t.create(spark.createDataFrame([], "id long, c_name string"))
+    t.set_identity_column("id", start=1000, step=3)
+
+    def batch(parity):
+        return (
+            cust.filter(F.col("c_custkey") % 2 == parity)
+            .repartition(1)
+            .sortWithinPartitions("c_custkey")
+            .select("c_name")
+        )
+
+    t.append(batch(0))
+    t.append(batch(1))
+    return t.read().orderBy("id")

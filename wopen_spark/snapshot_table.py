@@ -222,6 +222,35 @@ def _bloom_test(blob: bytes, value, kind: str) -> bool:
     return all(blob[pos >> 3] & (1 << (pos & 7)) for pos in positions)
 
 
+def _scan_file_metas_distributed(spark, root: str, rels: list[str]) -> list[dict]:
+    """Footer-stats derivation fanned out to executors: one Arrow batch
+    of relative paths per task, each worker opening its files' FOOTERS
+    only (O(row groups), never O(data)). This is what keeps
+    ``convert_from_parquet`` on a million-file directory from becoming
+    a serial driver loop; results come back as one small JSON row per
+    file. Local-filesystem roots only (executors open ``root/rel``
+    directly)."""
+
+    def scan(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for rel in pdf["rel"]:
+                p = os.path.join(root, rel)
+                with open(p, "rb") as src:
+                    out.append(
+                        json.dumps(_file_meta(src, rel, os.path.getsize(p)))
+                    )
+            yield _pd.DataFrame({"meta": out})
+
+    n = max(1, min(len(rels) // 16, 256))
+    df = spark.createDataFrame([(r,) for r in rels], "rel string").repartition(n)
+    rows = df.mapInPandas(scan, "meta string").collect()
+    by_path = {m["path"]: m for m in (json.loads(r.meta) for r in rows)}
+    return [by_path[r] for r in rels]
+
+
 def _file_meta(source, rel_path: str, nbytes: int) -> dict:
     """Footer-only add-action metadata: rows, bytes, per-column
     min/max/nulls. Footer reads are O(row groups), never O(data).
@@ -1387,6 +1416,8 @@ class SnapshotTable:
         constraints: dict[str, str] = {}
         generated: dict[str, dict] = {}
         txns: dict[str, int] = {}
+        copy_files: set[str] = set()
+        identity: dict[str, dict] = {}
         start_idx = 0
         for i in range(len(vs) - 1, -1, -1):  # newest checkpoint <= target
             if vs[i] <= target and self._store.exists(self._checkpoint_name(vs[i])):
@@ -1400,6 +1431,10 @@ class SnapshotTable:
                 constraints = dict(cp.get("constraints", {}))
                 generated = dict(cp.get("generated", {}))
                 txns = dict(cp.get("txns", {}))
+                copy_files = set(cp.get("copy_files", []))
+                identity = {
+                    k: dict(v) for k, v in cp.get("identity", {}).items()
+                }
                 start_idx = i + 1
                 break
         for v in vs[start_idx:]:
@@ -1438,9 +1473,24 @@ class SnapshotTable:
                 txns[c["txn_app"]] = max(
                     txns.get(c["txn_app"], -1), c.get("txn_version", -1)
                 )
+            if c.get("copy_add"):
+                copy_files.update(c["copy_add"])
+            if c.get("identity_set"):
+                identity.update(
+                    {k: dict(v) for k, v in c["identity_set"].items()}
+                )
+            if c.get("identity_high"):
+                for k, hi in c["identity_high"].items():
+                    cur = identity.setdefault(
+                        k, {"start": 1, "step": 1, "high": None}
+                    )
+                    cur["high"] = (
+                        hi if cur["high"] is None else max(cur["high"], hi)
+                    )
         return {
             "files": files, "dvs": dvs, "version": target, "txns": txns,
-            "constraints": constraints, "generated": generated, **state,
+            "constraints": constraints, "generated": generated,
+            "copy_files": copy_files, "identity": identity, **state,
         }
 
     def _try_commit(self, version: int, record: dict) -> None:
@@ -1482,6 +1532,8 @@ class SnapshotTable:
                             "constraints": st["constraints"],
                             "generated": st["generated"],
                             "txns": st["txns"],
+                            "copy_files": sorted(st["copy_files"]),
+                            "identity": st["identity"],
                         }
                     ).encode(),
                 )
@@ -1707,6 +1759,98 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- writes
 
+    # Above this many files, convert derives footer stats on executors
+    # (mapInPandas over the path list) instead of a driver loop.
+    _CONVERT_DISTRIBUTE_MIN_FILES = 64
+
+    def convert_from_parquet(self, cluster_by: list[str] | None = None) -> int:
+        """Adopt an existing directory of parquet files as a snapshot
+        table IN PLACE (the ``CONVERT TO DELTA`` analog): version 1's
+        add actions reference the files where they sit — zero bytes
+        copied or rewritten, so converting a 100 TB directory costs
+        O(files) footer reads and one log write. Footer stats (and
+        therefore file skipping) come for free; past
+        ``_CONVERT_DISTRIBUTE_MIN_FILES`` files the footer reads fan
+        out to executors so the driver never serially opens a
+        million-file directory. After conversion every engine feature
+        applies — dv deletes, MERGE, time travel, OPTIMIZE (which
+        migrates adopted files into the managed ``data/`` layout);
+        :meth:`vacuum` knows how to sweep superseded adopted files even
+        though they live outside ``data/``.
+
+        Refuses: an existing table at the root, a Hive-partitioned
+        layout (``key=value`` path segments carry data this conversion
+        would silently drop), a directory that already has ``data/`` or
+        ``_log/`` content, and non-local stores (object-store adoption
+        needs a server-side listing+copy contract ``DataStore`` does
+        not promise)."""
+        if self.latest_version() is not None:
+            raise FileExistsError(f"snapshot table already exists at {self.path}")
+        if not isinstance(self._data, LocalDataStore):
+            raise NotImplementedError(
+                "convert_from_parquet adopts files in place on a local "
+                "filesystem root; for object stores, write through "
+                "create()/append() instead"
+            )
+        root = self._data.root
+        rels: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            rel_dir = os.path.relpath(dirpath, root)
+            parts = [] if rel_dir == "." else rel_dir.split(os.sep)
+            if parts and parts[0] == "_log":
+                dirnames.clear()
+                continue
+            for seg in parts:
+                if "=" in seg:
+                    raise ValueError(
+                        f"Hive-partitioned layout ({seg!r}): partition "
+                        "values live in directory names, not file bytes — "
+                        "read it with spark.read.parquet and create() a "
+                        "table instead"
+                    )
+            for n in sorted(filenames):
+                if n.endswith(".parquet"):
+                    rels.append("/".join(parts + [n]) if parts else n)
+        if not rels:
+            raise ValueError(f"no parquet files under {root!r}")
+        if any(r.split("/", 1)[0] == "data" for r in rels):
+            raise ValueError(
+                "directory already has a data/ subtree — that namespace "
+                "is reserved for managed commits"
+            )
+        paths = self._data.scan_uris(rels)
+        schema = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .schema
+        )
+        if len(rels) >= self._CONVERT_DISTRIBUTE_MIN_FILES and self.spark:
+            metas = _scan_file_metas_distributed(self.spark, root, rels)
+        else:
+            metas = []
+            for rel in rels:
+                with self._data.open_input(rel) as src:
+                    metas.append(_file_meta(src, rel, self._data.size(rel)))
+        adds = [m for m in metas if m["rows"] > 0]
+        if cluster_by:
+            names = schema.fieldNames()
+            unknown = [c for c in cluster_by if c not in names]
+            if unknown:
+                raise ValueError(
+                    f"cluster_by references unknown column(s): {unknown}"
+                )
+        self._try_commit(
+            1,
+            {
+                "operation": "convert",
+                "schema": schema.jsonValue(),
+                "cluster_by": list(cluster_by) if cluster_by else None,
+                "add": adds,
+                "remove": [],
+            },
+        )
+        return 1
+
     def create(self, df: DataFrame, cluster_by: list[str] | None = None) -> int:
         """Create the table at version 1 from ``df`` (may be empty — an
         empty create registers just the schema)."""
@@ -1731,6 +1875,7 @@ class SnapshotTable:
         max_retries: int = 5,
         txn_app: str | None = None,
         txn_version: int | None = None,
+        extra_commit: dict | None = None,
     ) -> int:
         """Blind append: add-only, so conflicting appends commute — on a
         lost race the commit retries against the new head (files are
@@ -1748,6 +1893,7 @@ class SnapshotTable:
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return state["version"]  # replayed batch: already committed
         df = self._apply_generated(df, state)
+        df, id_bases = self._apply_identity(df, state)
         self._enforce(df, state["constraints"], state["schema"])
         enforced = state["constraints"]
         gen_seen = state["generated"]
@@ -1757,18 +1903,39 @@ class SnapshotTable:
         adds = self._write_files(df, state["cluster_by"], write_mapping)
         txn = {"txn_app": txn_app, "txn_version": txn_version} if txn_app else {}
         mp = {"column_mapping": mapping} if mapping is not None else {}
+        extra = extra_commit or {}
+        if id_bases:
+            hi = self._identity_high_from_adds(id_bases, adds, write_mapping)
+            if hi:
+                extra = {**extra, "identity_high": hi}
         for _ in range(max_retries):
             try:
                 self._try_commit(
                     state["version"] + 1,
                     {"operation": "append", "schema": schema, "add": adds,
-                     "remove": [], **txn, **mp},
+                     "remove": [], **txn, **mp, **extra},
                 )
                 return state["version"] + 1
             except CommitConflictError:
                 state = self._state()
                 if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
                     return state["version"]  # the racer WAS our replay
+                # a racer ADVANCED an identity high-water mark we
+                # allocated from: our written ids may collide with
+                # theirs — committing would duplicate identity values,
+                # so surface it (the caller re-runs and re-allocates)
+                for c, base in id_bases.items():
+                    spec = state["identity"][c]
+                    fresh = (
+                        spec["high"]
+                        if spec["high"] is not None
+                        else spec["start"] - spec["step"]
+                    )
+                    if fresh != base:
+                        raise CommitConflictError(
+                            f"append to {self.path} raced an identity "
+                            f"allocation on {c!r} — re-run the append"
+                        ) from None
                 # the racer may have ADDED a constraint: re-enforce when
                 # the active set changed (Delta fails such txns outright;
                 # an add-only append can simply re-validate and proceed)
@@ -1813,6 +1980,203 @@ class SnapshotTable:
                 mp = {"column_mapping": mapping} if mapping is not None else {}
         raise CommitConflictError(
             f"append to {self.path} lost {max_retries} commit races"
+        )
+
+    def set_identity_column(self, name: str, start: int = 1, step: int = 1) -> int:
+        """Declare ``name`` a GENERATED ALWAYS AS IDENTITY column (the
+        Delta identity contract): values are engine-assigned on every
+        append-family write (append / INSERT / COPY INTO), callers may
+        never supply them, and the per-column high-water mark rides
+        commits and checkpoints. Only declarable while the table is
+        EMPTY (Delta allows identity at CREATE only — backfilling
+        existing rows would be a table rewrite, not a declaration).
+
+        Allocation is gap-tolerant, exactly as Delta's: each write
+        assigns ``high + step * (monotonically_increasing_id() + 1)``
+        map-side (no shuffle, no driver round-trip) and advances the
+        high-water mark to the written files' FOOTER max — so ids are
+        unique and ascending across commits but not dense. Two writers
+        racing an identity allocation cannot both win: the loser's ids
+        may overlap, so the conflict surfaces for a re-run instead of
+        committing duplicates."""
+        state = self._state()
+        schema = T.StructType.fromJson(state["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(f"no column {name!r} (have {schema.fieldNames()})")
+        if by_name[name].dataType.typeName() != "long":
+            raise ValueError(
+                f"identity column {name!r} must be BIGINT, is "
+                f"{by_name[name].dataType.simpleString()}"
+            )
+        if state["files"]:
+            raise ValueError(
+                "identity can only be declared on an empty table "
+                "(declare it at CREATE)"
+            )
+        if name in state["identity"]:
+            raise ValueError(f"column {name!r} is already an identity column")
+        if name in state["generated"]:
+            raise ValueError(f"column {name!r} already has a generation rule")
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        self._try_commit(
+            state["version"] + 1,
+            {
+                "operation": "set_identity",
+                "identity_set": {
+                    name: {"start": int(start), "step": int(step), "high": None}
+                },
+                "add": [],
+                "remove": [],
+                "dataChange": False,
+            },
+        )
+        return state["version"] + 1
+
+    def _apply_identity(
+        self, df: DataFrame, state: dict
+    ) -> tuple[DataFrame, dict]:
+        """Assign identity values map-side; returns (df, {col: base}).
+        Caller-supplied identity values refuse (GENERATED ALWAYS)."""
+        ident = state["identity"]
+        if not ident:
+            return df, {}
+        bases = {}
+        for col, spec in ident.items():
+            if col in df.columns:
+                raise ValueError(
+                    f"column {col!r} is GENERATED ALWAYS AS IDENTITY — "
+                    "remove it from the input (values are engine-assigned)"
+                )
+            base = (
+                spec["high"]
+                if spec["high"] is not None
+                else spec["start"] - spec["step"]
+            )
+            bases[col] = base
+            df = df.withColumn(
+                col,
+                (
+                    F.lit(base)
+                    + F.lit(spec["step"])
+                    * (F.monotonically_increasing_id() + F.lit(1))
+                ).cast("long"),
+            )
+        return df, bases
+
+    def _identity_high_from_adds(
+        self, bases: dict, adds: list[dict], write_mapping: dict | None
+    ) -> dict:
+        """New per-column high-water marks, read from the written files'
+        FOOTER stats (free — no extra scan); falls back to a scan of
+        just the written files if a footer lacked the stat."""
+        out = {}
+        for col, spec_base in bases.items():
+            phys = self._phys(write_mapping, col)
+            mx = None
+            ok = True
+            for m in adds:
+                s = m.get("stats", {}).get(phys)
+                if s is None or s.get("max") is None:
+                    ok = False
+                    break
+                mx = s["max"] if mx is None else max(mx, s["max"])
+            if not ok and adds:
+                mx = (
+                    self.spark.read.parquet(
+                        *self._data.scan_uris([m["path"] for m in adds])
+                    )
+                    .agg(F.max(phys))
+                    .collect()[0][0]
+                )
+            if mx is not None:
+                out[col] = int(mx)
+        return out
+
+    def copy_into(
+        self,
+        source: str,
+        file_format: str = "parquet",
+        pattern: str | None = None,
+        options: dict | None = None,
+    ) -> dict:
+        """Idempotent file-level ingestion (the Delta ``COPY INTO``
+        contract): load files under ``source`` that have NOT been loaded
+        into this table before, as one append commit that also records
+        their identities — so re-running after a crash, a scheduler
+        retry, or simply on a directory that keeps growing loads each
+        file EXACTLY ONCE. Identity is path + size + mtime: an
+        in-place-modified file counts as new (it IS new bytes — the
+        Delta modificationTime rule). The loaded-file set folds into
+        state and checkpoints like the txn high-water marks, so N
+        nightly copies cost a dict diff, never a log scan.
+
+        ``pattern`` is a glob over the source dir (default: every
+        ``*.<ext>`` at the top level); ``options`` passes through to the
+        Spark reader (e.g. ``{"header": "true"}`` for csv). Schema flows
+        through the same evolution rules as any append."""
+        import glob as _glob
+
+        if file_format not in ("parquet", "csv", "json"):
+            raise ValueError(
+                f"unsupported FILEFORMAT {file_format!r} "
+                "(parquet | csv | json)"
+            )
+        src = os.path.abspath(source)
+        if not os.path.isdir(src):
+            raise ValueError(f"COPY INTO source is not a directory: {source!r}")
+        ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[file_format]
+        paths = sorted(
+            p
+            for p in _glob.glob(os.path.join(src, pattern or f"*{ext}"))
+            if os.path.isfile(p)
+        )
+        state = self._state()
+        seen = state["copy_files"]
+
+        def ident(p: str) -> str:
+            st = os.stat(p)
+            return f"{p}:{st.st_size}:{st.st_mtime_ns}"
+
+        fresh = [(p, ident(p)) for p in paths]
+        # single-attempt append inside a re-check loop: a lost commit
+        # race re-reads the loaded-file set FIRST, so a concurrent copy
+        # of the same files becomes a skip (exactly-once), while an
+        # unrelated racing append just costs a retry
+        for _ in range(5):
+            new = [(p, i) for p, i in fresh if i not in seen]
+            skipped = len(fresh) - len(new)
+            if not new:
+                return {
+                    "version": state["version"],
+                    "files_loaded": 0,
+                    "files_skipped": skipped,
+                }
+            reader = self.spark.read.format(file_format).options(
+                **(options or {})
+            )
+            df = reader.load([p for p, _ in new])
+            try:
+                v = self.append(
+                    df,
+                    max_retries=1,
+                    extra_commit={
+                        "operation": "copy_into",
+                        "copy_add": [i for _, i in new],
+                    },
+                )
+            except CommitConflictError:
+                state = self._state()
+                seen = state["copy_files"]
+                continue
+            return {
+                "version": v,
+                "files_loaded": len(new),
+                "files_skipped": skipped,
+            }
+        raise CommitConflictError(
+            f"copy_into {self.path} lost 5 commit races"
         )
 
     def _txn_seen(self, app: str, version: int, state: dict) -> bool:
@@ -2135,6 +2499,12 @@ class SnapshotTable:
         state = self._state()
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return state["version"]  # replayed overwrite: already committed
+        if state["identity"]:
+            raise NotImplementedError(
+                "overwrite on a table with identity columns is not "
+                "supported (identity values are engine-assigned; use "
+                "delete + append)"
+            )
         df = self._apply_generated(df, state)
         self._enforce(df, state["constraints"], state["schema"])
         old_mapping = state["column_mapping"] or {}
@@ -2599,6 +2969,11 @@ class SnapshotTable:
             raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
         keys = [key] if isinstance(key, str) else list(key)
         state = self._state()
+        if state["identity"]:
+            raise NotImplementedError(
+                "merge on a table with identity columns is not supported "
+                "yet; append/INSERT/COPY INTO assign them"
+            )
         df = self._apply_generated(df, state)
         self._enforce(df, state["constraints"], state["schema"])
         schema, mapping = self._merged_schema(state, df)
@@ -2773,6 +3148,13 @@ class SnapshotTable:
         state = self._state()
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return {"version": state["version"], "replayed": True}
+        if state["identity"]:
+            raise NotImplementedError(
+                "merge_into on a table with identity columns is not "
+                "supported yet (inserted rows would need engine-assigned "
+                "ids inside the merge rewrite); append/INSERT/COPY INTO "
+                "assign them"
+            )
         schema = T.StructType.fromJson(state["schema"])
         types = {f.name: f.dataType for f in schema.fields}
         missing_keys = [k for k in keys if k not in source.columns]
@@ -3790,6 +4172,24 @@ class SnapshotTable:
                 pass  # not every file carries a bloom
             touched_dirs.add(rel.rsplit("/", 1)[0])
             removed += 1
+        # Adopted (convert_from_parquet) files live OUTSIDE data/ and are
+        # invisible to list_data_files; once superseded (referenced by an
+        # old commit only) they must still be sweepable or conversion
+        # leaks the original directory forever. Referenced-but-unlisted
+        # is exactly that set — managed data/ paths are always listed
+        # while present, so this touches only adopted files.
+        for rel in sorted(ever_referenced - retained - present):
+            if rel.split("/", 1)[0] == "data":
+                continue  # managed layout: absent-from-listing = gone
+            try:
+                self._data.delete(rel)
+            except FileNotFoundError:
+                continue
+            removed += 1
+            # no cleanup_dir here: the adopted directory is the USER'S
+            # directory — sweeping the files we referenced is our job,
+            # rmtree'ing their folder (which may hold _SUCCESS markers
+            # or unrelated content) is not
         for d in touched_dirs:
             self._data.cleanup_dir(d)
         # Commit dirs that never held a parquet file (a zero-row append

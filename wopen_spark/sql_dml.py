@@ -677,6 +677,11 @@ _RESTORE_RE = re.compile(
     r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*$",
     re.IGNORECASE,
 )
+_RESTORE_TS_RE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?(?P<target>[A-Za-z_][\w.]*)"
+    r"\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'\s*$",
+    re.IGNORECASE,
+)
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _CREATE_HEAD_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
@@ -765,6 +770,63 @@ def parse_create_table(sql: str) -> dict:
 _DESCRIBE_RE = re.compile(
     r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<target>(?!HISTORY\b)[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
+)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)\s+"
+    r"FROM\s+'(?P<path>[^']+)'\s*(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute_copy_into(
+    spark: SparkSession, sql: str, tables: dict | None = None, catalog=None
+) -> dict:
+    """``COPY INTO t FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+    [PATTERN = '<glob>'] [FORMAT_OPTIONS (k = 'v', ...)]`` ->
+    :meth:`SnapshotTable.copy_into` — file-level exactly-once ingestion
+    (re-runs skip already-loaded files)."""
+    text = sql.strip().rstrip(";").strip()
+    m = _COPY_RE.match(text)
+    if not m:
+        raise ValueError(
+            "unparseable COPY INTO (expected COPY INTO t FROM '<dir>' "
+            "[FILEFORMAT = PARQUET|CSV|JSON] [PATTERN = '<glob>'] "
+            "[FORMAT_OPTIONS (k = 'v', ...)])"
+        )
+    tail = m.group("tail").strip()
+    file_format, pattern, options = "parquet", None, {}
+    fm = re.match(r"^FILEFORMAT\s*=\s*(\w+)\s*", tail, re.IGNORECASE)
+    if fm:
+        file_format = fm.group(1).lower()
+        tail = tail[fm.end():].strip()
+    pm = re.match(r"^PATTERN\s*=\s*'([^']+)'\s*", tail, re.IGNORECASE)
+    if pm:
+        pattern = pm.group(1)
+        tail = tail[pm.end():].strip()
+    om = re.match(r"^FORMAT_OPTIONS\s*\(", tail, re.IGNORECASE)
+    if om:
+        close = _balanced_group(tail, om.end() - 1)
+        for item in _split_top_level(tail[om.end():close - 1]):
+            kv = re.match(r"^([A-Za-z_]\w*)\s*=\s*'([^']*)'$", item.strip())
+            if not kv:
+                raise ValueError(f"bad FORMAT_OPTIONS entry {item!r}")
+            options[kv.group(1)] = kv.group(2)
+        tail = tail[close:].strip()
+    if tail:
+        raise ValueError(f"trailing text after COPY INTO: {tail[:60]!r}")
+    t = _resolve_target(
+        {"target": m.group("target")}, tables or {}, "copy into",
+        catalog, spark,
+    )
+    return t.copy_into(
+        m.group("path"), file_format=file_format, pattern=pattern,
+        options=options or None,
+    )
+
+
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+SNAPSHOT\s+'(?P<path>[^']+)'\s*(?P<tail>.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _ALTER_HEAD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>[A-Za-z_][\w.]*)\s+(?P<rest>.+)$",
@@ -958,6 +1020,18 @@ def execute_admin(
             catalog, spark,
         )
         return {"version": t.restore(int(m.group("version")))}
+    m = _RESTORE_TS_RE.match(text)
+    if m:
+        from datetime import datetime, timezone
+
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "restore",
+            catalog, spark,
+        )
+        dt = datetime.fromisoformat(m.group("ts"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return {"version": t.restore(t._version_asof(dt.timestamp()))}
     m = _SHOW_TABLES_RE.match(text)
     if m:
         # explicit dict entries + catalog registrations, deduped by name
@@ -997,6 +1071,29 @@ def execute_admin(
         )
     if re.match(r"^\s*CREATE\s+TABLE\b", text, re.IGNORECASE):
         return _execute_create_table(spark, text, catalog)
+    m = _CONVERT_RE.match(text)
+    if m:
+        from wopen_spark.catalog import build_handle
+
+        tail = m.group("tail").strip()
+        cluster_by, location, tail = _parse_cluster_location(tail)
+        if location is not None:
+            raise ValueError("CONVERT TO SNAPSHOT takes the path first, not LOCATION")
+        name = None
+        am = re.match(r"^AS\s+(?P<name>[A-Za-z_][\w.]*)\s*$", tail, re.IGNORECASE)
+        if am:
+            name = am.group("name")
+        elif tail:
+            raise ValueError(f"trailing text after CONVERT: {tail[:60]!r}")
+        if name is not None and catalog is None:
+            raise ValueError("CONVERT ... AS <name> needs a catalog")
+        t = build_handle(spark, m.group("path"))
+        t.convert_from_parquet(cluster_by=cluster_by)
+        if name is not None:
+            catalog.register(name, m.group("path"))
+        return {"converted": m.group("path"), "version": 1,
+                "files": len(t._state()["files"]),
+                **({"registered": name} if name else {})}
     m = _DROP_RE.match(text)
     if m:
         name = m.group("target")
@@ -1053,16 +1150,50 @@ def _execute_create_table(spark: SparkSession, text: str, catalog) -> dict:
             f"a table already exists at {location!r} (register it "
             f"instead of re-creating)"
         )
+    identity: list[tuple[str, int, int]] = []
     if p["select"] is not None:
         # CTAS: the schema IS the query's schema; the data rides the
         # same create commit (one atomic version, like any other write)
         df = spark.sql(p["select"])
     else:
-        df = spark.createDataFrame([], T.StructType.fromDDL(p["ddl"]))
+        ddl, identity = _strip_identity_clauses(p["ddl"])
+        df = spark.createDataFrame([], T.StructType.fromDDL(ddl))
     t.create(df, cluster_by=p["cluster_by"])
+    for col, start, step in identity:
+        t.set_identity_column(col, start=start, step=step)
     if catalog is not None:
         catalog.register(name, location)
     return {"created": True, "path": location, "version": 1}
+
+
+_IDENTITY_CLAUSE_RE = re.compile(
+    r"\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*(?:START\s+WITH\s+(?P<start>-?\d+)\s*)?"
+    r"(?:INCREMENT\s+BY\s+(?P<step>-?\d+)\s*)?\))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _strip_identity_clauses(ddl: str) -> tuple[str, list[tuple[str, int, int]]]:
+    """Split the CREATE column list, peel ``GENERATED ALWAYS AS IDENTITY
+    [(START WITH n INCREMENT BY k)]`` off any column definition (Spark's
+    DDL parser does not know the clause), and return (clean_ddl,
+    [(col, start, step), ...])."""
+    defs, identity = [], []
+    for item in _split_top_level(ddl):
+        m = _IDENTITY_CLAUSE_RE.search(item)
+        if m:
+            item = item[: m.start()].strip()
+            col = item.split(None, 1)[0]
+            identity.append(
+                (
+                    col,
+                    int(m.group("start") or 1),
+                    int(m.group("step") or 1),
+                )
+            )
+        defs.append(item)
+    return ", ".join(defs), identity
 
 
 def execute_sql(
@@ -1087,8 +1218,55 @@ def execute_sql(
         return execute_insert(spark, sql, tables, catalog=catalog)
     if kw == "ALTER" and kw2 == "TABLE":
         return execute_alter(spark, sql, tables, catalog=catalog)
-    if kw in ("VACUUM", "OPTIMIZE", "RESTORE", "DESCRIBE", "DROP") or (
+    if kw == "COPY" and kw2 == "INTO":
+        return execute_copy_into(spark, sql, tables, catalog=catalog)
+    if kw in ("VACUUM", "OPTIMIZE", "RESTORE", "DESCRIBE", "DROP", "CONVERT") or (
         kw == "SHOW" and kw2 == "TABLES"
     ) or (kw == "CREATE" and kw2 == "TABLE"):
         return execute_admin(spark, sql, tables, catalog=catalog)
     raise ValueError(f"unsupported statement {kw!r} (SELECTs go to spark.sql)")
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split a script on top-level semicolons (quote/paren-aware via the
+    token scanner) after stripping ``--`` line comments outside string
+    literals."""
+    lines = []
+    for line in script.splitlines():
+        q = None
+        cut = len(line)
+        for i, ch in enumerate(line):
+            if q:
+                if ch == q:
+                    q = None
+                continue
+            if ch in "'\"":
+                q = ch
+            elif ch == "-" and line[i:i + 2] == "--":
+                cut = i
+                break
+        lines.append(line[:cut])
+    text = "\n".join(lines)
+    return [s for s in _split_top_level(text, ";") if s.strip()]
+
+
+def execute_sql_script(
+    spark: SparkSession, script: str, tables: dict | None = None,
+    mode: str = "cow", catalog=None,
+) -> list:
+    """Run a multi-statement SQL script (semicolon-separated, ``--``
+    comments allowed) through :func:`execute_sql`, in order, stopping at
+    the first error. SELECT statements run via ``spark.sql``. Returns
+    the per-statement results — the migration-script surface: a
+    SQL-only consumer ships one file that creates, loads, mutates and
+    maintains tables by name."""
+    out = []
+    for stmt in _split_statements(script):
+        kw = stmt.strip().split(None, 1)[0].upper()
+        if kw in ("SELECT", "WITH"):
+            out.append(spark.sql(stmt))
+        else:
+            out.append(
+                execute_sql(spark, stmt, tables, mode=mode, catalog=catalog)
+            )
+    return out
