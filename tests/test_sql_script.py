@@ -95,3 +95,63 @@ def test_datasource_clusterby_on_create(spark, tmp_path):
             .mode("append")
             .save(str(tmp_path / "t2"))
         )
+
+
+def test_show_create_table_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits a runnable script that recreates the
+    table's shape at a new location, with identity resuming above the
+    original's high-water mark."""
+    cat = Catalog(str(tmp_path / "cat"))
+    execute_sql(
+        spark,
+        "CREATE TABLE crm.src (id BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "name STRING, amount DECIMAL(10,2)) CLUSTER BY (name)",
+        catalog=cat,
+    )
+    execute_sql(
+        spark,
+        "ALTER TABLE crm.src ADD CONSTRAINT amt_pos CHECK (amount >= 0)",
+        catalog=cat,
+    )
+    execute_sql(
+        spark, "INSERT INTO crm.src (name, amount) VALUES ('a', 5.00)",
+        catalog=cat,
+    )
+    script = execute_sql(spark, "SHOW CREATE TABLE crm.src", catalog=cat)["script"]
+    assert "GENERATED ALWAYS AS IDENTITY" in script
+    assert "CLUSTER BY (name)" in script
+    assert "ADD CONSTRAINT amt_pos" in script
+    # re-point the location and the name, run it, verify the shape
+    clone_loc = str(tmp_path / "clone")
+    script2 = script.replace(f"LOCATION '{cat.resolve('crm.src')['path']}'",
+                             f"LOCATION '{clone_loc}'").replace(
+        "crm.src", "crm.clone"
+    )
+    execute_sql_script(spark, script2, catalog=cat)
+    t2 = cat.handle(spark, "crm.clone")
+    st = t2._state()
+    assert st["cluster_by"] == ["name"]
+    assert list(st["constraints"]) == ["amt_pos"]
+    # identity resumes ABOVE the source's high-water
+    execute_sql(
+        spark, "INSERT INTO crm.clone (name, amount) VALUES ('b', 1.00)",
+        catalog=cat,
+    )
+    src_ids = [r.id for r in cat.handle(spark, "crm.src").read().collect()]
+    clone_ids = [r.id for r in t2.read().collect()]
+    assert min(clone_ids) > max(src_ids)
+
+
+def test_describe_detail(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+        .repartition(2),
+        cluster_by=["id"],
+    )
+    t.delete_where("id = 1", mode="dv")
+    row = execute_sql(spark, "DESCRIBE DETAIL t", tables={"t": t}).collect()[0]
+    assert row.format == "wopen_snapshot"
+    assert row.num_files == 2 and row.num_dv_masked_files == 1
+    assert row.cluster_by == ["id"] and row.size_bytes > 0
+    assert row.version == 2

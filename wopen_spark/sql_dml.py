@@ -768,9 +768,51 @@ def parse_create_table(sql: str) -> dict:
         )
     return out
 _DESCRIBE_RE = re.compile(
-    r"^\s*DESCRIBE\s+(?:TABLE\s+)?(?P<target>(?!HISTORY\b)[A-Za-z_][\w.]*)\s*$",
+    r"^\s*DESCRIBE\s+(?:TABLE\s+)?"
+    r"(?P<target>(?!HISTORY\b)(?!DETAIL\b)[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
 )
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<target>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<target>[A-Za-z_][\w.]*)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _reconstruct_ddl(t, name: str) -> str:
+    """Round-trippable DDL: a script that, run through
+    :func:`execute_sql_script` against an empty location, recreates the
+    table's SHAPE (schema, identity, clustering, constraints — not
+    data). Identity START WITH resumes above the current high-water mark
+    so a recreated table never re-issues ids."""
+    st = t._state()
+    fields = T.StructType.fromJson(st["schema"]).fields
+    defs = []
+    for f in fields:
+        d = f"{f.name} {f.dataType.simpleString().upper()}"
+        spec = st["identity"].get(f.name)
+        if spec is not None:
+            nxt = (
+                spec["start"]
+                if spec["high"] is None
+                else spec["high"] + spec["step"]
+            )
+            d += (
+                f" GENERATED ALWAYS AS IDENTITY (START WITH {nxt} "
+                f"INCREMENT BY {spec['step']})"
+            )
+        defs.append(d)
+    stmt = f"CREATE TABLE {name} ({', '.join(defs)})"
+    if st["cluster_by"]:
+        stmt += f" CLUSTER BY ({', '.join(st['cluster_by'])})"
+    stmt += f" LOCATION '{t.path}'"
+    lines = [stmt + ";"]
+    for cname, expr in sorted(st["constraints"].items()):
+        lines.append(f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr});")
+    return "\n".join(lines)
 _COPY_RE = re.compile(
     r"^\s*COPY\s+INTO\s+(?P<target>[A-Za-z_][\w.]*)\s+"
     r"FROM\s+'(?P<path>[^']+)'\s*(?P<tail>.*)$",
@@ -1094,6 +1136,49 @@ def execute_admin(
         return {"converted": m.group("path"), "version": 1,
                 "files": len(t._state()["files"]),
                 **({"registered": name} if name else {})}
+    m = _SHOW_CREATE_RE.match(text)
+    if m:
+        name = m.group("target")
+        t = _resolve_target(
+            {"target": name}, tables or {}, "show create", catalog, spark
+        )
+        return {"script": _reconstruct_ddl(t, name)}
+    m = _DETAIL_RE.match(text)
+    if m:
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "describe detail",
+            catalog, spark,
+        )
+        st = t._state()
+        schema = T.StructType(
+            [
+                T.StructField("format", T.StringType()),
+                T.StructField("location", T.StringType()),
+                T.StructField("version", T.LongType()),
+                T.StructField("num_files", T.LongType()),
+                T.StructField("size_bytes", T.LongType()),
+                T.StructField("num_dv_masked_files", T.LongType()),
+                T.StructField("cluster_by", T.ArrayType(T.StringType())),
+                T.StructField("num_constraints", T.LongType()),
+                T.StructField("num_identity_columns", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    "wopen_snapshot",
+                    t.path,
+                    st["version"],
+                    len(st["files"]),
+                    sum(m_.get("bytes", 0) for m_ in st["files"].values()),
+                    len(st["dvs"]),
+                    st["cluster_by"] or [],
+                    len(st["constraints"]),
+                    len(st["identity"]),
+                )
+            ],
+            schema,
+        )
     m = _DROP_RE.match(text)
     if m:
         name = m.group("target")
@@ -1221,7 +1306,7 @@ def execute_sql(
     if kw == "COPY" and kw2 == "INTO":
         return execute_copy_into(spark, sql, tables, catalog=catalog)
     if kw in ("VACUUM", "OPTIMIZE", "RESTORE", "DESCRIBE", "DROP", "CONVERT") or (
-        kw == "SHOW" and kw2 == "TABLES"
+        kw == "SHOW" and kw2 in ("TABLES", "CREATE")
     ) or (kw == "CREATE" and kw2 == "TABLE"):
         return execute_admin(spark, sql, tables, catalog=catalog)
     raise ValueError(f"unsupported statement {kw!r} (SELECTs go to spark.sql)")
