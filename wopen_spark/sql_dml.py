@@ -1199,9 +1199,10 @@ def execute_admin(
                 f"{catalog.tables()}"
             ) from None
     raise ValueError(
-        "unparseable admin statement (expected CREATE TABLE | DROP TABLE "
-        "| VACUUM | OPTIMIZE [ZORDER BY] | DESCRIBE [HISTORY] | "
-        "SHOW TABLES | RESTORE ... TO VERSION AS OF n)"
+        "unparseable admin statement (expected CREATE TABLE [AS SELECT] "
+        "| DROP TABLE | CONVERT TO SNAPSHOT | VACUUM | OPTIMIZE [ZORDER "
+        "BY] | DESCRIBE [HISTORY|DETAIL] | SHOW TABLES | SHOW CREATE "
+        "TABLE | RESTORE ... TO VERSION|TIMESTAMP AS OF)"
     )
 
 
