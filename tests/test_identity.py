@@ -115,3 +115,11 @@ def test_identity_copy_into_assigns(spark, tmp_path):
     t.copy_into(str(inbox))
     ids = [r.id for r in t.read().collect()]
     assert len(set(ids)) == 2 and all(i >= 1 for i in ids)
+
+
+def test_describe_shows_identity(spark, tmp_path):
+    t = _mk_identity(spark, tmp_path / "t", start=5, step=2)
+    rows = execute_sql(spark, "DESCRIBE t", tables={"t": t}).collect()
+    by = {r.col_name: r.extra for r in rows}
+    assert by["id"] == "identity(start=5, step=2)"
+    assert by["name"] == ""

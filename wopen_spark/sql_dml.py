@@ -1099,16 +1099,33 @@ def execute_admin(
             {"target": m.group("target")}, tables or {}, "describe",
             catalog, spark,
         )
-        fields = T.StructType.fromJson(t._state()["schema"]).fields
+        st = t._state()
+        fields = T.StructType.fromJson(st["schema"]).fields
         schema = T.StructType(
             [
                 T.StructField("col_name", T.StringType()),
                 T.StructField("data_type", T.StringType()),
                 T.StructField("nullable", T.BooleanType()),
+                T.StructField("extra", T.StringType()),
             ]
         )
+
+        def extra(name: str) -> str:
+            spec = st["identity"].get(name)
+            if spec is not None:
+                return (
+                    f"identity(start={spec['start']}, step={spec['step']})"
+                )
+            g = st["generated"].get(name)
+            if g is not None:
+                return f"generated always as ({g['expr']})"
+            return ""
+
         return spark.createDataFrame(
-            [(f.name, f.dataType.simpleString(), f.nullable) for f in fields],
+            [
+                (f.name, f.dataType.simpleString(), f.nullable, extra(f.name))
+                for f in fields
+            ],
             schema,
         )
     if re.match(r"^\s*CREATE\s+TABLE\b", text, re.IGNORECASE):
