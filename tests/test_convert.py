@@ -144,3 +144,29 @@ def test_sql_convert_statement(spark, tmp_path):
     assert cat.handle(spark, "lake.adopted").read().count() == 50
     with pytest.raises(ValueError, match="needs a catalog"):
         execute_sql(spark, f"CONVERT TO SNAPSHOT '{root}x' AS a.b")
+
+
+def test_cdf_over_convert_and_copy(spark, tmp_path):
+    """The change feed treats adoption and COPY INTO like any data
+    commit: adopted rows and copied rows arrive as inserts at their
+    versions, so an incremental consumer of a converted table starts
+    from a complete picture."""
+    root = _plain_parquet_dir(spark, tmp_path / "d", n=20, parts=2)
+    t = SnapshotTable(spark, root)
+    t.convert_from_parquet()
+    ch1 = t.read_changes(0, 1)
+    assert ch1.count() == 20
+    assert ch1.select("_change_type").distinct().collect() == [("insert",)]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    pq.write_table(
+        pa.table({"id": [100], "v": [200], "tag": ["z"]}),
+        str(inbox / "a.parquet"),
+    )
+    t.copy_into(str(inbox))
+    ch2 = t.read_changes(1, 2)
+    assert [(r.id, r._change_type) for r in ch2.collect()] == [(100, "insert")]

@@ -129,3 +129,39 @@ def test_copy_into_refusals(spark, tmp_path):
         t.copy_into(str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="FILEFORMAT"):
         t.copy_into(str(tmp_path), file_format="avro")
+
+
+def test_streaming_landing_zone_composition(spark, tmp_path):
+    """Spark's built-in file streaming source over a landing directory
+    composed with the exactly-once wopen_snapshot sink: the standard
+    'auto-ingest' topology needs zero custom code — checkpointed file
+    tracking upstream, txn-versioned commits downstream."""
+    from wopen_spark.datasource import register_snapshot_datasource
+
+    register_snapshot_datasource(spark)
+    inbox = tmp_path / "inbox"
+    _write_file(spark, str(inbox / "a.parquet"), 0, 10)
+    _write_file(spark, str(inbox / "b.parquet"), 10, 15)
+    out = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        (
+            spark.readStream.schema("id long, v long")
+            .parquet(str(inbox))
+            .writeStream.format("wopen_snapshot")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .option("txnApp", "landing_zone")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    run()
+    t = SnapshotTable(spark, out)
+    assert t.read().count() == 15
+    # new file lands; a second availableNow run ingests ONLY it
+    _write_file(spark, str(inbox / "c.parquet"), 15, 18)
+    run()
+    assert sorted(r.id for r in t.read().collect()) == list(range(18))
