@@ -1145,3 +1145,42 @@ def test_decimal_columns_write_without_stats(spark, tmp_path):
     assert str(got["sum(amount)"]) == str(
         df.groupBy().sum("amount").collect()[0][0] * 2
     )
+
+
+def test_optimize_where_scopes_compaction(spark, tmp_path):
+    """OPTIMIZE ... WHERE (stats-scoped bin-packing): only files whose
+    footer ranges overlap the predicate are rewritten; out-of-range
+    files survive as untouched bytes — the compact-the-hot-range shape
+    a 100 TB table needs."""
+    from wopen_spark.snapshot_table import SnapshotTable
+    from wopen_spark.sql_dml import execute_sql
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.range(0, 1000)
+        .selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(10, "id"),
+        cluster_by=["id"],
+    )
+    state = t._state()
+    assert len(state["files"]) == 10
+    lows = sorted(
+        rel for rel, m in state["files"].items()
+        if m["stats"]["id"]["max"] < 300
+    )
+    highs = sorted(set(state["files"]) - set(lows))
+    rep = execute_sql(
+        spark, "OPTIMIZE t WHERE id BETWEEN 0 AND 299", tables={"t": t}
+    )
+    assert rep["files_selected"] == len(lows)
+    after = t._state()["files"]
+    for rel in highs:
+        assert rel in after, "out-of-range files must be untouched"
+    for rel in lows:
+        assert rel not in after, "in-range files must be rewritten"
+    assert t.read().count() == 1000
+    # refusal: non-BETWEEN predicate shapes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="BETWEEN"):
+        execute_sql(spark, "OPTIMIZE t WHERE id > 5", tables={"t": t})

@@ -3984,7 +3984,10 @@ class SnapshotTable:
         }
 
     def optimize_small_files(
-        self, max_file_bytes: int = 128 << 20, target_file_bytes: int | None = None
+        self,
+        max_file_bytes: int = 128 << 20,
+        target_file_bytes: int | None = None,
+        where_ranges: dict | None = None,
     ) -> dict:
         """Incremental bin-packing — the compaction that actually runs at
         100 TB, where ``compact()``'s full-table rewrite is impossible.
@@ -3993,18 +3996,50 @@ class SnapshotTable:
         rewrites just that set sized to ``target_file_bytes`` (default:
         ``max_file_bytes``), and leaves every other file as untouched
         bytes. A no-op (no commit) when fewer than two files qualify and
-        none is masked."""
+        none is masked.
+
+        ``where_ranges`` (``{col: (lo, hi)}``, either side None for
+        open) restricts the pass to files whose FOOTER stats overlap
+        every bound — the Delta ``OPTIMIZE ... WHERE`` analog on a
+        stats-clustered layout: compact the hot key range, leave the
+        other 99% of a 100 TB table untouched. Files with no usable
+        stats for a bound column stay IN scope (inclusion is always
+        semantics-preserving; exclusion on missing stats could strand
+        exactly the files the caller wants packed)."""
         state = self._state()
+        in_scope = set(state["files"])
+        if where_ranges:
+            prunable = self._prunable_cols(state, list(where_ranges))
+            mapping = state["column_mapping"]
+            in_scope = set()
+            for rel, meta in state["files"].items():
+                keep = True
+                for c, (lo, hi) in where_ranges.items():
+                    if c not in prunable:
+                        continue
+                    s = meta.get("stats", {}).get(self._phys(mapping, c))
+                    if s is None or s["min"] is None:
+                        continue
+                    if hi is not None and s["min"] > _json_safe(hi):
+                        keep = False
+                        break
+                    if lo is not None and s["max"] < _json_safe(lo):
+                        keep = False
+                        break
+                if keep:
+                    in_scope.add(rel)
         qualify = sorted(
             r
             for r, m in state["files"].items()
-            if m["bytes"] < max_file_bytes or state["dvs"].get(r)
+            if r in in_scope
+            and (m["bytes"] < max_file_bytes or state["dvs"].get(r))
         )
         masked = [r for r in qualify if state["dvs"].get(r)]
         if len(qualify) < 2 and not masked:
             return {
                 "version": state["version"],
                 "files_before": len(state["files"]),
+                "files_in_scope": len(in_scope),
                 "files_selected": len(qualify),
                 "files_after": len(qualify),
                 "noop": True,
@@ -4027,6 +4062,7 @@ class SnapshotTable:
         return {
             "version": state["version"] + 1,
             "files_before": len(state["files"]),
+            "files_in_scope": len(in_scope),
             "files_selected": len(qualify),
             "files_masked_purged": len(masked),
             "files_after": len(state["files"]) - len(qualify) + len(adds),

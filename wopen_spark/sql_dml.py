@@ -668,6 +668,45 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*(?P<zcols>\([^)]*\)|[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))?\s*$",
     re.IGNORECASE,
 )
+_OPTIMIZE_WHERE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>[A-Za-z_][\w.]*)\s+WHERE\s+(?P<pred>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_BETWEEN_TERM = r"[A-Za-z_]\w*\s+BETWEEN\s+(?:'[^']*'|-?\d+(?:\.\d+)?)\s+AND\s+(?:'[^']*'|-?\d+(?:\.\d+)?)"
+_BETWEEN_TERM_CAP = re.compile(
+    r"([A-Za-z_]\w*)\s+BETWEEN\s+('[^']*'|-?\d+(?:\.\d+)?)"
+    r"\s+AND\s+('[^']*'|-?\d+(?:\.\d+)?)",
+    re.IGNORECASE,
+)
+
+
+def _parse_between_ranges(pred: str) -> dict:
+    """``col BETWEEN a AND b [AND col2 BETWEEN c AND d]...`` -> ranges
+    dict for stats-scoped OPTIMIZE. Only BETWEEN conjunctions — the
+    file-selection predicate language is deliberately the one footer
+    stats can serve."""
+    if not re.fullmatch(
+        rf"{_BETWEEN_TERM}(?:\s+AND\s+{_BETWEEN_TERM})*",
+        pred.strip(),
+        re.IGNORECASE,
+    ):
+        raise ValueError(
+            "OPTIMIZE ... WHERE takes only conjunctions of "
+            "col BETWEEN lo AND hi (the stats-prunable predicate shape), "
+            f"got {pred[:60]!r}"
+        )
+
+    def val(s: str):
+        if s.startswith("'"):
+            return s[1:-1]
+        return float(s) if "." in s else int(s)
+
+    out = {}
+    for m in _BETWEEN_TERM_CAP.finditer(pred):
+        out[m.group(1)] = (val(m.group(2)), val(m.group(3)))
+    return out
+
+
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>[A-Za-z_][\w.]*)\s*$",
     re.IGNORECASE,
@@ -1022,6 +1061,15 @@ def execute_admin(
         )
         retain = int(m.group("retain")) if m.group("retain") else 1
         return {"removed": t.vacuum(retain_last=retain)}
+    m = _OPTIMIZE_WHERE_RE.match(text)
+    if m:
+        t = _resolve_target(
+            {"target": m.group("target")}, tables or {}, "optimize",
+            catalog, spark,
+        )
+        return t.optimize_small_files(
+            where_ranges=_parse_between_ranges(m.group("pred"))
+        )
     m = _OPTIMIZE_RE.match(text)
     if m:
         t = _resolve_target(
