@@ -123,3 +123,78 @@ def test_describe_shows_identity(spark, tmp_path):
     by = {r.col_name: r.extra for r in rows}
     assert by["id"] == "identity(start=5, step=2)"
     assert by["name"] == ""
+
+
+def test_identity_merge_into_assigns_inserts(spark, tmp_path):
+    """MERGE on an identity table: inserted rows get engine-assigned
+    ids above the high-water mark; updated rows keep theirs; assigning
+    the identity column (SET or INSERT) refuses."""
+    from wopen_spark.sql_dml import execute_sql
+
+    t = _mk_identity(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    before = {r.name: r.id for r in t.read().collect()}
+
+    src = spark.createDataFrame(
+        [("a", "A"), ("c", "C")], "name string, label string"
+    )
+    src.createOrReplaceTempView("ident_mrg_src")
+    # rename path: update a's name, insert c — explicit-column insert
+    execute_sql(
+        spark,
+        """
+        MERGE INTO t USING ident_mrg_src s ON t.name = s.name
+        WHEN MATCHED THEN UPDATE SET name = s.label
+        WHEN NOT MATCHED THEN INSERT (name) VALUES (s.label)
+        """,
+        tables={"t": t},
+    )
+    rows = {r.name: r.id for r in t.read().collect()}
+    assert set(rows) == {"A", "b", "C"}
+    assert rows["A"] == before["a"], "updated row keeps its id"
+    assert rows["b"] == before["b"]
+    assert rows["C"] > max(before.values()), "insert allocates above high"
+    # a further append continues above the merge's allocation
+    t.append(spark.createDataFrame([("d",)], "name string"))
+    ids = [r.id for r in t.read().collect()]
+    assert len(set(ids)) == 4
+
+    with pytest.raises(ValueError, match="IDENTITY"):
+        execute_sql(
+            spark,
+            "MERGE INTO t USING ident_mrg_src s ON t.name = s.name "
+            "WHEN MATCHED THEN UPDATE SET id = 99",
+            tables={"t": t},
+        )
+
+
+def test_identity_merge_dv_mode_and_insert_star_refusal(spark, tmp_path):
+    t = _mk_identity(spark, tmp_path / "t")
+    t.append(spark.createDataFrame([("a",), ("b",)], "name string"))
+    high = max(r.id for r in t.read().collect())
+    src = spark.createDataFrame([("b",), ("z",)], "name string")
+    from wopen_spark.sql_dml import execute_sql
+
+    src.createOrReplaceTempView("ident_dv_src")
+    execute_sql(
+        spark,
+        """
+        MERGE INTO t USING ident_dv_src s ON t.name = s.name
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (name) VALUES (s.name)
+        """,
+        tables={"t": t},
+        mode="dv",
+    )
+    rows = {r.name: r.id for r in t.read().collect()}
+    assert set(rows) == {"a", "z"} and rows["z"] > high
+    # INSERT * with the identity column in the source refuses
+    bad = spark.createDataFrame([(1, "q")], "id long, name string")
+    bad.createOrReplaceTempView("ident_bad_src")
+    with pytest.raises(ValueError, match="INSERT \\*"):
+        execute_sql(
+            spark,
+            "MERGE INTO t USING ident_bad_src s ON t.name = s.name "
+            "WHEN NOT MATCHED THEN INSERT *",
+            tables={"t": t},
+        )

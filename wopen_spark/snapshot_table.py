@@ -3148,13 +3148,6 @@ class SnapshotTable:
         state = self._state()
         if txn_app is not None and self._txn_seen(txn_app, txn_version, state):
             return {"version": state["version"], "replayed": True}
-        if state["identity"]:
-            raise NotImplementedError(
-                "merge_into on a table with identity columns is not "
-                "supported yet (inserted rows would need engine-assigned "
-                "ids inside the merge rewrite); append/INSERT/COPY INTO "
-                "assign them"
-            )
         schema = T.StructType.fromJson(state["schema"])
         types = {f.name: f.dataType for f in schema.fields}
         missing_keys = [k for k in keys if k not in source.columns]
@@ -3169,6 +3162,7 @@ class SnapshotTable:
         # extra non-schema source columns (a CDC batch's op/ts metadata)
         # are legal: conditions read them as s.<col>; insert images take
         # only the schema-named columns (merge_into never evolves schemas)
+        ident_cols = set(state["identity"])
         for cl in (*matched, *by_source, *not_matched):
             assigned = cl.get("set") or cl.get("values") or {}
             gen = [c for c in assigned if c in state["generated"]]
@@ -3177,9 +3171,27 @@ class SnapshotTable:
                     f"column(s) {gen} are GENERATED and recomputed from the "
                     f"updated row; they cannot be assigned directly"
                 )
+            idc = [c for c in assigned if c in ident_cols]
+            if idc:
+                raise ValueError(
+                    f"column(s) {idc} are GENERATED ALWAYS AS IDENTITY — "
+                    f"they can never be an UPDATE/INSERT target"
+                )
             bad = [c for c in assigned if c not in types]
             if bad:
                 raise ValueError(f"update/insert of unknown column(s): {bad}")
+        # identity in the SOURCE is fine as a join key (CDC keyed on id),
+        # but an ``INSERT *`` image would copy the source's value into a
+        # GENERATED ALWAYS column — require explicit-column inserts then
+        if ident_cols & set(source.columns) and any(
+            cl.get("values") is None for cl in not_matched
+        ):
+            raise ValueError(
+                f"source carries identity column(s) "
+                f"{sorted(ident_cols & set(source.columns))} and the merge "
+                "has an INSERT * clause — identity values are "
+                "engine-assigned; use explicit-column INSERT without them"
+            )
 
         src = self._conform(source, state["schema"]).alias("s")
         key_df = src.select(*keys).distinct()
@@ -3277,6 +3289,7 @@ class SnapshotTable:
         # Anti-join against the candidate files' keys is complete:
         # stats-skipped files provably contain no source key.
         inserts = None
+        id_bases: dict[str, int] = {}
         if not_matched:
             unmatched = src.join(
                 tgt.select(*[F.col(f"t.{k}").alias(k) for k in keys]),
@@ -3318,6 +3331,25 @@ class SnapshotTable:
                     ).otherwise(col)
                 ins_cols.append(col.alias(f.name))
             inserts = base.select(*ins_cols)
+            # inserted rows get engine-assigned identity values, exactly
+            # as append assigns them: map-side from the committed
+            # high-water mark. Rewritten/surviving rows keep their t-side
+            # ids; the commit's high-water advance reads footer stats.
+            for col, spec in state["identity"].items():
+                base_v = (
+                    spec["high"]
+                    if spec["high"] is not None
+                    else spec["start"] - spec["step"]
+                )
+                id_bases[col] = base_v
+                inserts = inserts.withColumn(
+                    col,
+                    (
+                        F.lit(base_v)
+                        + F.lit(spec["step"])
+                        * (F.monotonically_increasing_id() + F.lit(1))
+                    ).cast("long"),
+                )
 
         def _finalize(frame: DataFrame) -> tuple[DataFrame, list[dict], dict, dict | None]:
             """Rows being physically written: recompute generated columns
@@ -3333,6 +3365,10 @@ class SnapshotTable:
             extras = {"schema": schema_j}
             if mapping2 is not None:
                 extras["column_mapping"] = mapping2
+            if id_bases:
+                hi = self._identity_high_from_adds(id_bases, adds, eff)
+                if hi:
+                    extras["identity_high"] = hi
             return frame, adds, extras, mapping2
 
         is_update = (
