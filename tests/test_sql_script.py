@@ -155,3 +155,88 @@ def test_describe_detail(spark, tmp_path):
     assert row.num_files == 2 and row.num_dv_masked_files == 1
     assert row.cluster_by == ["id"] and row.size_bytes > 0
     assert row.version == 2
+
+
+def test_parser_property_roundtrips():
+    """Property tests over the r10 parsers: CREATE TABLE defs with
+    nested types and identity clauses, BETWEEN-range predicates, and
+    script splitting with adversarial strings survive round trips."""
+    from hypothesis import given, settings, strategies as st
+
+    from wopen_spark.sql_dml import (
+        _parse_between_ranges,
+        _split_statements,
+        _strip_identity_clauses,
+        parse_create_table,
+    )
+
+    names = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+    types = st.sampled_from(
+        ["INT", "BIGINT", "STRING", "DOUBLE", "DECIMAL(10,2)",
+         "ARRAY<STRING>", "MAP<STRING,INT>", "DECIMAL(38,10)"]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.tuples(names, types), min_size=1, max_size=6,
+                 unique_by=lambda t: t[0])
+    )
+    def create_roundtrip(cols):
+        ddl = ", ".join(f"{n} {t}" for n, t in cols)
+        p = parse_create_table(f"CREATE TABLE t ({ddl}) LOCATION '/x'")
+        assert p["ddl"] == ddl and p["location"] == "/x"
+
+    create_roundtrip()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                names,
+                st.integers(-10**6, 10**6),
+                st.integers(-10**6, 10**6),
+            ),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        )
+    )
+    def between_roundtrip(terms):
+        pred = " AND ".join(f"{n} BETWEEN {a} AND {b}" for n, a, b in terms)
+        got = _parse_between_ranges(pred)
+        assert got == {n: (a, b) for n, a, b in terms}
+
+    between_roundtrip()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="';\"-", blacklist_categories=("Cs",)
+                ),
+                min_size=1, max_size=20,
+            ).map(lambda s: s.replace("\n", " ").strip() or "x"),
+            min_size=1, max_size=5,
+        )
+    )
+    def split_roundtrip(payloads):
+        stmts = [f"INSERT INTO t VALUES ('{p};--{p}')" for p in payloads]
+        script = ";\n".join(stmts) + ";"
+        parts = _split_statements(script)
+        assert len(parts) == len(stmts)
+        for p, s in zip(payloads, parts):
+            assert f"'{p};--{p}'" in s
+
+    split_roundtrip()
+
+    @settings(max_examples=100, deadline=None)
+    @given(names, st.integers(-100, 10**9), st.integers(1, 1000))
+    def identity_strip(col, start, step):
+        ddl = (
+            f"{col} BIGINT GENERATED ALWAYS AS IDENTITY "
+            f"(START WITH {start} INCREMENT BY {step}), v STRING"
+        )
+        clean, ident = _strip_identity_clauses(ddl)
+        assert clean == f"{col} BIGINT, v STRING"
+        assert ident == [(col, start, step)]
+
+    identity_strip()

@@ -1381,24 +1381,30 @@ def execute_sql(
 def _split_statements(script: str) -> list[str]:
     """Split a script on top-level semicolons (quote/paren-aware via the
     token scanner) after stripping ``--`` line comments outside string
-    literals."""
-    lines = []
-    for line in script.splitlines():
-        q = None
-        cut = len(line)
-        for i, ch in enumerate(line):
-            if q:
-                if ch == q:
-                    q = None
-                continue
-            if ch in "'\"":
-                q = ch
-            elif ch == "-" and line[i:i + 2] == "--":
-                cut = i
-                break
-        lines.append(line[:cut])
-    text = "\n".join(lines)
-    return [s for s in _split_top_level(text, ";") if s.strip()]
+    literals. Quote state carries ACROSS newlines — a string literal may
+    legally contain line breaks (and even ``--``), so comment stripping
+    cannot be a per-line pass."""
+    out, q, i, n = [], None, 0, len(script)
+    while i < n:
+        ch = script[i]
+        if q:
+            out.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and script[i:i + 2] == "--":
+            j = script.find("\n", i)
+            i = n if j == -1 else j  # the newline itself survives
+            continue
+        out.append(ch)
+        i += 1
+    return [s for s in _split_top_level("".join(out), ";") if s.strip()]
 
 
 def execute_sql_script(
