@@ -1575,19 +1575,42 @@ class SnapshotTable:
         # a subset-schema append (legal: missing columns null-fill on
         # read) may omit cluster columns — cluster on what's present
         cluster_cols = [c for c in (cluster_by or []) if c in df.columns]
+        cached = None
         if cluster_cols:
+            # The clustered path needs THREE passes over the incoming
+            # frame: the partition-count probe (df.rdd under AQE
+            # materializes every upstream stage), the range sampler, and
+            # the write itself. Persist once so the probe fills the cache
+            # and the sampler + writer read it back — the incoming batch
+            # is computed exactly once however expensive its lineage
+            # (guide §2.4: one pass, not three). The cache is scoped to
+            # this write and released in the finally below; its footprint
+            # is the batch being written, which the write materializes
+            # to disk anyway.
+            df = cached = df.persist()
+            cached.count()  # fills the cache in one materialization
             # explicit partition count: carries the incoming parallelism
             # through the range exchange AND pins it against AQE coalesce,
             # which would otherwise fold small writes into one wide-range
             # file and blunt the per-file min/max stats
-            n = max(1, df.rdd.getNumPartitions())
-            df = df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
+            n = max(1, cached.rdd.getNumPartitions())
+            # a single-partition input yields a single file whether or
+            # not it goes through a range exchange — skip the exchange
+            # (and its sampling pass) outright
+            if n > 1:
+                df = cached.repartitionByRange(
+                    n, *[F.col(c) for c in cluster_cols]
+                )
         if mapping:
             df = df.select(
                 *[F.col(c).alias(self._phys(mapping, c)) for c in df.columns]
             )
         commit_dir = f"data/{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(self._data.write_uri(commit_dir))
+        try:
+            df.write.mode("overwrite").parquet(self._data.write_uri(commit_dir))
+        finally:
+            if cached is not None:
+                cached.unpersist()
         # per-file bloom on the LEADING cluster column: clustering
         # declares the table's access key, and a point probe on a key
         # whose per-file RANGES overlap (uniform keys, multi-append
@@ -1856,7 +1879,11 @@ class SnapshotTable:
         empty create registers just the schema)."""
         if self.latest_version() is not None:
             raise FileExistsError(f"snapshot table already exists at {self.path}")
-        adds = self._write_files(df, cluster_by) if not df.isEmpty() else []
+        # no isEmpty probe: an empty frame writes 0-row part files that
+        # _add_action discards, committing adds=[] — same outcome, one
+        # fewer full computation of the incoming plan (isEmpty under a
+        # shuffle runs every upstream map stage)
+        adds = self._write_files(df, cluster_by)
         self._try_commit(
             1,
             {
@@ -3193,7 +3220,37 @@ class SnapshotTable:
                 "engine-assigned; use explicit-column INSERT without them"
             )
 
-        src = self._conform(source, state["schema"]).alias("s")
+        # persist the conformed source: it feeds the pruning-bounds
+        # aggregate, the target-side classification join, and the insert
+        # anti-join — three consumers that would otherwise EACH recompute
+        # the full source lineage (for a streaming upsert batch that is a
+        # scan + window dedup, re-run per consumer). A CDC/merge batch is
+        # bounded by construction, so the cache is too.
+        src = self._conform(source, state["schema"]).alias("s").persist()
+        try:
+            return self._merge_into_apply(
+                src, state, keys, matched, not_matched, by_source,
+                mode, txn_app, txn_version, schema, types,
+            )
+        finally:
+            src.unpersist()
+
+    def _merge_into_apply(
+        self,
+        src: DataFrame,
+        state: dict,
+        keys: list[str],
+        matched: list[dict],
+        not_matched: list[dict],
+        by_source: list[dict],
+        mode: str,
+        txn_app: str | None,
+        txn_version: int | None,
+        schema,
+        types: dict,
+    ) -> dict:
+        """merge_into body, split out so the caller can scope the source
+        cache with try/finally around the whole pipeline."""
         key_df = src.select(*keys).distinct()
         if by_source:
             cand, skipped = sorted(state["files"]), []
@@ -3242,26 +3299,18 @@ class SnapshotTable:
         act_col = chain.otherwise(F.lit(None)) if chain is not None else F.lit(None)
         joined = joined.withColumn(self._MRG_ACT, act_col)
 
-        if matched:
-            # Delta semantics: error only when a target row would actually
-            # be UPDATED/DELETED by more than one source row (the action
-            # column claimed it >1 times) — multiple matches where at most
-            # one pair satisfies a clause condition are deterministic and
-            # legal. Restricting to claimed rows also keeps the probe on
-            # the same claimed-row scan the rewrite itself needs.
-            dup = (
-                joined.filter(is_matched & F.col(self._MRG_ACT).isNotNull())
-                .groupBy(F.col(f"t.{_DV_FILE}"), F.col(f"t.{_DV_ROW}"))
-                .count()
-                .filter("count > 1")
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise ValueError(
-                    "merge_into: a target row is matched by multiple source "
-                    "rows — deduplicate the source on the merge key first"
-                )
+        # Delta semantics for the multiple-match guard: error only when a
+        # target row would actually be UPDATED/DELETED by more than one
+        # source row (the action column claimed it >1 times) — multiple
+        # matches where at most one pair satisfies a clause condition are
+        # deterministic and legal. The probe itself is mode-specific: the
+        # dv branch runs it over the persisted claimed-row cache, the cow
+        # branch fuses it into the touched-file probe (one pass instead
+        # of two over the classification join).
+        _DUP_MSG = (
+            "merge_into: a target row is matched by multiple source "
+            "rows — deduplicate the source on the merge key first"
+        )
 
         def _image(frame: DataFrame) -> DataFrame:
             """New row image under first-match-wins clause semantics:
@@ -3375,20 +3424,38 @@ class SnapshotTable:
             F.col(self._MRG_ACT).isin(*upd_sets) if upd_sets else F.lit(False)
         )
         if mode == "dv":
-            claimed = joined.filter(F.col(self._MRG_ACT).isNotNull())
-            dv_add, masked_rels, n_rows = self._write_dv(
-                state,
-                claimed.select(
-                    F.col(f"t.{_DV_FILE}").alias(_DV_FILE),
-                    F.col(f"t.{_DV_ROW}").alias(_DV_ROW),
-                ),
-            )
-            new_rows = _image(claimed.filter(is_update)).drop(self._MRG_ACT)
-            if inserts is not None:
-                new_rows = new_rows.unionByName(
-                    inserts, allowMissingColumns=True
+            # claimed rows (the changed-row set, bounded by the batch) are
+            # read by the dup probe, the dv mask write, and the new-image
+            # write — persist so the classification join runs once, not
+            # three times
+            claimed = joined.filter(F.col(self._MRG_ACT).isNotNull()).persist()
+            try:
+                if matched:
+                    dup = (
+                        claimed.filter(is_matched)
+                        .groupBy(F.col(f"t.{_DV_FILE}"), F.col(f"t.{_DV_ROW}"))
+                        .count()
+                        .filter("count > 1")
+                        .limit(1)
+                        .count()
+                    )
+                    if dup:
+                        raise ValueError(_DUP_MSG)
+                dv_add, masked_rels, n_rows = self._write_dv(
+                    state,
+                    claimed.select(
+                        F.col(f"t.{_DV_FILE}").alias(_DV_FILE),
+                        F.col(f"t.{_DV_ROW}").alias(_DV_ROW),
+                    ),
                 )
-            _, adds, extras, _ = _finalize(new_rows)
+                new_rows = _image(claimed.filter(is_update)).drop(self._MRG_ACT)
+                if inserts is not None:
+                    new_rows = new_rows.unionByName(
+                        inserts, allowMissingColumns=True
+                    )
+                _, adds, extras, _ = _finalize(new_rows)
+            finally:
+                claimed.unpersist()
             if not adds and not dv_add and txn_app is None:
                 return {
                     "version": state["version"],
@@ -3420,12 +3487,26 @@ class SnapshotTable:
             }
 
         by_base = self._rels_by_basename(state)
-        probe = (
+        # fused probe: per-file max claim count yields the touched-file
+        # list AND the multiple-match guard in ONE pass over the
+        # classification join (a (file,row) pair counted >1 means a
+        # target row claimed by two source rows — only possible with
+        # matched clauses, since without them the join side is the
+        # distinct key frame)
+        per_file = (
             joined.filter(F.col(self._MRG_ACT).isNotNull())
-            .select(F.col(f"t.{_DV_FILE}").alias(_DV_FILE))
-            .distinct()
+            .groupBy(
+                F.col(f"t.{_DV_FILE}").alias(_DV_FILE),
+                F.col(f"t.{_DV_ROW}").alias(_DV_ROW),
+            )
+            .count()
+            .groupBy(_DV_FILE)
+            .agg(F.max("count").alias("__mx"))
+            .collect()
         )
-        touched = sorted(by_base[r[_DV_FILE]] for r in probe.collect())
+        if matched and any(r["__mx"] > 1 for r in per_file):
+            raise ValueError(_DUP_MSG)
+        touched = sorted(by_base[r[_DV_FILE]] for r in per_file)
         survivors = None
         if touched:
             # re-read restricted to the touched files and re-derive the
