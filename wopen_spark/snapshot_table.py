@@ -2952,7 +2952,16 @@ class SnapshotTable:
         """Write ``matches`` — a (_DV_FILE, _DV_ROW) frame of rows to
         mask — as deletion-vector parquet(s) in the data plane. Returns
         (dv_add commit entries, masked data rels, rows masked)."""
-        matches = matches.select(_DV_FILE, _DV_ROW)
+        from pyspark.sql import Observation
+
+        # the distinct masked-file set rides the write job as an observed
+        # metric (collect_set is bounded by the table's file count), so
+        # deriving the commit's "for" list costs zero extra passes — it
+        # used to be a second Spark job re-reading the masks just written
+        obs = Observation()
+        matches = matches.select(_DV_FILE, _DV_ROW).observe(
+            obs, F.collect_set(F.col(_DV_FILE)).alias("files")
+        )
         dv_dir = f"data/{uuid.uuid4().hex}"
         matches.write.mode("overwrite").parquet(self._data.write_uri(dv_dir))
         dv_rels, n_rows = [], 0
@@ -2968,10 +2977,7 @@ class SnapshotTable:
         if not dv_rels:
             return [], [], 0
         by_base = self._rels_by_basename(state)
-        masked_rels = sorted(
-            by_base[r[_DV_FILE]]
-            for r in self._dv_frame(dv_rels).select(_DV_FILE).distinct().collect()
-        )
+        masked_rels = sorted(by_base[b] for b in obs.get["files"])
         return [{"paths": dv_rels, "for": masked_rels, "rows": n_rows}], masked_rels, n_rows
 
     def merge(self, df: DataFrame, key: str | list[str], mode: str = "cow") -> dict:
@@ -3690,21 +3696,29 @@ class SnapshotTable:
             )
 
         if mode == "dv":
-            matched = self._read_snapshot(state, keep_lineage=True).filter(
-                F.expr(predicate_sql)
+            # the matched rows feed BOTH the mask write and the updated-
+            # image write — persist so the table scan + predicate runs
+            # once, not twice (at scale the scan dominates; guide §2.4)
+            matched = (
+                self._read_snapshot(state, keep_lineage=True)
+                .filter(F.expr(predicate_sql))
+                .persist()
             )
-            dv_add, masked_rels, n_rows = self._write_dv(state, matched)
-            adds = []
-            if dv_add:
-                updated = self._regen(
-                    _apply(matched.drop(_DV_FILE, _DV_ROW)), state
-                )
-                self._enforce(updated, state["constraints"])
-                adds = self._write_files(
-                    updated,
-                    state["cluster_by"],
-                    state["column_mapping"],
-                )
+            try:
+                dv_add, masked_rels, n_rows = self._write_dv(state, matched)
+                adds = []
+                if dv_add:
+                    updated = self._regen(
+                        _apply(matched.drop(_DV_FILE, _DV_ROW)), state
+                    )
+                    self._enforce(updated, state["constraints"])
+                    adds = self._write_files(
+                        updated,
+                        state["cluster_by"],
+                        state["column_mapping"],
+                    )
+            finally:
+                matched.unpersist()
             self._try_commit(
                 state["version"] + 1,
                 {"operation": "update", "add": adds, "dv_add": dv_add},
