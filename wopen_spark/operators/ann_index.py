@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wopen_spark.localframe import local_df
 from wopen_spark.operators.similarity import ivf_assign, pq_adc_scores, pq_codes
 from wopen_spark.snapshot_table import SnapshotTable
 
@@ -70,9 +71,9 @@ class IvfPqIndex:
             for c in range(len(book))
         ]
         idx.codebooks.create(
-            spark.createDataFrame(
-                cb_rows, "subspace int, code int, centroid array<double>"
-            ).coalesce(1)
+            local_df(
+                spark, cb_rows, "subspace int, code int, centroid array<double>"
+            )
         )
         cents_as_vecs = centroids.select(
             F.col("centroid_id").alias("vec_id"), F.col("cvec").alias("v")
@@ -156,8 +157,8 @@ class IvfPqIndex:
         # centroid-assignment subtree runs a single time
         probe_rows = probes.collect()
         if not probe_rows:  # no queries -> empty top-k, nothing scanned
-            empty = self.spark.createDataFrame(
-                [], "query_id long, vec_id long, adc double, rank int"
+            empty = local_df(
+                self.spark, [], "query_id long, vec_id long, adc double, rank int"
             )
             return empty, {
                 "files_total": len(self.codes._state(version)["files"]),
@@ -166,7 +167,7 @@ class IvfPqIndex:
                 "files_skipped_by_bloom": 0,
             }
         probed_ids = sorted({r["centroid_id"] for r in probe_rows})
-        probe_df = self.spark.createDataFrame(probe_rows, probes.schema)
+        probe_df = local_df(self.spark, probe_rows, probes.schema)
         coded, report = self.codes.read_where(
             {"centroid_id": (probed_ids[0], probed_ids[-1])},
             version=version,

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wopen_spark.localframe import local_df
 from wopen_spark.queries.dedup import DUCK_LSH_PAIRS
 from wopen_spark.queries.registry import _t, query
 
@@ -919,9 +920,7 @@ def snapshot_datasource_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFram
 
     tgt = SnapshotTable(spark, root + "/mv_deltas")
     tgt.create(
-        spark.createDataFrame(
-            [], "event_type string, d_count long"
-        )
+        local_df(spark, [], "event_type string, d_count long")
     )
 
     def land(batch: DataFrame, epoch: int) -> None:
@@ -1583,21 +1582,39 @@ def snapshot_datasource_vacuum_recovery(spark: SparkSession, sf_dir: str) -> Dat
     src.append(part.filter(F.col("p_partkey") % 2 == 1).repartition(2))
     mv = SnapshotTable(spark, root + "/mv")
     mv.create(
-        spark.createDataFrame([], "p_brand string, delta long").coalesce(1)
+        local_df(spark, [], "p_brand string, delta long")
     )
 
     def fold(b, _eid):
-        is_snapshot = (
-            b.filter(F.col("_change_type") == "snapshot").limit(1).count() > 0
-        )
+        # ONE scan of the batch (each scan re-reads the CDF through the
+        # Python datasource): fold the snapshot-recovery flag into the
+        # same per-brand aggregate, persist the (bounded, |brands|-row)
+        # result, and decide replace-vs-fold from it — the probe job and
+        # the delta job used to each re-read the source (guide §2.4)
         sign = F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
             F.lit(1)
         )
-        deltas = b.groupBy("p_brand").agg(F.sum(sign).alias("delta"))
-        if is_snapshot:
-            mv.overwrite(deltas)  # recovery batch REPLACES the MV
-        else:
-            mv.append(deltas)
+        ag = (
+            b.groupBy("p_brand")
+            .agg(
+                F.sum(sign).alias("delta"),
+                F.max(
+                    (F.col("_change_type") == "snapshot").cast("int")
+                ).alias("_snap"),
+            )
+            .persist()
+        )
+        try:
+            is_snapshot = bool(
+                ag.agg(F.max("_snap")).collect()[0][0] or 0
+            )
+            deltas = ag.select("p_brand", "delta")
+            if is_snapshot:
+                mv.overwrite(deltas)  # recovery batch REPLACES the MV
+            else:
+                mv.append(deltas)
+        finally:
+            ag.unpersist()
 
     def drain():
         q = (
@@ -1802,7 +1819,7 @@ def copy_into_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         inbox + "/batch1"
     )
     t = SnapshotTable(spark, root + "/t")
-    t.create(spark.createDataFrame([], li.schema))
+    t.create(local_df(spark, [], li.schema))
     r1 = t.copy_into(inbox, pattern="batch1/*.parquet")
     assert r1["files_loaded"] > 0
     r2 = t.copy_into(inbox, pattern="batch1/*.parquet")
@@ -1863,7 +1880,7 @@ def identity_column_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     t = SnapshotTable(spark, tempfile.mkdtemp(prefix="wopen_ident_") + "/t")
-    t.create(spark.createDataFrame([], "id long, c_name string"))
+    t.create(local_df(spark, [], "id long, c_name string"))
     t.set_identity_column("id", start=1000, step=3)
 
     def batch(parity):

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wopen_spark.localframe import local_df
 from wopen_spark.queries.registry import query
 from wopen_spark.streaming.pipeline import available_now_aggregate
 
@@ -285,7 +286,7 @@ def topic_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     table = SnapshotTable(spark, f"{root}/ingested")
-    table.create(spark.createDataFrame([], schema))
+    table.create(local_df(spark, [], schema))
     loader = TopicLoader(topic, table, group="ingest", schema=schema)
     loader.run_once(spark)  # round 1: p0 partial + p1 full
     # late second segment for partition 0
@@ -388,7 +389,7 @@ def streaming_upsert_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic.produce_df(tiled.filter(early).drop("_tile"), "_p")
 
     table = SnapshotTable(spark, f"{root}/user_latest")
-    table.create(spark.createDataFrame([], schema), cluster_by=["user_id"])
+    table.create(local_df(spark, [], schema), cluster_by=["user_id"])
     loader = UpsertTopicLoader(
         topic, table, group="upsert", schema=schema,
         key="user_id", order_col="event_id",

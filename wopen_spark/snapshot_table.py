@@ -69,6 +69,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wopen_spark.localframe import local_df
+
 CHECKPOINT_EVERY = 10
 
 # Reserved row-identity column names for deletion-vector plumbing; the
@@ -245,7 +247,7 @@ def _scan_file_metas_distributed(spark, root: str, rels: list[str]) -> list[dict
             yield _pd.DataFrame({"meta": out})
 
     n = max(1, min(len(rels) // 16, 256))
-    df = spark.createDataFrame([(r,) for r in rels], "rel string").repartition(n)
+    df = local_df(spark, [(r,) for r in rels], "rel string").repartition(n)
     rows = df.mapInPandas(scan, "meta string").collect()
     by_path = {m["path"]: m for m in (json.loads(r.meta) for r in rows)}
     return [by_path[r] for r in rels]
@@ -2371,8 +2373,8 @@ class SnapshotTable:
         if name in state["generated"]:
             raise ValueError(f"generated column {name} already defined")
         # the expression must analyze against the CURRENT schema
-        probe = self.spark.createDataFrame(
-            [], T.StructType.fromJson(state["schema"])
+        probe = local_df(
+            self.spark, [], T.StructType.fromJson(state["schema"])
         )
         probe.select(F.expr(expr_sql).cast(dtype_ddl)).schema  # analyzes
         self._try_commit(
@@ -2845,7 +2847,7 @@ class SnapshotTable:
             if lineage:
                 for n, t in lin_fields:
                     empty = empty.add(n, t)
-            return self.spark.createDataFrame([], empty)
+            return local_df(self.spark, [], empty)
         lin_cols = (
             [
                 F.col("_metadata.file_name").alias(_DV_FILE),
@@ -3961,7 +3963,7 @@ class SnapshotTable:
             base = base.add("_change_type", T.StringType()).add(
                 "_commit_version", T.IntegerType()
             )
-            return self.spark.createDataFrame([], base)
+            return local_df(self.spark, [], base)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)

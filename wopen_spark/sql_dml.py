@@ -52,6 +52,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from wopen_spark.localframe import local_df
+
 _IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
@@ -1100,8 +1102,8 @@ def execute_admin(
                 T.StructField("n_rows_dv_masked", T.LongType()),
             ]
         )
-        return spark.createDataFrame(
-            [tuple(r[f.name] for f in schema.fields) for r in rows], schema
+        return local_df(
+            spark, [tuple(r[f.name] for f in schema.fields) for r in rows], schema
         )
     m = _RESTORE_RE.match(text)
     if m:
@@ -1138,9 +1140,7 @@ def execute_admin(
                 T.StructField("path", T.StringType()),
             ]
         )
-        return spark.createDataFrame(
-            sorted(entries.items()), schema
-        )
+        return local_df(spark, sorted(entries.items()), schema)
     m = _DESCRIBE_RE.match(text)
     if m:
         t = _resolve_target(
@@ -1169,7 +1169,8 @@ def execute_admin(
                 return f"generated always as ({g['expr']})"
             return ""
 
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 (f.name, f.dataType.simpleString(), f.nullable, extra(f.name))
                 for f in fields
@@ -1228,7 +1229,8 @@ def execute_admin(
                 T.StructField("num_identity_columns", T.LongType()),
             ]
         )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [
                 (
                     "wopen_snapshot",
@@ -1308,7 +1310,7 @@ def _execute_create_table(spark: SparkSession, text: str, catalog) -> dict:
         df = spark.sql(p["select"])
     else:
         ddl, identity = _strip_identity_clauses(p["ddl"])
-        df = spark.createDataFrame([], T.StructType.fromDDL(ddl))
+        df = local_df(spark, [], T.StructType.fromDDL(ddl))
     t.create(df, cluster_by=p["cluster_by"])
     for col, start, step in identity:
         t.set_identity_column(col, start=start, step=step)

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wopen_spark.localframe import local_df
 from wopen_spark.snapshot_table import SnapshotTable
 
 # every record carries its position, like a Kafka ConsumerRecord
@@ -210,7 +211,7 @@ class FileTopic:
 
     @staticmethod
     def spark_empty(spark: SparkSession, schema: T.StructType) -> DataFrame:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
 
     def stream(self, spark: SparkSession, schema: T.StructType) -> DataFrame:
         """The topic as a CONTINUOUS Structured Streaming source: segments

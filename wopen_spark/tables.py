@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wopen_spark.localframe import local_df
+
 # BigQuery JSON schema type -> Spark type (SURVEY §1.2: the reference's
 # schema files only use STRING/FLOAT/INTEGER/DATE, all NULLABLE —
 # schema/custom_search.json:1-58).
@@ -92,7 +94,7 @@ class Table:
         if not self._has_data_files() and os.path.exists(sidecar):
             with open(sidecar) as f:
                 schema = T.StructType.fromJson(json.load(f))
-            return self.spark.createDataFrame([], schema)
+            return local_df(self.spark, [], schema)
         return self.spark.read.parquet(self.path)
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
