@@ -110,6 +110,37 @@ def test_multiple_source_matches_raise(spark, tmp_path):
     assert t.read().filter("id = 7").count() == 2
 
 
+def test_multiple_source_matches_raise_dv_no_orphan_masks(spark, tmp_path):
+    """The dv-mode multiple-match guard rides the mask write itself
+    (_write_dv dup_guard): it must still raise, leave the table
+    untouched, AND unwind the just-written mask files so a failed merge
+    leaves no data-plane garbage."""
+    t = _base(spark, str(tmp_path / "t"))
+    before_rows = sorted((r.id, r.name, r.val) for r in t.read().collect())
+    before_files = set(t._data.list_data_files())
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "id int, name string, val double"
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_into(
+            dup,
+            "id",
+            mode="dv",
+            matched=[{"action": "update", "cond": None, "set": {"val": "s.val"}}],
+        )
+    assert sorted((r.id, r.name, r.val) for r in t.read().collect()) == before_rows
+    assert set(t._data.list_data_files()) == before_files
+    # and a clean dv merge through the same path still works
+    ok = spark.createDataFrame([(2, "x", 1.0)], "id int, name string, val double")
+    t.merge_into(
+        ok,
+        "id",
+        mode="dv",
+        matched=[{"action": "update", "cond": None, "set": {"val": "s.val"}}],
+    )
+    assert t.read().filter("id = 2").collect()[0].val == 1.0
+
+
 def test_cdc_op_column_drives_clauses(spark, tmp_path):
     """A CDC batch's op column is readable as s.op in conditions but is
     NOT part of the insert image (merge_into never evolves schemas)."""

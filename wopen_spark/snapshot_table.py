@@ -78,6 +78,11 @@ CHECKPOINT_EVERY = 10
 _DV_FILE = "__sn_dv_file"
 _DV_ROW = "__sn_dv_row"
 
+_DUP_MSG = (
+    "merge_into: a target row is matched by multiple source "
+    "rows — deduplicate the source on the merge key first"
+)
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed the version this transaction targeted."""
@@ -2949,11 +2954,19 @@ class SnapshotTable:
         return {rel.rsplit("/", 1)[-1]: rel for rel in state["files"]}
 
     def _write_dv(
-        self, state: dict, matches: DataFrame
+        self, state: dict, matches: DataFrame, dup_guard: bool = False
     ) -> tuple[list[dict], list[str], int]:
         """Write ``matches`` — a (_DV_FILE, _DV_ROW) frame of rows to
         mask — as deletion-vector parquet(s) in the data plane. Returns
-        (dv_add commit entries, masked data rels, rows masked)."""
+        (dv_add commit entries, masked data rels, rows masked).
+
+        ``dup_guard=True`` additionally enforces merge_into's
+        multiple-match rule in the SAME job: the mask is pre-aggregated
+        per (file, row) and ``max(count)`` rides the write's Observation
+        next to the masked-file set. On every merge that does not raise,
+        all counts are 1, so the grouped mask is byte-identical to the
+        raw one — the guard costs one in-job exchange of the bounded
+        claimed set instead of a whole separate probe job."""
         from pyspark.sql import Observation
 
         # the distinct masked-file set rides the write job as an observed
@@ -2961,11 +2974,30 @@ class SnapshotTable:
         # deriving the commit's "for" list costs zero extra passes — it
         # used to be a second Spark job re-reading the masks just written
         obs = Observation()
-        matches = matches.select(_DV_FILE, _DV_ROW).observe(
-            obs, F.collect_set(F.col(_DV_FILE)).alias("files")
-        )
+        if dup_guard:
+            matches = (
+                matches.select(_DV_FILE, _DV_ROW)
+                .groupBy(_DV_FILE, _DV_ROW)
+                .agg(F.count(F.lit(1)).alias("__sn_dup_n"))
+                .observe(
+                    obs,
+                    F.collect_set(F.col(_DV_FILE)).alias("files"),
+                    F.max("__sn_dup_n").alias("mx"),
+                )
+                .select(_DV_FILE, _DV_ROW)
+            )
+        else:
+            matches = matches.select(_DV_FILE, _DV_ROW).observe(
+                obs, F.collect_set(F.col(_DV_FILE)).alias("files")
+            )
         dv_dir = f"data/{uuid.uuid4().hex}"
         matches.write.mode("overwrite").parquet(self._data.write_uri(dv_dir))
+        if dup_guard and (obs.get.get("mx") or 0) > 1:
+            # a target row claimed >1 times: unwind the just-written
+            # masks (nothing was committed) and surface Delta's error
+            for name in self._data.publish_dir(dv_dir):
+                self._data.delete(f"{dv_dir}/{name}")
+            raise ValueError(_DUP_MSG)
         dv_rels, n_rows = [], 0
         for name in self._data.publish_dir(dv_dir):
             rel = f"{dv_dir}/{name}"
@@ -3312,13 +3344,9 @@ class SnapshotTable:
         # source row (the action column claimed it >1 times) — multiple
         # matches where at most one pair satisfies a clause condition are
         # deterministic and legal. The probe itself is mode-specific: the
-        # dv branch runs it over the persisted claimed-row cache, the cow
-        # branch fuses it into the touched-file probe (one pass instead
-        # of two over the classification join).
-        _DUP_MSG = (
-            "merge_into: a target row is matched by multiple source "
-            "rows — deduplicate the source on the merge key first"
-        )
+        # dv branch fuses it into the mask write (_write_dv dup_guard),
+        # the cow branch into the touched-file probe — either way one
+        # pass over the classification join, never a separate job.
 
         def _image(frame: DataFrame) -> DataFrame:
             """New row image under first-match-wins clause semantics:
@@ -3433,28 +3461,20 @@ class SnapshotTable:
         )
         if mode == "dv":
             # claimed rows (the changed-row set, bounded by the batch) are
-            # read by the dup probe, the dv mask write, and the new-image
-            # write — persist so the classification join runs once, not
-            # three times
+            # read by the dv mask write and the new-image write — persist
+            # so the classification join runs once, not twice. The
+            # multiple-match guard rides the mask write itself
+            # (dup_guard): a by_source-claimed row joins exactly once, so
+            # any (file,row) counted >1 must come from matched clauses.
             claimed = joined.filter(F.col(self._MRG_ACT).isNotNull()).persist()
             try:
-                if matched:
-                    dup = (
-                        claimed.filter(is_matched)
-                        .groupBy(F.col(f"t.{_DV_FILE}"), F.col(f"t.{_DV_ROW}"))
-                        .count()
-                        .filter("count > 1")
-                        .limit(1)
-                        .count()
-                    )
-                    if dup:
-                        raise ValueError(_DUP_MSG)
                 dv_add, masked_rels, n_rows = self._write_dv(
                     state,
                     claimed.select(
                         F.col(f"t.{_DV_FILE}").alias(_DV_FILE),
                         F.col(f"t.{_DV_ROW}").alias(_DV_ROW),
                     ),
+                    dup_guard=bool(matched),
                 )
                 new_rows = _image(claimed.filter(is_update)).drop(self._MRG_ACT)
                 if inserts is not None:
