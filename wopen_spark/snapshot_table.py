@@ -1569,11 +1569,23 @@ class SnapshotTable:
         df: DataFrame,
         cluster_by: list[str] | None,
         mapping: dict | None = None,
+        adaptive: bool = False,
     ) -> list[dict]:
         """Write immutable data files for one commit into a fresh subdir;
         return their add-action metadata. Clustering narrows per-file key
         ranges so stats-based file skipping stays sharp. ``df`` arrives
-        with LOGICAL column names; physical names go to disk."""
+        with LOGICAL column names; physical names go to disk.
+
+        ``adaptive=True`` (engine-internal rewrite/image batches — merge
+        images, update/delete survivors) lets the range exchange size
+        itself from runtime stats (AQE partition coalescing, guide §6
+        output-file sizing) instead of pinning one output file per input
+        partition: those batches arrive with shuffle-artifact
+        partitioning (cores-many slivers at ANY scale), so pinning writes
+        one tiny file per sliver — table bloat plus a wide exchange for
+        rows that fit in one file. Caller-shaped writes (create / append
+        / overwrite) keep the explicit layout the caller partitioned
+        for."""
         if _DV_FILE in df.columns or _DV_ROW in df.columns:
             raise ValueError(
                 f"{_DV_FILE}/{_DV_ROW} are reserved for deletion-vector "
@@ -1595,7 +1607,13 @@ class SnapshotTable:
             # is the batch being written, which the write materializes
             # to disk anyway.
             df = cached = df.persist()
-            cached.count()  # fills the cache in one materialization
+            if cached.count() == 0:  # fills the cache in one materialization
+                # nothing to write: a 0-row batch produces only 0-row
+                # part files, every one of which _add_action deletes —
+                # skip the write job (and its range exchange) outright.
+                # Empty creates / no-op merge legs hit this constantly.
+                cached.unpersist()
+                return []
             # explicit partition count: carries the incoming parallelism
             # through the range exchange AND pins it against AQE coalesce,
             # which would otherwise fold small writes into one wide-range
@@ -1605,9 +1623,20 @@ class SnapshotTable:
             # not it goes through a range exchange — skip the exchange
             # (and its sampling pass) outright
             if n > 1:
-                df = cached.repartitionByRange(
-                    n, *[F.col(c) for c in cluster_cols]
-                )
+                if adaptive:
+                    # no explicit partition count -> AQE coalesces the
+                    # range exchange to advisory-sized partitions: a
+                    # bounded changed-row batch lands as ONE file, a
+                    # large rewrite as ~advisory-sized range files with
+                    # disjoint key ranges (adjacent-merge keeps min/max
+                    # stats sharp)
+                    df = cached.repartitionByRange(
+                        *[F.col(c) for c in cluster_cols]
+                    )
+                else:
+                    df = cached.repartitionByRange(
+                        n, *[F.col(c) for c in cluster_cols]
+                    )
         if mapping:
             df = df.select(
                 *[F.col(c).alias(self._phys(mapping, c)) for c in df.columns]
@@ -2987,8 +3016,15 @@ class SnapshotTable:
                 .select(_DV_FILE, _DV_ROW)
             )
         else:
-            matches = matches.select(_DV_FILE, _DV_ROW).observe(
-                obs, F.collect_set(F.col(_DV_FILE)).alias("files")
+            # cluster masks by their target file through a coalescible
+            # exchange (no explicit n -> AQE folds a bounded changed-row
+            # set into ONE mask file; a large one lands file-clustered,
+            # which is the layout the merge-on-read scan prunes by). The
+            # exchange carries (file, row) pairs only — never payload.
+            matches = (
+                matches.select(_DV_FILE, _DV_ROW)
+                .repartition(F.col(_DV_FILE))
+                .observe(obs, F.collect_set(F.col(_DV_FILE)).alias("files"))
             )
         dv_dir = f"data/{uuid.uuid4().hex}"
         matches.write.mode("overwrite").parquet(self._data.write_uri(dv_dir))
@@ -3055,7 +3091,9 @@ class SnapshotTable:
                     state, candidates, keep_lineage=True
                 ).join(key_df, keys, "left_semi")
                 dv_add, masked_rels, n_rows = self._write_dv(state, matches)
-            adds = self._write_files(new_rows, state["cluster_by"], eff_mapping)
+            adds = self._write_files(
+                new_rows, state["cluster_by"], eff_mapping, adaptive=True
+            )
             self._try_commit(
                 state["version"] + 1,
                 {
@@ -3111,7 +3149,9 @@ class SnapshotTable:
             )
         else:
             merged = new_rows
-        adds = self._write_files(merged, state["cluster_by"], eff_mapping)
+        adds = self._write_files(
+            merged, state["cluster_by"], eff_mapping, adaptive=True
+        )
         self._try_commit(
             state["version"] + 1,
             {
@@ -3446,7 +3486,10 @@ class SnapshotTable:
             self._enforce(frame, state["constraints"], state["schema"])
             schema_j, mapping2 = self._merged_schema(state, frame)
             eff = mapping2 if mapping2 is not None else state["column_mapping"]
-            adds = self._write_files(self._conform(frame, schema_j), state["cluster_by"], eff)
+            adds = self._write_files(
+                self._conform(frame, schema_j), state["cluster_by"], eff,
+                adaptive=True,
+            )
             extras = {"schema": schema_j}
             if mapping2 is not None:
                 extras["column_mapping"] = mapping2
@@ -3660,7 +3703,9 @@ class SnapshotTable:
             kept = self._read_snapshot(state, touched).filter(
                 ~F.expr(predicate_sql)
             )
-            adds = self._write_files(kept, state["cluster_by"], mapping)
+            adds = self._write_files(
+                kept, state["cluster_by"], mapping, adaptive=True
+            )
         self._try_commit(
             state["version"] + 1,
             {"operation": "delete", "add": adds, "remove": touched},
@@ -3738,6 +3783,7 @@ class SnapshotTable:
                         updated,
                         state["cluster_by"],
                         state["column_mapping"],
+                        adaptive=True,
                     )
             finally:
                 matched.unpersist()
@@ -3778,7 +3824,8 @@ class SnapshotTable:
             kept = self._regen(kept, state)
             self._enforce(kept, state["constraints"])
             adds = self._write_files(
-                kept, state["cluster_by"], state["column_mapping"]
+                kept, state["cluster_by"], state["column_mapping"],
+                adaptive=True,
             )
         self._try_commit(
             state["version"] + 1,
