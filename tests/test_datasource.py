@@ -107,6 +107,57 @@ def test_pushdown_never_skips_on_type_mismatch(ds_spark, tmp_path):
     assert len(r.partitions()) == 1  # kept: probe type is str, stats are int
 
 
+def test_file_grouping_packs_by_spark_split_formula():
+    """Partition planning groups files like Spark's scan split-packing:
+    many tiny files amortize into multi-file tasks (never one task per
+    file at scale), small tables keep one file per task (full
+    parallelism + stable pruning counts), oversized files stand alone."""
+    from wopen_spark.datasource import _group_file_entries
+
+    def entries(sizes):
+        return [(f"data/f{i}.parquet", (), (), "", 0) for i in range(len(sizes))]
+
+    mb = 1024 * 1024
+    # 100 tiny files, floor of 8 tasks: open cost dominates -> ~9 groups
+    sizes = [1024] * 100
+    groups = _group_file_entries(
+        entries(sizes), sizes, "{}", "{}", "{}", {"mintasks": "8"}
+    )
+    assert 8 <= len(groups) < 100
+    assert sum(len(g.files) for g in groups) == 100
+    assert all(len(g.files) > 1 for g in groups)
+    # 4 small files at high parallelism: one file per task (no grouping)
+    sizes = [1 * mb] * 4
+    groups = _group_file_entries(
+        entries(sizes), sizes, "{}", "{}", "{}", {"mintasks": "32"}
+    )
+    assert [len(g.files) for g in groups] == [1, 1, 1, 1]
+    # files past maxPartitionBytes each get their own task
+    sizes = [256 * mb] * 6
+    groups = _group_file_entries(
+        entries(sizes), sizes, "{}", "{}", "{}", {"mintasks": "4"}
+    )
+    assert [len(g.files) for g in groups] == [1] * 6
+
+
+def test_grouped_read_equals_table_read(ds_spark, tmp_path):
+    """Forcing grouping (minTasks=1) must not change results — the
+    grouped task reads every file of its group through the same dv-aware
+    path."""
+    t = _mutated_table(ds_spark, str(tmp_path / "t"))
+    got = (
+        ds_spark.read.format("wopen_snapshot")
+        .option("minTasks", 1)
+        .load(t.path)
+    )
+    assert _rows(got) == _rows(t.read())
+    from wopen_spark.datasource import _SnapshotBatchReader
+
+    parts = _SnapshotBatchReader(t.path, {"mintasks": "1"}).partitions()
+    assert len(parts) == 1  # everything packed into one multi-file task
+    assert sum(len(p.files) for p in parts) == len(t._state()["files"])
+
+
 def test_cdf_stream_matches_batch_changes_and_resumes(ds_spark, tmp_path):
     t = SnapshotTable(ds_spark, str(tmp_path / "t"))
     base = ds_spark.range(0, 100).select(

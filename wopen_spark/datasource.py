@@ -23,10 +23,13 @@ standard reader surfaces instead of requiring the SnapshotTable class:
     df.write.format("wopen_snapshot").option(                   # evolution
         "mergeSchema", "true").mode("append").save(path)
 
-Batch reads plan one Spark task per live data file and apply deletion
-vectors merge-on-read; Catalyst filter pushdown prunes files by footer
-min/max stats and bloom sidecars BEFORE tasks launch (`pushFilters`), so
-a point read on a 10k-file table schedules a handful of tasks. The
+Batch reads plan one Spark task per ~128 MB file GROUP (Spark's own
+scan split-packing formula, with a per-file open cost so tiny files
+still amortize — a 10k-file table plans ~bytes/128MB Python tasks, not
+10k) and apply deletion vectors merge-on-read; Catalyst filter pushdown
+prunes files by footer min/max stats and bloom sidecars BEFORE tasks
+launch (`pushFilters`), so a point read on a 10k-file table schedules
+a handful of tasks. The
 streaming source emits the change feed (`_change_type`,
 `_commit_version`) with table versions as offsets — commits are the
 atomic unit of progress, so a micro-batch never observes half a commit;
@@ -227,26 +230,95 @@ def _resolve_version(table: SnapshotTable, options) -> int | None:
 
 @dataclass(frozen=True)
 class _FileTask(InputPartition):
-    """One task = one data file (+ the dv masks and change tagging it
-    needs). Plain strings/tuples/dicts only — this crosses the pickle
-    wire. Paths are log-relative; ``store`` says how to open them."""
+    """One Spark task = one GROUP of data files (each with the dv masks
+    and change tagging it needs). Plain strings/tuples/dicts only — this
+    crosses the pickle wire. Paths are log-relative; ``store`` says how
+    to open them.
 
-    file_rel: str
-    dv_rel: tuple  # mask parquets to ANTI-join (live rows)
-    semi_rel: tuple  # mask parquets to SEMI-join (rows a dv commit masked)
+    ``files`` holds one entry per data file:
+    ``(file_rel, dv_rel, semi_rel, change_type, commit_version)``.
+    Grouping follows Spark's own scan split-packing (guide §6): a task
+    targets ``min(maxPartitionBytes, max(openCost, total/minTasks))``
+    bytes with each file charged an open cost, so a 10k-file table plans
+    ~bytes/128MB tasks instead of 10k one-file Python tasks, while small
+    tables keep one file per task (full parallelism, and pruning tests
+    keep their partition-count semantics)."""
+
+    files: tuple  # ((file_rel, dv_rel, semi_rel, change_type, version), ...)
     store_json: str  # _store_spec output
     schema_json: str
     mapping_json: str  # logical -> physical (identity when empty)
-    change_type: str  # "" for snapshot reads
-    commit_version: int
+
+
+_OPEN_COST_BYTES = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
+_MAX_TASK_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+
+
+def _min_tasks_default() -> int:
+    """The plan worker has no SparkSession, so the minimum-parallelism
+    floor (Spark's ``leafNodeDefaultParallelism``) comes from the same
+    core-count contract the session factory uses."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "")))
+    except ValueError:
+        return max(1, os.cpu_count() or 8)
+
+
+def _group_file_entries(
+    entries: list[tuple],
+    sizes: list[int],
+    store_json: str,
+    schema_json: str,
+    mapping_json: str,
+    options=None,
+) -> list["_FileTask"]:
+    """Pack per-file entries into _FileTask groups by Spark's split
+    formula: target = min(maxPartitionBytes, max(openCost,
+    (total bytes + n*openCost) / minTasks)). Options ``maxBytesPerTask``
+    / ``minTasks`` override the defaults per read."""
+    opts = options or {}
+    max_bytes = int(opts.get("maxbytespertask", _MAX_TASK_BYTES))
+    min_tasks = int(opts.get("mintasks", _min_tasks_default()))
+    charged = [s + _OPEN_COST_BYTES for s in sizes]
+    target = min(
+        max_bytes, max(_OPEN_COST_BYTES, sum(charged) // max(1, min_tasks))
+    )
+    out: list[_FileTask] = []
+    group: list[tuple] = []
+    acc = 0
+    for entry, cost in zip(entries, charged):
+        if group and acc + cost > target:
+            out.append(
+                _FileTask(
+                    files=tuple(group),
+                    store_json=store_json,
+                    schema_json=schema_json,
+                    mapping_json=mapping_json,
+                )
+            )
+            group, acc = [], 0
+        group.append(entry)
+        acc += cost
+    if group:
+        out.append(
+            _FileTask(
+                files=tuple(group),
+                store_json=store_json,
+                schema_json=schema_json,
+                mapping_json=mapping_json,
+            )
+        )
+    return out
 
 
 def _task_rows(task: _FileTask):
-    """Executor-side: read one parquet through the logical schema, apply
-    deletion-vector masks by row position, optionally tag CDF columns.
-    Yields pyarrow RecordBatches matching the declared Spark schema.
-    All bytes come through the partition's DataStore — POSIX handle for
-    local roots, object GET for s3."""
+    """Executor-side: read the group's parquet files through the logical
+    schema, apply deletion-vector masks by row position, optionally tag
+    CDF columns. Yields pyarrow RecordBatches matching the declared
+    Spark schema. All bytes come through the partition's DataStore —
+    POSIX handle for local roots, object GET for s3. Schema/mapping are
+    parsed and the store opened ONCE per task, however many files the
+    group holds."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -255,60 +327,63 @@ def _task_rows(task: _FileTask):
     mapping = json.loads(task.mapping_json)
     phys_of = lambda c: mapping.get(c, c)  # noqa: E731
     store = _store_from_spec(json.loads(task.store_json))
-
-    pf = pq.ParquetFile(store.open_input(task.file_rel))
-    present = set(pf.schema_arrow.names)
-    want_phys = [phys_of(f.name) for f in schema.fields if phys_of(f.name) in present]
-    tbl = pf.read(columns=want_phys)
-
-    mask_rows: set[int] | None = None
-    base = os.path.basename(task.file_rel)
-    for kind, paths in (("anti", task.dv_rel), ("semi", task.semi_rel)):
-        if not paths:
-            continue
-        hit: set[int] = set()
-        for p in paths:
-            # row-group/page-predicated read: a mask covering 100 files
-            # must not materialize all its rows in every file's task
-            mt = pq.read_table(
-                store.open_input(p), filters=[(_DV_FILE, "=", base)]
-            )
-            hit.update(mt.column(_DV_ROW).to_pylist())
-        if kind == "anti":
-            mask_rows = hit if mask_rows is None else mask_rows | hit
-        else:
-            # semi: keep exactly the newly-masked rows
-            keep = hit - (mask_rows or set())
-            sel = sorted(i for i in keep if i < tbl.num_rows)
-            tbl = tbl.take(pa.array(sel, type=pa.int64()))
-            mask_rows = None
-            break
-    if mask_rows:
-        import numpy as np
-
-        keep = np.ones(tbl.num_rows, dtype=bool)
-        idx = [i for i in mask_rows if i < tbl.num_rows]
-        keep[idx] = False
-        tbl = tbl.filter(pa.array(keep))
-
-    # physical -> logical names, null-fill absent (pre-widening) columns,
-    # cast to the EXACT arrow schema the Spark schema implies
-    out_cols, n = [], tbl.num_rows
-    for f in schema.fields:
-        if f.name in ("_change_type", "_commit_version"):
-            val = task.change_type if f.name == "_change_type" else task.commit_version
-            out_cols.append(pa.array([val] * n))
-            continue
-        p = phys_of(f.name)
-        if p in present:
-            out_cols.append(tbl.column(p))
-        else:
-            out_cols.append(pa.nulls(n))
     target = to_arrow_schema(schema)
-    result = pa.table(out_cols, names=[f.name for f in schema.fields]).cast(
-        target, safe=False
-    )
-    yield from result.to_batches(max_chunksize=1 << 16)
+    logical_names = [f.name for f in schema.fields]
+
+    for file_rel, dv_rel, semi_rel, change_type, commit_version in task.files:
+        pf = pq.ParquetFile(store.open_input(file_rel))
+        present = set(pf.schema_arrow.names)
+        want_phys = [
+            phys_of(f.name) for f in schema.fields if phys_of(f.name) in present
+        ]
+        tbl = pf.read(columns=want_phys)
+
+        mask_rows: set[int] | None = None
+        base = os.path.basename(file_rel)
+        for kind, paths in (("anti", dv_rel), ("semi", semi_rel)):
+            if not paths:
+                continue
+            hit: set[int] = set()
+            for p in paths:
+                # row-group/page-predicated read: a mask covering 100
+                # files must not materialize all its rows in every
+                # file's task
+                mt = pq.read_table(
+                    store.open_input(p), filters=[(_DV_FILE, "=", base)]
+                )
+                hit.update(mt.column(_DV_ROW).to_pylist())
+            if kind == "anti":
+                mask_rows = hit if mask_rows is None else mask_rows | hit
+            else:
+                # semi: keep exactly the newly-masked rows
+                keep = hit - (mask_rows or set())
+                sel = sorted(i for i in keep if i < tbl.num_rows)
+                tbl = tbl.take(pa.array(sel, type=pa.int64()))
+                mask_rows = None
+                break
+        if mask_rows:
+            import numpy as np
+
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            idx = [i for i in mask_rows if i < tbl.num_rows]
+            keep[idx] = False
+            tbl = tbl.filter(pa.array(keep))
+
+        # physical -> logical names, null-fill absent (pre-widening)
+        # columns, cast to the EXACT arrow schema the Spark schema implies
+        out_cols, n = [], tbl.num_rows
+        for f in schema.fields:
+            if f.name in ("_change_type", "_commit_version"):
+                val = change_type if f.name == "_change_type" else commit_version
+                out_cols.append(pa.repeat(val, n))
+                continue
+            p = phys_of(f.name)
+            if p in present:
+                out_cols.append(tbl.column(p))
+            else:
+                out_cols.append(pa.nulls(n))
+        result = pa.table(out_cols, names=logical_names).cast(target, safe=False)
+        yield from result.to_batches(max_chunksize=1 << 16)
 
 
 class _SnapshotBatchReader(DataSourceReader):
@@ -404,23 +479,15 @@ class _SnapshotBatchReader(DataSourceReader):
             if state["column_mapping"]
             else {}
         )
-        out = []
+        entries, sizes = [], []
         for rel, meta in sorted(state["files"].items()):
             if self._skip(table, state, meta):
                 continue
-            out.append(
-                _FileTask(
-                    file_rel=rel,
-                    dv_rel=tuple(state["dvs"].get(rel, [])),
-                    semi_rel=(),
-                    store_json=store_json,
-                    schema_json=schema_json,
-                    mapping_json=mapping_json,
-                    change_type="",
-                    commit_version=0,
-                )
-            )
-        return out
+            entries.append((rel, tuple(state["dvs"].get(rel, [])), (), "", 0))
+            sizes.append(int(meta.get("bytes", 0)))
+        return _group_file_entries(
+            entries, sizes, store_json, schema_json, mapping_json, self.options
+        )
 
     def read(self, partition):
         if partition is None:  # Spark substitutes [None] for an empty
@@ -458,9 +525,11 @@ def _exclusive_start(options) -> int:
     return int(options.get("afterversion", options.get("startingversion", "0")))
 
 
-def _cdf_tasks(table: SnapshotTable, store_json: str, lo: int, hi: int) -> list:
-    """One _FileTask per changed file for the commits in (lo, hi] —
-    shared by the streaming source and the batch CDF reader, so both
+def _cdf_tasks(
+    table: SnapshotTable, store_json: str, lo: int, hi: int, options=None
+) -> list:
+    """File-group tasks for the changed files of the commits in (lo, hi]
+    — shared by the streaming source and the batch CDF reader, so both
     surfaces emit byte-identical change rows. Maintenance commits
     (dataChange false) contribute nothing, matching SnapshotTable
     batch CDF. Raises the typed VacuumedVersionError on the DRIVER for
@@ -478,60 +547,31 @@ def _cdf_tasks(table: SnapshotTable, store_json: str, lo: int, hi: int) -> list:
         if state["column_mapping"]
         else {}
     )
-    out = []
+    entries, sizes = [], []
     for v in table._versions():
         if not (lo < v <= hi):
             continue
         c = table._read_commit(v)
         if not c.get("dataChange", True):
             continue
-        prev_dvs = None
+        prev_files = None
         for m in c.get("add", []):
-            out.append(
-                _FileTask(
-                    file_rel=m["path"],
-                    dv_rel=(),
-                    semi_rel=(),
-                    store_json=store_json,
-                    schema_json=schema_json,
-                    mapping_json=mapping_json,
-                    change_type="insert",
-                    commit_version=v,
-                )
-            )
+            entries.append((m["path"], (), (), "insert", v))
+            sizes.append(int(m.get("bytes", 0)))
         for rel in c.get("remove", []):
-            if prev_dvs is None:
-                prev_dvs = table._state(v - 1)["dvs"]
-            out.append(
-                _FileTask(
-                    file_rel=rel,
-                    dv_rel=tuple(prev_dvs.get(rel, [])),
-                    semi_rel=(),
-                    store_json=store_json,
-                    schema_json=schema_json,
-                    mapping_json=mapping_json,
-                    change_type="delete",
-                    commit_version=v,
-                )
-            )
+            if prev_files is None:
+                prev = table._state(v - 1)
+                prev_files, prev_dvs = prev["files"], prev["dvs"]
+            entries.append((rel, tuple(prev_dvs.get(rel, [])), (), "delete", v))
+            sizes.append(int(prev_files.get(rel, {}).get("bytes", 0)))
         for e in c.get("dv_add", []):
             for rel in e["for"]:
-                out.append(
-                    _FileTask(
-                        file_rel=rel,
-                        dv_rel=(),
-                        semi_rel=tuple(e["paths"]),
-                        store_json=store_json,
-                        schema_json=schema_json,
-                        mapping_json=mapping_json,
-                        change_type="delete",
-                        commit_version=v,
-                    )
-                )
+                entries.append((rel, (), tuple(e["paths"]), "delete", v))
+                sizes.append(0)  # emits only the newly-masked rows
     missing = [
         p
-        for t in out
-        for p in (t.file_rel, *t.dv_rel, *t.semi_rel)
+        for rel, dv, semi, _, _ in entries
+        for p in (rel, *dv, *semi)
         if not table._data.exists(p)
     ]
     if missing:
@@ -539,7 +579,9 @@ def _cdf_tasks(table: SnapshotTable, store_json: str, lo: int, hi: int) -> list:
             f"change feed over ({lo}, {hi}] references "
             f"{len(missing)} vacuumed file(s)"
         )
-    return out
+    return _group_file_entries(
+        entries, sizes, store_json, schema_json, mapping_json, options
+    )
 
 
 def _on_vacuumed(options) -> str:
@@ -566,9 +608,9 @@ def _on_vacuumed(options) -> str:
 
 
 def _snapshot_recovery_tasks(
-    table: SnapshotTable, store_json: str, version: int
+    table: SnapshotTable, store_json: str, version: int, options=None
 ) -> list:
-    """Every live file at ``version`` as a snapshot-tagged _FileTask
+    """Every live file at ``version`` as snapshot-tagged file-group tasks
     (dv masks applied, ``_commit_version = version``) — the vacuum-
     recovery batch both CDF surfaces emit under
     ``onVacuumedStart=snapshot``."""
@@ -585,19 +627,15 @@ def _snapshot_recovery_tasks(
         if state["column_mapping"]
         else {}
     )
-    return [
-        _FileTask(
-            file_rel=rel,
-            dv_rel=tuple(state["dvs"].get(rel, [])),
-            semi_rel=(),
-            store_json=store_json,
-            schema_json=schema_json,
-            mapping_json=mapping_json,
-            change_type="snapshot",
-            commit_version=version,
+    entries, sizes = [], []
+    for rel in sorted(state["files"]):
+        entries.append(
+            (rel, tuple(state["dvs"].get(rel, [])), (), "snapshot", version)
         )
-        for rel in sorted(state["files"])
-    ]
+        sizes.append(int(state["files"][rel].get("bytes", 0)))
+    return _group_file_entries(
+        entries, sizes, store_json, schema_json, mapping_json, options
+    )
 
 
 class _SnapshotCdfBatchReader(DataSourceReader):
@@ -625,11 +663,11 @@ class _SnapshotCdfBatchReader(DataSourceReader):
             return []
         store_json = json.dumps(_store_spec(self.path, self.options))
         try:
-            return _cdf_tasks(table, store_json, self.starting, hi)
+            return _cdf_tasks(table, store_json, self.starting, hi, self.options)
         except VacuumedVersionError:
             if self.on_vacuumed != "snapshot":
                 raise
-            return _snapshot_recovery_tasks(table, store_json, hi)
+            return _snapshot_recovery_tasks(table, store_json, hi, self.options)
 
     def read(self, partition):
         if partition is None:
@@ -664,7 +702,7 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
         table = _resolve_table(self.path, self.options)
         store_json = json.dumps(_store_spec(self.path, self.options))
         try:
-            return _cdf_tasks(table, store_json, lo, hi)
+            return _cdf_tasks(table, store_json, lo, hi, self.options)
         except VacuumedVersionError:
             # a consumer stranded behind a vacuum (checkpoint restart
             # after falling past retention) recovers by folding the head
@@ -672,7 +710,7 @@ class _SnapshotCdfStreamReader(DataSourceStreamReader):
             # offset then advances to hi like any other batch
             if self.on_vacuumed != "snapshot":
                 raise
-            return _snapshot_recovery_tasks(table, store_json, hi)
+            return _snapshot_recovery_tasks(table, store_json, hi, self.options)
 
     def read(self, partition):
         if partition is None:

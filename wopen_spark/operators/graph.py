@@ -24,11 +24,17 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    symmetric_distinct: bool = False,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     ``edges`` is an undirected edge list (any orientation). Isolated
     nodes don't appear — callers union them in if needed.
+
+    ``symmetric_distinct=True``: the caller guarantees the input already
+    holds BOTH orientations of every edge exactly once (e.g. a subgraph
+    of an already-symmetrized, deduped neighborhood list) — skip the
+    union + dedup entirely, one |edges| shuffle saved at any scale.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the edge list once: it is re-joined EVERY round, and an
@@ -38,12 +44,21 @@ def connected_components(
     # localCheckpoint, which scans back with unknown partitioning) keeps
     # the hash(b) layout visible to every round's neighbour join, so the
     # |edges| side never re-exchanges inside the loop
-    sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .repartition("b")
-        .persist()
-    )
+    if symmetric_distinct:
+        sym = e.repartition("b").persist()
+    else:
+        # dedup AFTER the hash(b) repartition, not before: hash(b)
+        # satisfies the (a,b) grouping requirement (partition keys ⊆
+        # group keys), so dropDuplicates runs on the existing layout —
+        # one |edges| shuffle total instead of a hash(a,b) distinct
+        # exchange followed by the hash(b) repartition (the pagerank
+        # operator's cached-invariant trick)
+        sym = (
+            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .repartition("b")
+            .dropDuplicates(["a", "b"])
+            .persist()
+        )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -324,9 +339,16 @@ def dbscan_from_pairs(
     candidate generation fits the metric (hyperplane LSH for cosine,
     banded minhash for Jaccard) — neighborhoods are never all-pairs."""
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # ONE hash(a) shuffle establishes the layout every downstream step
+    # keys on: dropDuplicates runs exchange-free on it (partition keys ⊆
+    # group keys), the degree aggregate reuses it, and the core/border
+    # semi/anti joins probe it with a broadcast-size core side — the
+    # old shape paid a hash(a,b) distinct exchange AND re-derived a
+    # per-consumer layout
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
+        .repartition("a")
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("n_neigh"))
@@ -335,7 +357,12 @@ def dbscan_from_pairs(
         sym.join(core, "a", "left_semi")
         .join(core.select(F.col("a").alias("b")), "b", "left_semi")
     )
-    linked = connected_components(core_edges, src="a", dst="b").select(
+    # sym carries both orientations deduped, and core-core filtering is
+    # endpoint-symmetric, so core_edges is already symmetric + distinct —
+    # skip connected_components' own union + dedup pass
+    linked = connected_components(
+        core_edges, src="a", dst="b", symmetric_distinct=True
+    ).select(
         F.col("node"), F.col("component").alias("cluster")
     )
     # a core with no CORE neighbor (its density came from borders) is a

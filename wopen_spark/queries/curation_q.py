@@ -159,17 +159,22 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("tid"),
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
     )
-    grams = (
-        norm.withColumn(
-            "pos",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("t") - (_G - 1), F.lit(0))
+    # per-text gram dedup happens IN-ROW (array_distinct before the
+    # explode): every duplicate of a (text, gram) pair comes from the
+    # same source row, so the old post-explode .distinct() paid a full
+    # |grams|-row exchange — the query's biggest shuffle, pure dead
+    # weight at any scale — to dedup values that never left their row
+    grams = norm.select(
+        "is_bench",
+        "tid",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(t) - {_G - 1}, 0)),"
+                    f" p -> substring(t, p, {_G}))"
                 )
-            ),
-        )
-        .select("is_bench", "tid", F.expr(f"substring(t, pos, {_G})").alias("gram"))
-        .distinct()
+            )
+        ).alias("gram"),
     )
     bench = grams.filter(F.col("is_bench")).select("gram").distinct()
     per_tid = (

@@ -1570,22 +1570,33 @@ class SnapshotTable:
         cluster_by: list[str] | None,
         mapping: dict | None = None,
         adaptive: bool = False,
+        precounted: int | None = None,
     ) -> list[dict]:
         """Write immutable data files for one commit into a fresh subdir;
         return their add-action metadata. Clustering narrows per-file key
         ranges so stats-based file skipping stays sharp. ``df`` arrives
         with LOGICAL column names; physical names go to disk.
 
-        ``adaptive=True`` (engine-internal rewrite/image batches — merge
-        images, update/delete survivors) lets the range exchange size
-        itself from runtime stats (AQE partition coalescing, guide §6
-        output-file sizing) instead of pinning one output file per input
-        partition: those batches arrive with shuffle-artifact
-        partitioning (cores-many slivers at ANY scale), so pinning writes
-        one tiny file per sliver — table bloat plus a wide exchange for
-        rows that fit in one file. Caller-shaped writes (create / append
-        / overwrite) keep the explicit layout the caller partitioned
-        for."""
+        ``adaptive=True`` (engine-internal batches — merge images and
+        incoming merge rows, update/delete survivors) lets the range
+        exchange size itself from runtime stats (AQE partition
+        coalescing, guide §6 output-file sizing) instead of pinning one
+        output file per input partition: those batches arrive with
+        shuffle-artifact partitioning (cores-many slivers at ANY scale),
+        so pinning writes one tiny file per sliver — table bloat plus a
+        wide exchange for rows that fit in one file. Caller-shaped
+        writes (create / append / overwrite) keep the explicit layout
+        the caller partitioned for; a merge's incoming rows count as
+        engine-internal (the engine owns merge output layout, as Delta
+        does), so callers cannot pin merge file counts.
+
+        ``precounted``: the caller already persisted ``df`` and knows its
+        row count — skip the internal persist/count pass and leave cache
+        lifetime to the caller. Unclustered writes have no count probe
+        at all (the write is their single pass, and an engine-internal
+        batch arrives AQE-coalesced from its producing exchange), so a
+        0-row unclustered batch still runs one small write job whose
+        0-row part files _add_action discards."""
         if _DV_FILE in df.columns or _DV_ROW in df.columns:
             raise ValueError(
                 f"{_DV_FILE}/{_DV_ROW} are reserved for deletion-vector "
@@ -1596,45 +1607,59 @@ class SnapshotTable:
         cluster_cols = [c for c in (cluster_by or []) if c in df.columns]
         cached = None
         if cluster_cols:
-            # The clustered path needs THREE passes over the incoming
-            # frame: the partition-count probe (df.rdd under AQE
-            # materializes every upstream stage), the range sampler, and
-            # the write itself. Persist once so the probe fills the cache
-            # and the sampler + writer read it back — the incoming batch
-            # is computed exactly once however expensive its lineage
-            # (guide §2.4: one pass, not three). The cache is scoped to
-            # this write and released in the finally below; its footprint
-            # is the batch being written, which the write materializes
-            # to disk anyway.
-            df = cached = df.persist()
-            if cached.count() == 0:  # fills the cache in one materialization
+            if precounted is None:
+                # The clustered path re-reads the incoming frame (range
+                # sampler + write, and the partition probe on the pinned
+                # path). Persist once so the count fills the cache and
+                # the sampler + writer read it back — the incoming batch
+                # is computed exactly once however expensive its lineage
+                # (guide §2.4: one pass, not three). Engine-internal
+                # rewrites go to DISK_ONLY: a cow UPDATE's survivor set
+                # approaches table size, and a deserialized heap cache
+                # of that would churn executor memory before spilling
+                # (guide §5); caller-shaped batches keep the default
+                # level. The cache is scoped to this write and released
+                # in the finally below.
+                from pyspark.storagelevel import StorageLevel
+
+                df = cached = df.persist(
+                    StorageLevel.DISK_ONLY
+                    if adaptive
+                    else StorageLevel.MEMORY_AND_DISK
+                )
+                n_rows = cached.count()  # fills the cache
+            else:
+                n_rows = precounted
+            if n_rows == 0:
                 # nothing to write: a 0-row batch produces only 0-row
                 # part files, every one of which _add_action deletes —
                 # skip the write job (and its range exchange) outright.
                 # Empty creates / no-op merge legs hit this constantly.
-                cached.unpersist()
+                if cached is not None:
+                    cached.unpersist()
                 return []
-            # explicit partition count: carries the incoming parallelism
-            # through the range exchange AND pins it against AQE coalesce,
-            # which would otherwise fold small writes into one wide-range
-            # file and blunt the per-file min/max stats
-            n = max(1, cached.rdd.getNumPartitions())
-            # a single-partition input yields a single file whether or
-            # not it goes through a range exchange — skip the exchange
-            # (and its sampling pass) outright
-            if n > 1:
-                if adaptive:
-                    # no explicit partition count -> AQE coalesces the
-                    # range exchange to advisory-sized partitions: a
-                    # bounded changed-row batch lands as ONE file, a
-                    # large rewrite as ~advisory-sized range files with
-                    # disjoint key ranges (adjacent-merge keeps min/max
-                    # stats sharp)
-                    df = cached.repartitionByRange(
-                        *[F.col(c) for c in cluster_cols]
-                    )
-                else:
-                    df = cached.repartitionByRange(
+            if adaptive:
+                # Always through the coalescible range exchange, no
+                # partition-count probe (df.rdd under AQE materializes
+                # the plan just to count partitions): AQE coalesces the
+                # exchange to advisory-sized partitions — a bounded
+                # changed-row batch lands as ONE file, a large rewrite
+                # (even one arriving as a single oversized partition) as
+                # ~advisory-sized range files with disjoint key ranges
+                # (adjacent-merge keeps min/max stats sharp).
+                df = df.repartitionByRange(*[F.col(c) for c in cluster_cols])
+            else:
+                # explicit partition count: carries the incoming
+                # parallelism through the range exchange AND pins it
+                # against AQE coalesce, which would otherwise fold small
+                # writes into one wide-range file and blunt the per-file
+                # min/max stats
+                n = max(1, df.rdd.getNumPartitions())
+                # a single-partition input yields a single file whether
+                # or not it goes through a range exchange — skip the
+                # exchange (and its sampling pass) outright
+                if n > 1:
+                    df = df.repartitionByRange(
                         n, *[F.col(c) for c in cluster_cols]
                     )
         if mapping:
@@ -2820,19 +2845,33 @@ class SnapshotTable:
         types = {f["name"]: f["type"] for f in state["schema"]["fields"]}
         return {c for c in cols if types.get(c) in self._PRUNABLE_TYPES}
 
-    def _candidate_files(self, state: dict, keys: list[str], key_df: DataFrame) -> tuple[list[str], list[str]]:
+    def _candidate_files(
+        self,
+        state: dict,
+        keys: list[str],
+        key_df: DataFrame | None = None,
+        bounds: dict | None = None,
+    ) -> tuple[list[str], list[str]]:
         """Stats pruning: files whose per-column [min,max] ranges overlap
         the incoming keys' ranges. Returns (candidates, skipped). Only
         types with a faithful footer-vs-engine comparator participate —
         a wrong skip here is silent merge corruption, so anything
         doubtful (timestamps, binary) is simply never skipped. Footer
-        stats are keyed by PHYSICAL column names."""
+        stats are keyed by PHYSICAL column names.
+
+        The incoming key ranges come either from ``bounds`` (column ->
+        (min, max), already computed by a caller that folded the
+        aggregate into another job — min/max over the raw batch equals
+        min/max over its distinct keys) or, when only ``key_df`` is
+        given, from one aggregate job over it."""
         prunable = self._prunable_cols(state, keys)
         mapping = state["column_mapping"]
-        bounds = key_df.agg(
-            *[F.min(k).alias(f"mn_{k}") for k in keys],
-            *[F.max(k).alias(f"mx_{k}") for k in keys],
-        ).collect()[0]
+        if bounds is None:
+            row = key_df.agg(
+                *[F.min(k).alias(f"mn_{k}") for k in keys],
+                *[F.max(k).alias(f"mx_{k}") for k in keys],
+            ).collect()[0]
+            bounds = {k: (row[f"mn_{k}"], row[f"mx_{k}"]) for k in keys}
         candidates, skipped = [], []
         for rel, meta in state["files"].items():
             overlap = True
@@ -2840,7 +2879,7 @@ class SnapshotTable:
                 if k not in prunable:
                     continue
                 s = meta.get("stats", {}).get(self._phys(mapping, k))
-                mn, mx = bounds[f"mn_{k}"], bounds[f"mx_{k}"]
+                mn, mx = bounds[k]
                 if s is None or s["min"] is None or mn is None:
                     continue  # no stats -> cannot skip
                 mn, mx = _json_safe(mn), _json_safe(mx)
@@ -3019,8 +3058,12 @@ class SnapshotTable:
             # cluster masks by their target file through a coalescible
             # exchange (no explicit n -> AQE folds a bounded changed-row
             # set into ONE mask file; a large one lands file-clustered,
-            # which is the layout the merge-on-read scan prunes by). The
-            # exchange carries (file, row) pairs only — never payload.
+            # keeping each mask file's footer min/max on _DV_FILE tight —
+            # today's reader unions all masks of the touched files, so
+            # the clustering buys file-count hygiene now and makes
+            # per-target-file mask pruning possible later, not yet
+            # implemented). The exchange carries (file, row) pairs only —
+            # never payload.
             matches = (
                 matches.select(_DV_FILE, _DV_ROW)
                 .repartition(F.col(_DV_FILE))
@@ -3081,9 +3124,49 @@ class SnapshotTable:
         self._enforce(df, state["constraints"], state["schema"])
         schema, mapping = self._merged_schema(state, df)
         eff_mapping = mapping if mapping is not None else state["column_mapping"]
-        new_rows = self._conform(df, schema)
+        from pyspark.sql import Observation
+
+        # ONE pass over the incoming batch serves every driver-side need
+        # (guide §2.4): the batch is persisted, and the cache-fill count
+        # carries the per-key min/max pruning bounds as an Observation —
+        # so neither _candidate_files' bounds aggregate nor _write_files'
+        # emptiness count runs as its own job, and the key probe /
+        # anti-join / new-file write all read the cache instead of
+        # recomputing the batch lineage (for a CDC upsert batch that
+        # lineage is a scan + window dedup — at 100 TB each avoided
+        # recompute is a full source pass).
+        new_rows = self._conform(df, schema).persist()
+        try:
+            obs = Observation()
+            aggs = []
+            for i, k in enumerate(keys):
+                aggs += [F.min(k).alias(f"mn_{i}"), F.max(k).alias(f"mx_{i}")]
+            n_new = new_rows.observe(obs, *aggs).count()
+            got = obs.get
+            bounds = {k: (got[f"mn_{i}"], got[f"mx_{i}"]) for i, k in enumerate(keys)}
+            return self._merge_apply(
+                new_rows, n_new, bounds, state, keys, mode, schema,
+                mapping, eff_mapping,
+            )
+        finally:
+            new_rows.unpersist()
+
+    def _merge_apply(
+        self,
+        new_rows: DataFrame,
+        n_new: int,
+        bounds: dict,
+        state: dict,
+        keys: list[str],
+        mode: str,
+        schema: dict,
+        mapping: dict | None,
+        eff_mapping: dict | None,
+    ) -> dict:
+        """merge body, split out so the caller can scope the source cache
+        with try/finally around the whole pipeline."""
         key_df = new_rows.select(*keys).distinct()
-        candidates, skipped = self._candidate_files(state, keys, key_df)
+        candidates, skipped = self._candidate_files(state, keys, bounds=bounds)
         if mode == "dv":
             dv_add, masked_rels, n_rows = [], [], 0
             if candidates:
@@ -3092,7 +3175,8 @@ class SnapshotTable:
                 ).join(key_df, keys, "left_semi")
                 dv_add, masked_rels, n_rows = self._write_dv(state, matches)
             adds = self._write_files(
-                new_rows, state["cluster_by"], eff_mapping, adaptive=True
+                new_rows, state["cluster_by"], eff_mapping, adaptive=True,
+                precounted=n_new,
             )
             self._try_commit(
                 state["version"] + 1,
@@ -3150,7 +3234,10 @@ class SnapshotTable:
         else:
             merged = new_rows
         adds = self._write_files(
-            merged, state["cluster_by"], eff_mapping, adaptive=True
+            merged, state["cluster_by"], eff_mapping, adaptive=True,
+            # no touched files -> the write input IS the cached batch,
+            # already counted by the bounds job
+            precounted=n_new if not touched else None,
         )
         self._try_commit(
             state["version"] + 1,
@@ -3333,9 +3420,29 @@ class SnapshotTable:
         cache with try/finally around the whole pipeline."""
         key_df = src.select(*keys).distinct()
         if by_source:
+            # full-sync semantics probe every file — no bounds job at all
             cand, skipped = sorted(state["files"]), []
         else:
-            cand, skipped = self._candidate_files(state, keys, key_df)
+            # the pruning bounds ride the source cache-fill count as an
+            # Observation (min/max over the raw batch equals min/max over
+            # its distinct keys): one exchange-free job instead of a
+            # distinct + aggregate pass (guide §2.4)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            src.observe(
+                obs,
+                *[
+                    a
+                    for i, k in enumerate(keys)
+                    for a in (F.min(k).alias(f"mn_{i}"), F.max(k).alias(f"mx_{i}"))
+                ],
+            ).count()
+            got = obs.get
+            bounds = {
+                k: (got[f"mn_{i}"], got[f"mx_{i}"]) for i, k in enumerate(keys)
+            }
+            cand, skipped = self._candidate_files(state, keys, bounds=bounds)
 
         # ---- classify target-side rows: first-matching clause wins
         # Without matched clauses the target side needs the source ONLY
