@@ -493,23 +493,27 @@ def duplicate_kgram_spans(
     )
     # sequence() flips to step -1 when start > stop, so short texts must
     # be gated to an explicit empty array rather than sequence(0, n-k).
+    gram_array = F.when(
+        F.col("n_tokens") >= k,
+        F.expr(
+            f"transform(sequence(0, size(_w) - {k}),"
+            f" i -> md5(array_join(slice(_w, i + 1, {k}), ' ')))"
+        ),
+    ).otherwise(F.array(F.lit(None)).cast("array<string>"))
     grams = toks.select(
         text_col,
-        F.posexplode(
-            F.when(
-                F.col("n_tokens") >= k,
-                F.expr(
-                    f"transform(sequence(0, size(_w) - {k}),"
-                    f" i -> md5(array_join(slice(_w, i + 1, {k}), ' ')))"
-                ),
-            ).otherwise(F.array(F.lit(None)).cast("array<string>"))
-        ).alias("i", "g"),
+        F.posexplode(gram_array).alias("i", "g"),
     ).filter(F.col("g").isNotNull())
-    # duplicated gram = appears in >= 2 distinct texts; the (g, text)
-    # distinct collapses within-text repeats before the count.
+    # duplicated gram = appears in >= 2 distinct texts. Within-text
+    # repeats collapse IN-ROW (array_distinct before the explode): every
+    # repeat of a (text, gram) pair comes from the same source row, so
+    # the old post-explode (g, text) distinct paid a full
+    # |gram-instance| exchange for a row-local dedup and then a SECOND
+    # exchange to regroup by g — now one partial-aggregated hash(g)
+    # shuffle of one row per (text, distinct gram).
     dup_grams = (
-        grams.select("g", text_col)
-        .distinct()
+        toks.select(F.explode(F.array_distinct(gram_array)).alias("g"))
+        .filter(F.col("g").isNotNull())
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("_nt"))
         .filter(F.col("_nt") > 1)
