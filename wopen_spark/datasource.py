@@ -881,11 +881,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
             if self.cluster_by
             else None
         )
-        adds = []
-        for rel in rels:
-            meta = table._add_action(rel, bloom_phys)
-            if meta is not None:
-                adds.append(meta)
+        adds = table._add_actions(rels, bloom_phys)
         if self.create:
             record = {
                 "operation": "create",
@@ -1044,11 +1040,7 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
             if self.cluster_by
             else None
         )
-        adds = [
-            meta
-            for rel in rels
-            if (meta := table._add_action(rel, bloom_phys)) is not None
-        ]
+        adds = table._add_actions(rels, bloom_phys)
         for attempt in range(5):
             state = table._state()
             if self.txn_app in state["txns"] and state["txns"][self.txn_app] >= batchId:

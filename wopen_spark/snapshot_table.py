@@ -1679,12 +1679,30 @@ class SnapshotTable:
         bloom_phys = (
             self._phys(mapping, cluster_cols[0]) if cluster_cols else None
         )
-        adds = []
-        for name in self._data.publish_dir(commit_dir):
-            meta = self._add_action(f"{commit_dir}/{name}", bloom_phys)
-            if meta is not None:
-                adds.append(meta)
-        return adds
+        return self._add_actions(
+            [f"{commit_dir}/{name}" for name in self._data.publish_dir(commit_dir)],
+            bloom_phys,
+        )
+
+    def _add_actions(self, rels: list[str], bloom_phys: str | None) -> list[dict]:
+        """_add_action over many just-written files, results in input
+        order with 0-row entries dropped. Footer stats + bloom sidecars
+        are driver-side I/O — one or two file opens per file — and a
+        large rewrite commit adds thousands of files, which makes a
+        sequential loop the commit's single-threaded tail (guide §7.3,
+        named in the r11 sf10 scaling notes). A small thread pool
+        overlaps the opens (files are independent; pyarrow releases the
+        GIL on reads); the tiny-commit path stays sequential."""
+        if len(rels) < 4:
+            metas = [self._add_action(r, bloom_phys) for r in rels]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(rels))) as pool:
+                metas = list(
+                    pool.map(lambda r: self._add_action(r, bloom_phys), rels)
+                )
+        return [m for m in metas if m is not None]
 
     def _add_action(self, rel: str, bloom_phys: str | None) -> dict | None:
         """Footer stats + optional bloom sidecar for one just-written
