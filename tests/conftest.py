@@ -47,27 +47,35 @@ _FILE_COST: dict[str, float] = {
 }
 
 
+# CLI flags the shard runner understands; ANY other option (e.g.
+# --ignore, --deselect, --junitxml, --cov, -k, -m, --lf) silently
+# changing selection or reporting must NOT be dropped on the floor, so
+# an invocation carrying one runs sequentially in-process as before.
+_SHARD_SAFE_FLAGS = {"-x", "--exitfirst", "-q", "--quiet", "-v", "--verbose", "-vv"}
+
+
 def _is_full_suite_invocation(config) -> bool:
-    """True iff the positional args are exactly the tests directory (the
-    driver's ``pytest tests/`` shape) with no test-selection options —
-    anything narrower runs in-process as usual."""
-    args = list(config.args)
-    if not args:
+    """True iff the invocation is the driver's full-suite shape: every
+    positional arg is the tests directory itself and every option is in
+    the small allowlist the runner faithfully forwards — anything else
+    runs in-process as usual."""
+    inv = getattr(config, "invocation_params", None)
+    if inv is None:
         return False
-    inv_dir = str(getattr(config, "invocation_params", None).dir)
-    for a in args:
+    raw = list(inv.args)
+    positional = [a for a in raw if not a.startswith("-")]
+    if not positional:
+        return False
+    for a in raw:
+        if a.startswith("-") and a not in _SHARD_SAFE_FLAGS:
+            return False
+    for a in positional:
         if "::" in a:
             return False
         p = a.split("[", 1)[0]
         if not os.path.isabs(p):
-            p = os.path.join(inv_dir, p)
+            p = os.path.join(str(inv.dir), p)
         if os.path.realpath(p) != _TESTS_DIR:
-            return False
-    opt = config.option
-    if getattr(opt, "keyword", "") or getattr(opt, "markexpr", ""):
-        return False
-    for flag in ("collectonly", "usepdb", "lf", "last_failed", "ff"):
-        if getattr(opt, flag, False):
             return False
     return True
 
@@ -205,6 +213,16 @@ def pytest_cmdline_main(config):
                 pass
         for k in sorted(mod_times, key=lambda m: -mod_times[m]):
             print(f"[module] {mod_times[k]:8.1f}s {k}", flush=True)
+
+    # reclaim successful shards' scratch (worker pytest.out + tmp_path
+    # trees + Spark scratch — multiple GB per full run, and /tmp on the
+    # bench host fills otherwise); failed shards keep theirs for
+    # diagnosis
+    import shutil
+
+    for i, tmp, _, p in procs:
+        if p.returncode == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     dur = _time.monotonic() - t0
     summary = ", ".join(

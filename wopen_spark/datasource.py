@@ -257,9 +257,11 @@ _MAX_TASK_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
 def _min_tasks_default() -> int:
     """The plan worker has no SparkSession, so the minimum-parallelism
     floor (Spark's ``leafNodeDefaultParallelism``) comes from the same
-    core-count contract the session factory uses."""
+    core-count contract the session factory uses — including its
+    literal default of 32 when SPARK_GRAFT_CPUS is unset
+    (session.py::_DEFAULT_CPUS), so planning and execution agree."""
     try:
-        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "")))
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     except ValueError:
         return max(1, os.cpu_count() or 8)
 

@@ -505,15 +505,17 @@ def duplicate_kgram_spans(
         F.posexplode(gram_array).alias("i", "g"),
     ).filter(F.col("g").isNotNull())
     # duplicated gram = appears in >= 2 distinct texts. Within-text
-    # repeats collapse IN-ROW (array_distinct before the explode): every
-    # repeat of a (text, gram) pair comes from the same source row, so
-    # the old post-explode (g, text) distinct paid a full
-    # |gram-instance| exchange for a row-local dedup and then a SECOND
-    # exchange to regroup by g — now one partial-aggregated hash(g)
-    # shuffle of one row per (text, distinct gram).
+    # repeats collapse IN-ROW (array_distinct before the explode) so the
+    # distinct's map-side state is per-row, not a per-task hash table
+    # over every gram instance; the (g, text) distinct is kept (Catalyst
+    # fuses it into the count's partial aggregation — no extra exchange)
+    # so a caller that violates the one-row-per-distinct-text contract
+    # still cannot make a text self-duplicate.
     dup_grams = (
-        toks.select(F.explode(F.array_distinct(gram_array)).alias("g"))
+        toks.select(text_col, F.explode(F.array_distinct(gram_array)).alias("g"))
         .filter(F.col("g").isNotNull())
+        .select("g", text_col)
+        .distinct()
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("_nt"))
         .filter(F.col("_nt") > 1)

@@ -163,17 +163,24 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode): every duplicate of a (text, gram) pair comes from the
     # same source row, so the old post-explode .distinct() paid a full
     # |grams|-row exchange — the query's biggest shuffle, pure dead
-    # weight at any scale — to dedup values that never left their row
+    # weight at any scale — to dedup values that never left their row.
+    # Texts shorter than the gram size emit NOTHING (sequence() flips
+    # to step -1 when start > stop, which would fabricate a whole-text
+    # gram and diverge from the oracle's empty generate_series — the
+    # same gate duplicate_kgram_spans carries).
     grams = norm.select(
         "is_bench",
         "tid",
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(t) - {_G - 1}, 0)),"
-                    f" p -> substring(t, p, {_G}))"
-                )
-            )
+            F.when(
+                F.length("t") >= _G,
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(t) - {_G - 1}),"
+                        f" p -> substring(t, p, {_G}))"
+                    )
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
         ).alias("gram"),
     )
     bench = grams.filter(F.col("is_bench")).select("gram").distinct()

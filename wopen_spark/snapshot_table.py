@@ -59,6 +59,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -944,14 +945,21 @@ class S3DataStore(DataStore):
         self.bucket = p.netloc
         self.prefix = p.path.strip("/")
         self._client = client
+        self._client_lock = threading.Lock()
         self._staging = os.path.join(os.path.abspath(scratch_dir), "staging")
         self._cache = os.path.join(os.path.abspath(scratch_dir), "cache")
 
     def _s3(self):
+        # double-checked under a lock: _add_actions drives this from a
+        # thread pool, and botocore's default-session loaders are not
+        # safe to race during client construction (the built client IS
+        # thread-safe for use)
         if self._client is None:
-            import boto3  # deferred: only an S3-configured deployment needs it
+            with self._client_lock:
+                if self._client is None:
+                    import boto3  # deferred: only S3 deployments need it
 
-            self._client = boto3.client("s3")
+                    self._client = boto3.client("s3")
         return self._client
 
     def _key(self, rel: str) -> str:
