@@ -471,6 +471,14 @@ def test_batch_cdf_read_matches_read_changes(ds_spark, tmp_path):
     # empty window
     head = t.latest_version()
     assert via_ds(afterVersion=head) == []
+    # grouping forced (minTasks=1): insert/cow-delete/dv-delete entries
+    # of several commits share ONE multi-file task yet keep their
+    # per-file change tagging and dv semantics
+    assert via_ds(afterVersion=0, minTasks=1) == via_class(0)
+    from wopen_spark.datasource import _SnapshotCdfBatchReader
+
+    parts = _SnapshotCdfBatchReader(t.path, {"mintasks": "1"}).partitions()
+    assert len(parts) == 1 and len(parts[0].files) > 1
 
 
 def test_timestamp_as_of_reads_historical_version(ds_spark, tmp_path):
