@@ -80,20 +80,48 @@ def _is_full_suite_invocation(config) -> bool:
     return True
 
 
-def _shard_files(n_workers: int) -> list[list[str]]:
-    """LPT bin-packing of the test files into ``n_workers`` shards."""
+# Files whose tests are ORDER-INDEPENDENT (one parametrized oracle test;
+# function-scoped tmp_path/table fixtures) and big enough that one of
+# them alone sets the whole run's wall floor. These are split into
+# round-robin slices (item index % n, selected worker-side in
+# pytest_collection_modifyitems) so the makespan is bounded by
+# total_cost / n_workers instead of max_file_cost. Only verified
+# order-independent files belong here — a file with inter-test state
+# would break under slicing.
+_SLICE_FILES: dict[str, int] = {
+    "test_queries_oracle.py": 3,
+    "test_snapshot_table.py": 2,
+}
+
+
+def _shard_files(n_workers: int) -> list[list[tuple[str, int, int]]]:
+    """LPT bin-packing of test files (heavy files pre-split into slices)
+    into ``n_workers`` shards. Each work unit is (file, slice_idx,
+    n_slices); n_slices == 1 means the whole file. Two slices of the
+    same file never share a shard (one pytest process can only apply one
+    slice selector per module)."""
     files = sorted(
         f for f in os.listdir(_TESTS_DIR)
         if f.startswith("test_") and f.endswith(".py")
     )
     median = sorted(_FILE_COST.values())[len(_FILE_COST) // 2] if _FILE_COST else 60.0
-    weighted = sorted(
-        ((_FILE_COST.get(f, median), f) for f in files), reverse=True
-    )
-    bins: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n_workers)]
-    for cost, f in weighted:
-        i = min(range(n_workers), key=lambda j: bins[j][0])
-        bins[i] = (bins[i][0] + cost, bins[i][1] + [f])
+    units: list[tuple[float, tuple[str, int, int]]] = []
+    for f in files:
+        cost = _FILE_COST.get(f, median)
+        n = min(_SLICE_FILES.get(f, 1), n_workers)
+        for i in range(n):
+            units.append((cost / n, (f, i, n)))
+    weighted = sorted(units, reverse=True)
+    bins: list[tuple[float, list[tuple[str, int, int]]]] = [
+        (0.0, []) for _ in range(n_workers)
+    ]
+    for cost, unit in weighted:
+        eligible = [
+            j for j in range(n_workers)
+            if all(u[0] != unit[0] for u in bins[j][1])
+        ] or list(range(n_workers))
+        i = min(eligible, key=lambda j: bins[j][0])
+        bins[i] = (bins[i][0] + cost, bins[i][1] + [unit])
     return [b[1] for b in bins if b[1]]
 
 
@@ -135,13 +163,20 @@ def pytest_cmdline_main(config):
         env = dict(os.environ)
         env["WOPEN_TEST_SHARD"] = str(i)
         env["SPARK_GRAFT_CPUS"] = str(cores)
+        slices = ",".join(
+            f"{f}={si}/{sn}" for f, si, sn in shard if sn > 1
+        )
+        if slices:
+            env["WOPEN_TEST_SLICES"] = slices
+        else:
+            env.pop("WOPEN_TEST_SLICES", None)
         tmp = tempfile.mkdtemp(prefix=f"wopen-tests-shard{i}-")
         env["TMPDIR"] = tmp
         out = open(os.path.join(tmp, "pytest.out"), "w+b")
         cmd = [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider"]
         if exit_first:
             cmd.append("-x")
-        cmd += [os.path.join(_TESTS_DIR, f) for f in shard]
+        cmd += [os.path.join(_TESTS_DIR, f) for f, _, _ in shard]
         procs.append(
             (
                 i,
@@ -245,6 +280,35 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 _MODULE_TIMES: dict[str, float] = {}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Inside a shard worker carrying WOPEN_TEST_SLICES, keep only this
+    worker's round-robin slice of each sliced module's items (index %
+    n_slices == slice_idx, in collection order — deterministic across
+    workers, so every item runs exactly once across the slice set)."""
+    spec = os.environ.get("WOPEN_TEST_SLICES")
+    if not spec or os.environ.get("WOPEN_TEST_SHARD") is None:
+        return
+    slices: dict[str, tuple[int, int]] = {}
+    for part in spec.split(","):
+        f, _, frac = part.partition("=")
+        si, _, sn = frac.partition("/")
+        slices[f] = (int(si), int(sn))
+    per_mod_idx: dict[str, int] = {}
+    kept, dropped = [], []
+    for item in items:
+        mod = item.nodeid.split("::", 1)[0].rsplit("/", 1)[-1]
+        sel = slices.get(mod)
+        if sel is None:
+            kept.append(item)
+            continue
+        idx = per_mod_idx.get(mod, 0)
+        per_mod_idx[mod] = idx + 1
+        (kept if idx % sel[1] == sel[0] else dropped).append(item)
+    if dropped:
+        config.hook.pytest_deselected(items=dropped)
+        items[:] = kept
 
 
 def pytest_runtest_logreport(report):

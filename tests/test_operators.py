@@ -1327,6 +1327,23 @@ def test_dbscan_from_pairs_roles_and_determinism(spark):
     assert got2 == {4: 1}
 
 
+def test_spread_scan_gates_on_driver_side_file_count(spark):
+    """The ADC scoring pass must not inherit a tiny index's
+    file-count parallelism: _spread_scan repartitions to core count
+    when the (pruned) scan spans fewer files than cores, and is the
+    identity — no added exchange — when the scan already has enough
+    files (the 100 TB case). Gated on the driver-side file count so a
+    DV'd read is never executed early by an `.rdd` partition probe."""
+    from wopen_spark.operators.ann_index import _spread_scan
+
+    df = spark.range(10).toDF("vec_id")
+    target = spark.sparkContext.defaultParallelism
+    spreaded = _spread_scan(df, n_files=1)
+    assert spreaded.rdd.getNumPartitions() == target
+    assert sorted(r.vec_id for r in spreaded.collect()) == list(range(10))
+    assert _spread_scan(df, n_files=target) is df
+
+
 def test_sq8_incremental_encode_clamps_out_of_range(spark, tmp_path):
     """r9 ADVICE: incremental_encode of vectors outside the frozen
     per-dim (vmin, vmax) range must clamp codes to [0, 255] (the FAISS

@@ -36,6 +36,20 @@ from wopen_spark.snapshot_table import SnapshotTable
 _RESIDUAL = F.zip_with("v", "cvec", lambda a, b: a - b)
 
 
+def _spread_scan(df: DataFrame, n_files: int) -> DataFrame:
+    """Ensure a (pruned) codes scan has >= core-count partitions before
+    the per-row ADC/reconstruct scoring pass — a small index lands in
+    one or two parquet files, which would serialize the scoring onto as
+    many cores as files. Gated on the DRIVER-SIDE file count (already in
+    the snapshot state — no `.rdd` partition probe, which would execute
+    a DV'd read early), so at real scale, where the pruned scan spans >=
+    core-count files, this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if n_files < target:
+        return df.repartition(target)
+    return df
+
+
 class IvfPqIndex:
     """Handle on a persisted IVF-PQ index rooted at ``root``."""
 
@@ -172,7 +186,10 @@ class IvfPqIndex:
             {"centroid_id": (probed_ids[0], probed_ids[-1])},
             version=version,
         )
-        coded = coded.filter(F.col("centroid_id").isin(probed_ids))
+        coded = _spread_scan(
+            coded.filter(F.col("centroid_id").isin(probed_ids)),
+            report["files_read"],
+        )
         scored = coded.join(F.broadcast(probe_df), "centroid_id").select(
             "query_id",
             "vec_id",
@@ -342,7 +359,12 @@ class Sq8Index:
         frame), top-k via TakeOrderedAndProject per query — never a
         global sort, no shuffle touching the corpus."""
         scored = (
-            self._with_stats(self.codes.read(version=version))
+            self._with_stats(
+                _spread_scan(
+                    self.codes.read(version=version),
+                    len(self.codes._state(version)["files"]),
+                )
+            )
             .join(
                 F.broadcast(
                     queries.select(

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wopen_spark.operators.similarity import cosine_topk, fuzzy_top1_join, ivf_cosine_topk
-from wopen_spark.queries.registry import _t, query
+from wopen_spark.queries.registry import _spread, _t, query
 
 
 # J8 (get_similarity.py:148-152): every left value scored against every
@@ -248,6 +248,9 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "w",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        # per-row assignment in both k-means iterations otherwise runs
+        # on the aggregate's AQE-coalesced (~1) partitions
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     trained = kmeans_train(
         e, e.filter(F.col("vec_id") < 8), vec_col="v", id_col="vec_id",
@@ -310,7 +313,19 @@ def _lsh_candidate_pairs(corpus: DataFrame, threshold: float = 0.99) -> DataFram
         vec_norm,
     )
 
-    scored = corpus.select(
+    # The scoring pass is 48 plane dots + a norm per row — the heavy
+    # map-side stage of this operator — but ``corpus`` arrives from a
+    # distinct-collapse aggregate whose output AQE coalesces to ~one
+    # partition at small SF, serializing the pass onto one core. An
+    # explicit keyed exchange sized by defaultParallelism (cluster
+    # cores — scale-adaptive, not a local constant) spreads it; the
+    # localCheckpoint then materializes the scored pass once for all
+    # three band self-joins. (`.rdd`-probing the partition count would
+    # execute the aggregate early under AQE, so the exchange is
+    # unconditional — one narrow |reps| shuffle before a pass that is
+    # consumed three times.)
+    dp = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = corpus.repartition(dp, "vec_id").select(
         "vec_id",
         "v",
         *[
@@ -526,7 +541,12 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.element_at("v", 1) * _PERTURB), F.slice("v", 2, 63)
         ).alias("v"),
     )
-    corpus = reps.unionByName(twin)
+    # per-row argmin over k centroids + a norm lands on the aggregate's
+    # AQE-coalesced output otherwise — spread it (same rationale as
+    # _lsh_candidate_pairs; defaultParallelism is scale-adaptive)
+    corpus = reps.unionByName(twin).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     assigned = ivf_assign(
         corpus, cents, vec_col="v", id_col="vec_id", n_assign=1
     ).withColumn("nrm", vec_norm(F.col("v")))
@@ -1236,8 +1256,11 @@ def ivfpq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec")
     )
     residual = F.zip_with("v", "cvec", lambda a, b: a - b)
+    # assignment + PQ encode are the heavy per-row map stages: make sure
+    # the scan side has >= core-count partitions (no-op at real SF)
     coded = (
-        ivf_assign(e, cents, vec_col="v", id_col="vec_id", metric="l2")
+        ivf_assign(_spread(spark, e), cents, vec_col="v", id_col="vec_id",
+                   metric="l2")
         .join(F.broadcast(cvecs), "centroid_id")
         .select(
             "vec_id", "centroid_id", pq_codes(residual, _PQ_CB).alias("codes")
@@ -1393,13 +1416,19 @@ def pq_trained_recall_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "w",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
+        # spread the checkpointed reps: k-means assignment in training
+        # is per-row heavy and otherwise runs on the aggregate's
+        # AQE-coalesced (~1) partitions
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint(eager=False)
     )
     books = pq_train_codebooks(
         reps, dim=_PQT_M * _PQT_SUB, m=_PQT_M, k=_PQT_K, vec_col="v",
         id_col="vec_id", iterations=1, weight_col="w",
     )
-    coded = e.select("vec_id", pq_codes(F.col("embedding"), books).alias("codes"))
+    coded = _spread(spark, e).select(
+        "vec_id", pq_codes(F.col("embedding"), books).alias("codes")
+    )
     q = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1415,7 +1444,7 @@ def pq_trained_recall_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.lit(1).alias("hit"))
     )
     exact = (
-        e.crossJoin(F.broadcast(q))
+        _spread(spark, e).crossJoin(F.broadcast(q))
         .select(
             "query_id",
             "vec_id",
@@ -1455,7 +1484,9 @@ def pq_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "embeddings")
-    coded = e.select(
+    # PQ encode is the heavy per-row map stage — spread the scan so it
+    # parallelizes (no-op at real SF where the scan has many splits)
+    coded = _spread(spark, e).select(
         "vec_id", pq_codes(F.col("embedding"), _PQ_CB).alias("codes")
     )
     q = e.filter(F.col("vec_id") == 0).select(
@@ -1571,7 +1602,8 @@ def sq8_adc_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("qv")
     )
     scored = (
-        e.crossJoin(F.broadcast(stats))
+        _spread(spark, e)
+        .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(q))
         .select("vec_id", _l2s_scaled(_recon("embedding"), F.col("qv")).alias("d_s"))
     )
@@ -1630,7 +1662,7 @@ def matryoshka_prefix_recall16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("qv")
     )
     dv = F.transform("embedding", lambda x: x.cast("double"))
-    scored = e.crossJoin(F.broadcast(q)).select(
+    scored = _spread(spark, e).crossJoin(F.broadcast(q)).select(
         "vec_id",
         _l2s_scaled(dv, F.col("qv")).alias("d_full"),
         _l2s_scaled(F.slice(dv, 1, 16), F.slice(F.col("qv"), 1, 16)).alias(
@@ -1744,7 +1776,7 @@ def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("qv")
     )
     dv = F.transform("embedding", lambda x: x.cast("double"))
-    dist = e.crossJoin(F.broadcast(qv)).select(
+    dist = _spread(spark, e).crossJoin(F.broadcast(qv)).select(
         F.col("vec_id").alias("doc_id"),
         _l2s_scaled(dv, F.col("qv")).alias("d_s"),
     )
@@ -1795,7 +1827,9 @@ def ivfpq_index_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cvec")
     )
     root = tempfile.mkdtemp(prefix="wopen_ivfpq_idx_") + "/index"
-    idx = IvfPqIndex.build(spark, root, e, cents, _PQ_CB)
+    # spread the encode input: assignment + residual PQ encode are the
+    # build's heavy per-row stages (no-op at real SF)
+    idx = IvfPqIndex.build(spark, root, _spread(spark, e), cents, _PQ_CB)
     queries_df = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "v"
     )
