@@ -248,9 +248,12 @@ def kmeans_centroids_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "w",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
-        # per-row assignment in both k-means iterations otherwise runs
-        # on the aggregate's AQE-coalesced (~1) partitions
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        # NOT spread (batch-2 negative result): the corpus lineage is
+        # recomputed per k-means iteration, so an added keyed exchange
+        # is paid twice for a modest parallel-assignment win — measured
+        # flat isolated (3.11 -> 3.17 s) and 1.12x in the quiet-window
+        # bench pair. pq_trained_recall keeps its spread because its
+        # reps are localCheckpointed: the exchange is paid once there.
     )
     trained = kmeans_train(
         e, e.filter(F.col("vec_id") < 8), vec_col="v", id_col="vec_id",
