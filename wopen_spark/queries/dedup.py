@@ -19,6 +19,7 @@ from wopen_spark.operators.dedup import (
     simhash,
 )
 from wopen_spark.queries.registry import (
+    _distinct_spread,
     _inherit,
     _per_distinct_text,
     _spread,
@@ -134,8 +135,7 @@ def ngram_jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (gated rejoin) AFTER the adjacency join
     d2 = d.select("doc_id", F.md5("text").alias("fp"))
     sh_fp = (
-        d.select("text")
-        .distinct()
+        _distinct_spread(d, ["text"])
         .select(
             F.md5("text").alias("fp"),
             _word_shingles(F.col("text"), 2).alias("sh"),
@@ -203,11 +203,21 @@ DUCK_LSH_PAIRS = f"""
 
 
 def _lsh_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-doc_id representative per distinct text (>=3 words)."""
+    """Min-doc_id representative per distinct text (>=3 words). The rep
+    frame feeds the family's heavy signature passes (shingle + 8x md5
+    per rep), so its layout is pinned at core-count partitions by a
+    narrow post-aggregate exchange — the groupBy's map-side combine
+    still collapses clones BEFORE its shuffle, and AQE can no longer
+    coalesce the compute input to ~one partition (guide §2.3/§2.5)."""
     d = _spread(spark, _t(spark, sf_dir, "documents")).filter(
         F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 3
     )
-    return d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    dp = spark.sparkContext.defaultParallelism
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .repartition(dp, F.col("text"))
+    )
 
 
 @query(
@@ -259,9 +269,11 @@ def simhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     them first never changes the clusters.
     """
     d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # narrow post-aggregate exchange: the 24-bit simhash pass below must
+    # not run on the aggregate's AQE-coalesced (~1 partition) output
     per_text = d.groupBy("text").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, F.col("text"))
     fps = per_text.select("n", "min_id", simhash(F.col("text"), bits=24).alias("fp"))
     return (
         fps.groupBy("fp")
@@ -347,11 +359,14 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex prefixes equals the min over the underlying 32-bit hash values,
     so both engines pick identical signature elements."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    sh = (
+    # distinct pinned at core-count partitions (same single exchange):
+    # the seed-explode + per-row md5 below otherwise runs on the
+    # AQE-coalesced (~1 partition) aggregate output
+    sh = _distinct_spread(
         d.select(
             "source", F.explode(_word_shingles(F.col("text"), 3)).alias("s")
-        )
-        .distinct()
+        ),
+        ["source", "s"],
     )
     sig = (
         sh.withColumn(
@@ -843,7 +858,11 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
     docs = d.select("doc_id", F.md5("text").alias("fp"), "text")
-    reps = docs.select(F.col("fp").alias("rid"), "text").distinct()
+    # pinned-layout distinct: the operator's shingle/rank passes run on
+    # the rep frame and must not inherit a coalesced 1-partition layout
+    reps = _distinct_spread(
+        docs.select(F.col("fp").alias("rid"), "text"), ["rid", "text"]
+    )
     rep_pairs = prefix_filter_similarity_join(
         reps,
         id_col="rid",
@@ -946,7 +965,7 @@ def dup_span_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     per_text = duplicate_kgram_spans(
-        d.select("text").distinct(), "text", k=_SPAN_K
+        _distinct_spread(d, ["text"]), "text", k=_SPAN_K
     )
     return (
         _inherit(
@@ -988,7 +1007,7 @@ def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     per_text = duplicate_kgram_spans(
-        d.select("text").distinct(), "text", k=_SPAN_K
+        _distinct_spread(d, ["text"]), "text", k=_SPAN_K
     ).filter(F.col("dup_tokens") > 0)
     return (
         _inherit(

@@ -1752,7 +1752,9 @@ def rrf_hybrid_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wopen_spark.queries.retrieval_q import _QUERY_TERMS
 
     d = _t(spark, sf_dir, "documents")
-    texts = d.select("text").distinct().select(
+    from wopen_spark.queries.registry import _distinct_spread
+
+    texts = _distinct_spread(d, ["text"]).select(
         F.md5("text").alias("tid"),
         F.size(
             F.filter(
